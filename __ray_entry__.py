@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data KG-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; no
+function here (or in the library) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship pipeline on /root/testdata/sf0.001:
+  interleave the documents table into the input_hint doc shape, run
+  extraction -> triples.
+* ``queries()``    — one callable per implemented operator (SURVEY.md §2
+  + the large-scale dedup/similarity/text-analysis additions).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible ones.
 """
 
 from __future__ import annotations
@@ -20,25 +18,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents -> interleaved docs -> triples."""
+    from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+        extract_pipeline,
+        triples_from_extractions,
+    )
+    from aisafetyintervention_literatureextraction_ray.sources.docs import (
+        interleave_from_documents,
+    )
+
+    docs = interleave_from_documents("/root/testdata/sf0.001")
+    extractions = extract_pipeline(docs, concurrency=(1, 4), batch_size=128)
+    return triples_from_extractions(extractions)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aisafetyintervention_literatureextraction_ray import driver_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return driver_queries.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from aisafetyintervention_literatureextraction_ray import driver_queries
+
+    return driver_queries.ORACLE_SQL

@@ -1,0 +1,186 @@
+"""Graph materialization: extractions -> canonical nodes / edges tables.
+
+Replaces the reference's per-row Cypher MERGE upserts into FalkorDB
+(``db.py:34-54``: node key ``(label, name)`` at ``db.py:42``, edge key
+``(src, type, dst)`` at ``db.py:50-53``) with deterministic
+group-by-reduce materialization (SURVEY.md §2.5 A1/A2/A3):
+
+* node dedup  — group by ``(type, name_norm)``; alias set-union,
+  provenance count, deterministic-first props.  The shuffle moves only
+  per-batch PARTIAL aggregates (one row per key per batch), so head
+  entities ("rlhf", "alignment", …) cost one row per block instead of
+  one row per mention — the salted/combined two-stage aggregate of
+  SURVEY.md §4.2 (A1's reduce is commutative+associative, so this is
+  semantics-free).
+* edge dedup  — same two-stage pattern on ``(src_id, pred, dst_id)``.
+  The reference's ``SET`` is last-writer-wins in file order
+  (``db.py:52``); file order is not defined for a parallel engine, so we
+  pick the deterministic equivalent: max confidence, lexicographic-first
+  description, provenance count.
+* endpoint resolution — triples carry node *names* (string FKs,
+  ``core.py:18-19``); they are resolved to node_ids with a broadcast
+  name_norm -> node_id map (``ray.put`` once, read per actor/task —
+  SURVEY.md §2.4 J1).  At 10^12-doc scale with an unbounded vocabulary
+  the same step becomes a hash-shuffle ``Dataset.join`` on name_norm;
+  the broadcast path is correct while the canonical-node table fits the
+  object store (millions of nodes).
+
+Re-running the whole build is idempotent (a pure function of the
+extractions dataset) — the analogue of MERGE re-run safety.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.explode import explode_nodes
+from ..functions.hashing import stable_id
+from ..functions.normalize import normalize_names
+from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, cast_batch
+
+
+# ------------------------------------------------------------------ nodes
+
+def _node_partials(batch: pa.Table) -> pd.DataFrame:
+    """Per-batch partial combine for the node-dedup aggregate."""
+    flat = explode_nodes(batch)
+    flat = flat.append_column("name_norm", normalize_names(flat.column("name")))
+    df = flat.to_pandas()
+    grouped = df.groupby(["type", "name_norm"], sort=False)
+    out = grouped.agg(
+        name=("name", "first"),
+        description=("description", "first"),
+        concept_category=("concept_category", "first"),
+        intervention_lifecycle=("intervention_lifecycle", "first"),
+        intervention_maturity=("intervention_maturity", "first"),
+        n_provenance=("doc_id", "nunique"),
+    ).reset_index()
+    # alias union within the batch (kept as sorted tuple for determinism)
+    out["aliases"] = grouped["aliases"].agg(
+        lambda lists: sorted({a for lst in lists for a in lst})
+    ).to_numpy()
+    return out
+
+
+def _node_final(group: pd.DataFrame) -> pd.DataFrame:
+    """Final reduce per (type, name_norm) over partials (assoc+comm)."""
+    aliases = sorted({a for lst in group["aliases"] for a in lst})
+    first = group.sort_values("name", kind="stable").iloc[0]
+    return pd.DataFrame(
+        {
+            "node_id": [stable_id(first["type"], first["name_norm"])],
+            "type": [first["type"]],
+            "name_norm": [first["name_norm"]],
+            "name": [first["name"]],
+            "aliases": [aliases],
+            "description": [first["description"]],
+            "concept_category": [first["concept_category"]],
+            "intervention_lifecycle": [first["intervention_lifecycle"]],
+            "intervention_maturity": [first["intervention_maturity"]],
+            "n_provenance": [int(group["n_provenance"].sum())],
+        }
+    )
+
+
+def build_nodes(extractions: rd.Dataset) -> rd.Dataset:
+    """extractions -> canonical nodes table (NODES_SCHEMA)."""
+    partials = extractions.map_batches(_node_partials, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    nodes = partials.groupby(["type", "name_norm"]).map_groups(
+        _node_final, batch_format="pandas"
+    )
+    return nodes.map_batches(
+        lambda b: cast_batch(b, NODES_SCHEMA), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------ edges
+
+class _EndpointResolver:
+    """Broadcast name_norm -> node_id lookup inside the edge stage (J1).
+
+    The node map is shipped once via ``ray.put`` and fetched once per
+    actor in ``__init__`` — never re-serialized per batch.
+    """
+
+    def __init__(self, node_map_ref) -> None:
+        self.node_map: dict[str, str] = ray.get(node_map_ref)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        for col, out in (("subj", "src_id"), ("obj", "dst_id")):
+            norm = pa.Array.to_pandas(
+                normalize_names(pa.array(df[col].astype(str)))
+            )
+            df[out] = norm.map(self.node_map)
+        resolved = df[df["src_id"].notna() & df["dst_id"].notna()].copy()
+        grouped = resolved.groupby(["src_id", "pred", "dst_id"], sort=False)
+        out = grouped.agg(
+            subj=("subj", "first"),
+            obj=("obj", "first"),
+            description=("description", "min"),
+            confidence=("confidence", "max"),
+            n_provenance=("doc_id", "nunique"),
+        ).reset_index()
+        return out
+
+
+def _edge_final(group: pd.DataFrame) -> pd.DataFrame:
+    first = group.sort_values("description", kind="stable").iloc[0]
+    return pd.DataFrame(
+        {
+            "src_id": [first["src_id"]],
+            "pred": [first["pred"]],
+            "dst_id": [first["dst_id"]],
+            "subj": [first["subj"]],
+            "obj": [first["obj"]],
+            "description": [group["description"].min()],
+            "confidence": [group["confidence"].max()],
+            "n_provenance": [int(group["n_provenance"].sum())],
+        }
+    )
+
+
+def node_id_map(nodes: rd.Dataset) -> dict[str, str]:
+    """Collect the (small) canonical node key map for broadcast."""
+    tbl = pa.concat_tables(
+        nodes.select_columns(["name_norm", "node_id"])
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    return dict(zip(tbl.column("name_norm").to_pylist(),
+                    tbl.column("node_id").to_pylist()))
+
+
+def build_edges(triples: rd.Dataset, node_map: dict[str, str],
+                *, concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
+    """triples + broadcast node map -> canonical edges table (EDGES_SCHEMA)."""
+    ref = ray.put(node_map)
+    partials = triples.map_batches(
+        _EndpointResolver,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    edges = partials.groupby(["src_id", "pred", "dst_id"]).map_groups(
+        _edge_final, batch_format="pandas"
+    )
+    return edges.map_batches(
+        lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"
+    )
+
+
+def papers(extractions: rd.Dataset) -> rd.Dataset:
+    """Distinct papers (A2, reference ``db.py:34-36`` PAPER MERGE).
+
+    Implemented as a group-by-first rather than ``Dataset.unique`` (which
+    collects to the driver): stays a distributed dataset.
+    """
+    return (
+        extractions.select_columns(["doc_id"])
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+    )
