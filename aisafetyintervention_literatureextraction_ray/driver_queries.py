@@ -208,6 +208,459 @@ def kg_triples(sf_dir: str):
     return triples_from_extractions(extract_pipeline(docs, batch_size=128))
 
 
+# ---------------------------------------------------------------- hash-shuffle join (J1 scale path)
+@query(
+    "orders_by_segment",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def orders_by_segment(sf_dir: str):
+    """Both-sides-large equi-join via ``Dataset.join`` (hash-partitioned
+    shuffle join — the scale path of SURVEY.md §2.4 J1 when the build
+    side no longer fits a broadcast)."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, "inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"mktsegment": t["c_mktsegment"],
+                      "price": t["o_totalprice"]})
+        return pa.TableGroupBy(t, "mktsegment").aggregate(
+            [("price", "sum"), ("price", "count")])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("mktsegment")
+        .aggregate(Sum("price_count", alias_name="n_orders"),
+                   Sum("price_sum", alias_name="sum_totalprice"))
+        .to_pandas()
+    )
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    return out[["mktsegment", "n_orders", "sum_totalprice"]]
+
+
+# ---------------------------------------------------------------- exact dedup
+@query(
+    "exact_dedup_docs",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def exact_dedup_docs(sf_dir: str):
+    """Exact text dedup: hash-partition + per-group first (keep min id)."""
+    from .stages.dedup import content_hash
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "text"]].copy()
+        df["__h"] = content_hash(df, "text")
+        g = df.groupby("__h", sort=False, as_index=False).agg(
+            keep_id=("doc_id", "min"), n_copies=("doc_id", "count"),
+            text=("text", "first"))
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("text", sort=False, as_index=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum"))
+        return out[["keep_id", "n_copies"]]
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__h").map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------- token counting
+@query(
+    "doc_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+               END) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                     END) * 1.0 / COUNT(*), 2) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(sf_dir: str):
+    """Vectorized token counting (pyarrow count_substring_regex) +
+    two-stage aggregate per language."""
+    from .functions.text import add_token_count
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_token_count(t)
+        return pa.TableGroupBy(t.select(["lang", "n_tokens"]), "lang").aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count")])
+
+    out = (
+        _pq(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("lang")
+        .aggregate(Sum("n_tokens_count", alias_name="n_docs"),
+                   Sum("n_tokens_sum", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    out["avg_tokens"] = (out["total_tokens"] / out["n_docs"]).round(2)
+    return out[["lang", "n_docs", "total_tokens", "avg_tokens"]]
+
+
+# ---------------------------------------------------------------- sort + limit
+@query(
+    "top_docs_by_chars",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id ASC LIMIT 50
+    """,
+)
+def top_docs_by_chars(sf_dir: str):
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------- windowed aggregate
+@query(
+    "events_hourly_window",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def events_hourly_window(sf_dir: str):
+    """Tumbling event-time window as a keyed aggregate (ray_guide.md
+    streaming-shaped pattern): floor timestamps per batch, two-stage sum."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"))
+
+    out = (
+        _pq(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("s", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["event_type", "hour", "n_events", "sum_value"]]
+
+
+# ---------------------------------------------------------------- ANN / similarity
+@query(
+    "knn_bruteforce",
+    """
+    SELECT vec_id, rank FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)) DESC, e.vec_id ASC) AS rank
+      FROM embeddings e WHERE e.vec_id <> 0
+    ) WHERE rank <= 10
+    """,
+)
+def knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-k (broadcast query matrix, streaming scan,
+    local-topk + per-query reduce).  Float64 math matches DuckDB's
+    list_cosine_similarity to ~1e-15 so ranks agree."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import brute_force_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    Q = np.array([next(e for v, e in zip(q["vec_id"].to_pylist(),
+                                         q["embedding"].to_pylist()) if v == 0)],
+                 dtype=np.float64)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id != 0")
+    out = brute_force_topk(ds, Q, k=10, concurrency=(1, 4)).to_pandas()
+    return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale path; recall tested vs
+    brute force in tests/test_similarity.py)."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ivf_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    Q = np.stack(q["embedding"].to_pylist()[:4]).astype(np.float64)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, Q, k=10, n_centroids=16, nprobe=4,
+                    concurrency=(1, 4)).to_pandas()
+
+
+# ---------------------------------------------------------------- near-dup dedup family
+def _docs_with_planted_dups(sf_dir: str):
+    """documents ∪ copies of the 20 lowest doc_ids (id + 1_000_000) —
+    a deterministic fixture making the near-dup oracles exact."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        mask = pc2.less(t["doc_id"], 20)
+        sub = t.filter(mask)
+        return pa.table({
+            "doc_id": pc2.add(sub["doc_id"], 1_000_000),
+            "text": sub["text"],
+        })
+
+    return ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+
+
+@query(
+    "minhash_neardup_pairs",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+    FROM all_docs a JOIN all_docs b
+      ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_neardup_pairs(sf_dir: str):
+    """MinHash+LSH candidate generation + exact n-gram-Jaccard verify.
+
+    Candidates (estimated jaccard >= 0.8 from signatures) are verified
+    with the TRUE trigram Jaccard via a broadcast text lookup; only
+    j >= 0.99 (the planted exact dups) survive — which makes the result
+    SQL-checkable.  At scale the verify step becomes a join on doc_id
+    instead of a broadcast; the candidate shuffle is unchanged.
+    """
+    from .stages.dedup import minhash_dedup_pairs, ngram_jaccard
+
+    ds = _docs_with_planted_dups(sf_dir)
+    cands = minhash_dedup_pairs(ds, jaccard_threshold=0.8,
+                                concurrency=(1, 4))
+    texts_ref = ray.put(dict(zip(
+        *[c.combine_chunks().to_pylist() for c in
+          pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).columns])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(texts_ref)
+        if df.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        df = df.copy()
+        df["jaccard"] = [
+            round(ngram_jaccard(t[a], t[b], k=3), 4)
+            for a, b in zip(df["id_a"], df["id_b"])]
+        return df[df["jaccard"] >= 0.99][["id_a", "id_b", "jaccard"]]
+
+    out = cands.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@query(
+    "simhash_neardup_pairs",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+    FROM all_docs a JOIN all_docs b
+      ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def simhash_neardup_pairs(sf_dir: str):
+    """SimHash banding candidate generation + exact-equality verify
+    (hamming<=2 candidates, then broadcast text comparison — simhash of
+    short same-vocabulary docs collides, so verification is mandatory)."""
+    from .stages.dedup import simhash_dedup_pairs
+
+    ds = _docs_with_planted_dups(sf_dir)
+    cands = simhash_dedup_pairs(ds, max_hamming=2, concurrency=(1, 4))
+    texts_ref = ray.put(dict(zip(
+        *[c.combine_chunks().to_pylist() for c in
+          pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).columns])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(texts_ref)
+        if df.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        keep = [t[a] == t[b] for a, b in zip(df["id_a"], df["id_b"])]
+        out = df[pd.Series(keep, index=df.index)].copy()
+        out["hamming"] = out["hamming"].astype("int64")
+        return out[["id_a", "id_b", "hamming"]]
+
+    out = cands.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@query(
+    "embedding_neardup_pairs",
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def embedding_neardup_pairs_q(sf_dir: str):
+    """Embedding-cosine near-dup over vectors with planted exact copies."""
+    import pyarrow.compute as pc2
+
+    from .stages.similarity import embedding_neardup_pairs
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc2.less(t["vec_id"], 10))
+        return pa.table({"vec_id": pc2.add(sub["vec_id"], 100_000),
+                         "embedding": sub["embedding"]})
+
+    both = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+    out = embedding_neardup_pairs(both, cosine_threshold=0.999,
+                                  mode="lsh").to_pandas()
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- anti-join resume
+@query(
+    "resume_antijoin",
+    """
+    SELECT doc_id, source FROM documents WHERE doc_id % 10 >= 3
+    """,
+)
+def resume_antijoin(sf_dir: str):
+    """J2: broadcast anti semi-join of the input against a completed-work
+    manifest (here: everything with doc_id%10<3 is 'done')."""
+    done = ray.put({i for i in range(0, 10_000_000, 10)} |
+                   {i for i in range(1, 10_000_000, 10)} |
+                   {i for i in range(2, 10_000_000, 10)})
+
+    def anti(t: pa.Table) -> pa.Table:
+        d = ray.get(done)
+        keep = [int(x) not in d for x in t.column("doc_id").to_pylist()]
+        return t.filter(pa.array(keep))
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------- text analysis (rows-only)
+@query("lang_id_distribution")
+def lang_id_distribution(sf_dir: str):
+    """Heuristic language ID over documents -> counts per detected lang."""
+    from .functions.text import detect_language
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = detect_language(t)
+        return pa.TableGroupBy(t.select(["lang_detected"]),
+                               "lang_detected").aggregate([([], "count_all")])
+
+    return (
+        _pq(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("lang_detected")
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+        .to_pandas()
+    )
+
+
+@query("doc_quality_scores")
+def doc_quality_scores(sf_dir: str):
+    """Per-doc quality features + composite score + fingerprint."""
+    from .functions.text import add_fingerprint, quality_scores
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda t: add_fingerprint(quality_scores(t))
+                     .drop_columns(["text"]),
+                     batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------- multimodal (rows-only)
+@query("media_feature_extraction")
+def media_feature_extraction(sf_dir: str):
+    """Interleaved docs -> media spans -> synthetic payloads ->
+    actor-pool decode/feature stage (decode stubbed, plumbing real)."""
+    from .sources.docs import interleave_from_documents
+    from .stages.multimodal import media_features, synth_media_table
+
+    docs = interleave_from_documents(sf_dir)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return synth_media_table(t)
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", batch_size=512)
+    out = media_features(media, concurrency=(1, 4)).to_pandas()
+    return out.drop(columns=["features"])
+
+
+# ---------------------------------------------------------------- canonicalization (rows-only)
+@query("kg_canonicalized")
+def kg_canonicalized(sf_dir: str):
+    """Full canonicalization over the sf-derived KG: encoder actors ->
+    LSH buckets -> pair-gen -> union-find merge; returns merged nodes."""
+    from .pipelines.canonicalization import canonicalize
+    from .pipelines.extraction import extract_pipeline, triples_from_extractions
+    from .pipelines.graph_build import build_edges, build_nodes, node_id_map
+    from .sources.docs import interleave_from_documents
+
+    docs = interleave_from_documents(sf_dir)
+    extr = extract_pipeline(docs, batch_size=128)
+    nodes = build_nodes(extr)
+    nmap = node_id_map(nodes)
+    edges = build_edges(triples_from_extractions(extr), nmap)
+    nodes2, edges2, accepted, remap = canonicalize(
+        nodes, edges, mode="lsh", top_n=None, threshold=0.2)
+    out = nodes2.drop_columns(["aliases"]).to_pandas()
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+@query("kg_triples_pr")
+def kg_triples_pr(sf_dir: str):
+    """Self-scoring entry: extraction P/R against the derived golden set
+    (must be >= 0.95; deterministic extractor yields exactly 1.0)."""
+    from .pipelines.extraction import extract_pipeline, triples_from_extractions
+    from .sources.docs import golden_for_documents, interleave_from_documents
+
+    docs = interleave_from_documents(sf_dir)
+    tri = triples_from_extractions(
+        extract_pipeline(docs, batch_size=128)).to_pandas()
+    golden = golden_for_documents(sf_dir).to_pandas()
+    got = set(map(tuple, tri[["doc_id", "subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    exp = set(map(tuple, golden[["doc_id", "subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    tp = len(got & exp)
+    return pd.DataFrame({
+        "n_extracted": [len(got)], "n_golden": [len(exp)],
+        "precision": [round(tp / max(len(got), 1), 4)],
+        "recall": [round(tp / max(len(exp), 1), 4)],
+    })
+
+
 @query("kg_nodes")
 def kg_nodes(sf_dir: str):
     """Canonical node table from the KG build (group-by dedup, A1)."""

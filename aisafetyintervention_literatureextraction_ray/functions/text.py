@@ -1,0 +1,130 @@
+"""Text-analysis kernels: token counts, language ID, quality scores,
+document fingerprints.  All vectorized (pyarrow.compute / numpy); no
+Python row loops in hot paths.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# keyword sets for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " to ", " is "),
+    "de": (" der ", " und ", " die ", " das ", " ist "),
+    "fr": (" le ", " la ", " et ", " les ", " est "),
+    "es": (" el ", " la ", " los ", " que ", " es "),
+}
+
+
+def set_column(batch: pa.Table, name: str, col) -> pa.Table:
+    """Append-or-replace a column (keeps these kernels composable)."""
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, col)
+
+
+def token_counts(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Whitespace token count — matches DuckDB
+    ``length(regexp_split_to_array(trim(text), '\\s+'))`` for non-blank
+    text (and 0 for blank, which SQL oracles must CASE around)."""
+    return pc.count_substring_regex(text, pattern=r"\S+")
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "n_tokens") -> pa.Table:
+    return set_column(batch, out_col, token_counts(batch.column(text_col)))
+
+
+def detect_language(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "lang_detected") -> pa.Table:
+    """Stopword-marker language ID (n-gram heuristic).
+
+    Fully vectorized: a handful of ``count_substring`` kernels per
+    language, argmax per row, "und" (undetermined) when no marker hits.
+    """
+    padded = pc.binary_join_element_wise(
+        " ", pc.utf8_lower(batch.column(text_col)), " ", "")
+    scores = []
+    langs = list(_LANG_MARKERS)
+    for lang in langs:
+        s = None
+        for marker in _LANG_MARKERS[lang]:
+            c = pc.count_substring(padded, pattern=marker)
+            s = c if s is None else pc.add(s, c)
+        scores.append(pc.cast(s, pa.int64()).to_numpy(zero_copy_only=False))
+    M = np.stack(scores)  # (n_langs, n_rows)
+    best = M.argmax(axis=0)
+    hit = M.max(axis=0) > 0
+    out = np.where(hit, np.asarray(langs, dtype=object)[best], "und")
+    return set_column(batch, out_col, pa.array(out, type=pa.string()))
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features: length, token count, mean word
+    length, punctuation ratio, stopword ratio, composite score 0-1."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(token_counts(text), pa.float64())
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, pattern=r"[.,;:!?]"), pa.float64())
+    padded = pc.binary_join_element_wise(" ", pc.utf8_lower(text), " ", "")
+    n_stop = None
+    for m in _LANG_MARKERS["en"]:
+        c = pc.count_substring(padded, pattern=m)
+        n_stop = c if n_stop is None else pc.add(n_stop, c)
+    n_stop = pc.cast(n_stop, pa.float64())
+
+    safe_tokens = pc.max_element_wise(n_tokens, 1.0)
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    mean_word_len = pc.divide(n_chars, safe_tokens)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    stop_ratio = pc.divide(n_stop, safe_tokens)
+
+    # composite: rewards stopword presence and sane word lengths,
+    # penalizes punctuation soup; clamped to [0, 1].
+    stop_part = pc.min_element_wise(pc.multiply(stop_ratio, 3.0), 1.0)
+    len_part = pc.max_element_wise(
+        pc.subtract(1.0, pc.divide(pc.abs(pc.subtract(mean_word_len, 5.0)), 5.0)),
+        0.0)
+    raw = pc.subtract(
+        pc.add(pc.multiply(stop_part, 0.6), pc.multiply(len_part, 0.4)),
+        pc.multiply(punct_ratio, 0.5))
+    score = pc.min_element_wise(pc.max_element_wise(raw, 0.0), 1.0)
+    for name, col in (("n_chars_text", pc.cast(n_chars, pa.int64())),
+                      ("n_tokens", pc.cast(n_tokens, pa.int64())),
+                      ("mean_word_len", mean_word_len),
+                      ("punct_ratio", punct_ratio),
+                      ("stop_ratio", stop_ratio),
+                      ("quality_score", score)):
+        batch = set_column(batch, name, col)
+    return batch
+
+
+def fingerprint64(texts: list[str]) -> np.ndarray:
+    """Rolling-hash document fingerprint: XOR of polynomial hashes of all
+    8-byte windows, mixed with length.  Order-insensitive w.r.t. window
+    multiset but sensitive to any byte change; fully vectorized per doc."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        data = (t or "").encode("utf-8")
+        if len(data) < 8:
+            out[i] = zlib.crc32(data)
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(arr, 8)
+        # polynomial rolling hash per window, vectorized
+        weights = (np.uint64(2654435761) ** np.arange(8, dtype=np.uint64))
+        hashes = (win.astype(np.uint64) * weights).sum(axis=1)
+        out[i] = np.uint64(np.bitwise_xor.reduce(hashes)
+                           ^ (np.uint64(len(data)) << np.uint64(40)))
+    return out
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fingerprint") -> pa.Table:
+    fp = fingerprint64(batch.column(text_col).to_pylist())
+    return set_column(batch, out_col, pa.array(fp, type=pa.uint64()))

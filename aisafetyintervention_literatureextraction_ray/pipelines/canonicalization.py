@@ -1,0 +1,138 @@
+"""Canonicalization pipeline: nodes/edges -> merged nodes/edges.
+
+Target shape from SURVEY.md §3.3: ``nodes -> TextProjector -> Encoder
+actors -> LSHBucketer -> groupby(bucket).map_groups(PairGen) ->
+groupby(pair).min -> threshold/top-n -> driver union-find -> broadcast
+remap -> groupby re-reduce``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..stages.canonicalize import (
+    LSHBucketer,
+    constant_bucket,
+    make_pairgen,
+    project_node_text,
+    union_find,
+)
+from ..stages.encode import DEFAULT_DIM, HashingEncoder
+
+
+def candidate_pairs(
+    nodes: rd.Dataset,
+    *,
+    mode: str = "exact",          # "exact" (global KNN parity) | "lsh" (scale)
+    k: int = 40,                  # neighbors per node (merge.py:115)
+    dim: int = DEFAULT_DIM,
+    n_bands: int = 8,
+    planes_per_band: int = 6,
+    encoder_concurrency: int | tuple[int, int] = (1, 4),
+) -> rd.Dataset:
+    """nodes -> deduped candidate pairs ``(id_a, id_b, distance)``."""
+    ds = nodes.map_batches(project_node_text, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ds = ds.map_batches(HashingEncoder, fn_constructor_kwargs={"dim": dim},
+                        batch_format="pyarrow", batch_size=1024,
+                        concurrency=encoder_concurrency)
+    ds = ds.select_columns(["node_id", "embedding"])
+    if mode == "exact":
+        ds = ds.map_batches(constant_bucket, batch_format="pyarrow")
+    elif mode == "lsh":
+        ds = ds.map_batches(
+            LSHBucketer,
+            fn_constructor_kwargs={"dim": dim, "n_bands": n_bands,
+                                   "planes_per_band": planes_per_band},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=encoder_concurrency,
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    pairs = ds.groupby("bucket").map_groups(
+        make_pairgen(k=k), batch_format="pyarrow"
+    )
+    # A4/A5: best distance per unordered pair (symmetric hits collapse)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("distance", alias_name="distance")
+    )
+
+
+def accept_pairs(pairs: rd.Dataset, *, top_n: int | None = 30,
+                 threshold: float | None = None) -> pd.DataFrame:
+    """O3: top-n mode (reference parity, ``merge.py:92,115``) or
+    threshold mode (the scale path — a global top-k over 10^12 pairs is
+    an artifact of the reference's interactive use, SURVEY.md §2.6)."""
+    if threshold is not None:
+        import pyarrow.compute as pc
+
+        pairs = pairs.map_batches(
+            lambda t: t.filter(pc.less_equal(t["distance"], threshold)),
+            batch_format="pyarrow",
+        )
+        out = pairs.to_pandas()
+    else:
+        out = pairs.sort(["distance", "id_a", "id_b"]).limit(top_n).to_pandas()
+    if out.empty:  # empty Datasets can drop column names
+        out = pd.DataFrame({"id_a": [], "id_b": [], "distance": []})
+    return out
+
+
+def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
+                 accepted: pd.DataFrame):
+    """Union-find closure + broadcast remap + edge re-dedup (J3/J4).
+
+    Loser nodes are dropped (keeper props win — reference ``DELETE a``
+    at ``db.py:151``); edges are rewired through the remap and re-deduped
+    on ``(src_id, pred, dst_id)`` with property union.  Self-loops
+    arising from merged endpoints are retained (parity with MERGE
+    ``(b)-[r2]->(b)``, SURVEY.md §2.4 J4).
+    """
+    if accepted.empty:
+        return nodes, edges, {}
+    remap = union_find(list(zip(accepted["id_a"], accepted["id_b"])))
+    losers = {x for x, c in remap.items() if x != c}
+    remap_ref = ray.put(remap)
+    losers_ref = ray.put(losers)
+
+    def drop_losers(t: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        keep = [nid not in lose for nid in t.column("node_id").to_pylist()]
+        return t.filter(pa.array(keep))
+
+    nodes2 = nodes.map_batches(drop_losers, batch_format="pyarrow")
+
+    def rewire(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(remap_ref)
+        df = df.copy()
+        df["src_id"] = df["src_id"].map(lambda x: m.get(x, x))
+        df["dst_id"] = df["dst_id"].map(lambda x: m.get(x, x))
+        return df
+
+    def rededup(group: pd.DataFrame) -> pd.DataFrame:
+        first = group.sort_values("description", kind="stable").iloc[0]
+        out = first.to_frame().T
+        out["confidence"] = group["confidence"].max()
+        out["n_provenance"] = group["n_provenance"].sum()
+        return out
+
+    edges2 = (
+        edges.map_batches(rewire, batch_format="pandas")
+        .groupby(["src_id", "pred", "dst_id"])
+        .map_groups(rededup, batch_format="pandas")
+    )
+    return nodes2, edges2, remap
+
+
+def canonicalize(nodes: rd.Dataset, edges: rd.Dataset, *,
+                 mode: str = "exact", k: int = 40, top_n: int | None = 30,
+                 threshold: float | None = None, **kwargs):
+    """Full canonicalization (merge.py ``run()`` analogue, merge.py:111-116)."""
+    pairs = candidate_pairs(nodes, mode=mode, k=k, **kwargs)
+    accepted = accept_pairs(pairs, top_n=top_n, threshold=threshold)
+    nodes2, edges2, remap = apply_merges(nodes, edges, accepted)
+    return nodes2, edges2, accepted, remap

@@ -1,0 +1,145 @@
+"""End-to-end orchestration: extract -> link -> canonicalize -> materialize.
+
+The run directory is a Lance-style layout of partitioned Parquet:
+
+    <out>/extractions/part=K/*.parquet    (resumable, one dir per partition)
+    <out>/triples/part=K/*.parquet
+    <out>/graph/nodes/*.parquet           (global, rewritten atomically)
+    <out>/graph/edges/*.parquet
+    <out>/manifest.jsonl                  (lineage + per-partition metrics)
+
+Extraction (the expensive, embarrassingly-parallel stage — per-doc, no
+shuffle) is checkpointed per partition; the graph build (three keyed
+shuffles, cheap relative to extraction) is recomputed from the
+extraction outputs, which keeps it a pure deterministic function of
+checkpointed state (re-run => identical graph, the MERGE idempotency
+property of ``db.py:36,42,51``).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from collections.abc import Callable
+from pathlib import Path
+
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..state.lineage import Manifest, atomic_partition_dir, order_free_checksum
+from .canonicalization import canonicalize
+from .extraction import extract_pipeline, triples_from_extractions
+from .graph_build import build_edges, build_nodes, node_id_map
+
+
+def run_partitioned_extraction(
+    make_partition: Callable[[int], rd.Dataset],
+    num_partitions: int,
+    out_dir: str | Path,
+    *,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> dict:
+    """Run extraction partition-by-partition with lineage checkpoints.
+
+    ``make_partition(pid)`` returns the input Dataset for partition
+    ``pid`` (a file shard, an index range, or a hash slice — the caller
+    owns the physical partitioning, mirroring how a 100 TB corpus is
+    already sharded in storage).  Completed partitions are skipped on
+    resume; each partition writes extractions and triples atomically.
+    """
+    out = Path(out_dir)
+    manifest = Manifest(out)
+    done = manifest.completed("extract") if resume else {}
+    stats = {"partitions": num_partitions, "skipped": 0, "ran": 0, "rows": 0}
+    for pid in range(num_partitions):
+        if pid in done:
+            stats["skipped"] += 1
+            stats["rows"] += done[pid]["n_rows"]
+            continue
+        t0 = time.time()
+        docs = make_partition(pid)
+        extr = extract_pipeline(docs, concurrency=concurrency,
+                                batch_size=batch_size)
+        with atomic_partition_dir(out / "extractions", pid) as tmp:
+            extr.write_parquet(str(tmp))
+        extr_part = rd.read_parquet(str(out / "extractions" / f"part={pid}"))
+        with atomic_partition_dir(out / "triples", pid) as tmp:
+            triples_from_extractions(extr_part).write_parquet(str(tmp))
+        ids = pads.dataset(out / "extractions" / f"part={pid}").to_table(
+            columns=["doc_id"]).column("doc_id").to_pylist()
+        manifest.mark("extract", pid, n_rows=len(ids),
+                      checksum=order_free_checksum(ids),
+                      wall_time_s=time.time() - t0)
+        stats["ran"] += 1
+        stats["rows"] += len(ids)
+    return stats
+
+
+def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None,
+                    top_n: int | None = None,
+                    threshold: float | None = 0.2) -> dict:
+    """extractions/* -> graph/nodes + graph/edges (+ optional near-dup merge)."""
+    out = Path(out_dir)
+    manifest = Manifest(out)
+    t0 = time.time()
+    extr = rd.read_parquet(str(out / "extractions"))
+    triples = rd.read_parquet(str(out / "triples"))
+
+    nodes = build_nodes(extr)
+    nmap = node_id_map(nodes)
+    edges = build_edges(triples, nmap)
+
+    n_merged = 0
+    if canonicalize_mode:
+        # default = threshold mode (the scale path, SURVEY.md §2.6 O3):
+        # merge only true near-dups; pass top_n for reference-parity
+        # fixed-k accepts.
+        nodes, edges, accepted, remap = canonicalize(
+            nodes, edges, mode=canonicalize_mode, top_n=top_n,
+            threshold=threshold if top_n is None else None)
+        n_merged = len(remap)
+
+    graph = out / "graph"
+    if graph.exists():
+        shutil.rmtree(graph)
+    nodes.write_parquet(str(graph / "nodes"))
+    edges.write_parquet(str(graph / "edges"))
+
+    n_nodes = pads.dataset(graph / "nodes").count_rows()
+    n_edges = pads.dataset(graph / "edges").count_rows()
+    wall = time.time() - t0
+    manifest.mark("graph_build", 0, n_rows=n_edges, checksum=f"{n_nodes}n",
+                  wall_time_s=wall,
+                  extra={"n_nodes": n_nodes, "n_merged": n_merged})
+    return {"n_nodes": n_nodes, "n_edges": n_edges, "n_merged": n_merged,
+            "wall_time_s": wall}
+
+
+def run_full(
+    make_partition: Callable[[int], rd.Dataset],
+    num_partitions: int,
+    out_dir: str | Path,
+    *,
+    resume: bool = True,
+    canonicalize_mode: str | None = "lsh",
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> dict:
+    """Full pipeline; returns the metrics dict (triples/sec headline)."""
+    t0 = time.time()
+    ext = run_partitioned_extraction(
+        make_partition, num_partitions, out_dir, resume=resume,
+        concurrency=concurrency, batch_size=batch_size)
+    gb = run_graph_build(out_dir, canonicalize_mode=canonicalize_mode)
+    wall = time.time() - t0
+    n_triples = pads.dataset(Path(out_dir) / "triples").count_rows()
+    return {
+        "wall_time_s": wall,
+        "n_docs": ext["rows"],
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall if wall > 0 else 0.0,
+        "extract": ext,
+        "graph": gb,
+    }

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the design brief:
+
+* ``brute_force_topk`` — the baseline: the (small) query matrix is
+  broadcast once with ``ray.put``; every batch computes a numpy matmul
+  against it and emits its LOCAL top-k per query; a final per-query
+  group-by reduces local top-ks to the global top-k.  The data side
+  streams; nothing is materialized.
+* ``ivf_topk`` — the scale path: a coarse quantizer (seeded k-means on a
+  driver-side sample) assigns every vector to a centroid list
+  (``nprobe`` buckets per query); only matching buckets are scanned.
+
+Cosine math is done in float64 so results are comparable to a DuckDB
+``list_cosine_similarity`` oracle to ~1e-15.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .encode import embeddings_to_numpy
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return np.divide(M, n, out=np.zeros_like(M), where=n > 0)
+
+
+class _LocalTopK:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int, id_col: str, emb_col: str) -> None:
+        q = ray.get(q_ref)
+        self.Q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, d)
+        self.k, self.id_col, self.emb_col = k, id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        X = embeddings_to_numpy(batch.column(self.emb_col)).astype(np.float64)
+        Xn = _normalize(X)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = self.Q @ Xn.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        if k == 0:
+            return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": []})
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        nq = sims.shape[0]
+        qid = np.repeat(np.arange(nq), k)
+        flat = idx.reshape(-1)
+        return pd.DataFrame({
+            "query_id": qid.astype(np.int64),
+            self.id_col: ids[flat],
+            "cosine": sims[np.repeat(np.arange(nq), k), flat],
+        })
+
+
+def _final_topk(k: int, id_col: str):
+    def reduce(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_col], ascending=[False, True],
+                              kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+    return reduce
+
+
+def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10, *,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
+    """Exact cosine top-k of every query against the dataset.
+
+    Output: (query_id, id_col, cosine, rank); deterministic tie-break on
+    (cosine desc, id asc).
+    """
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        _LocalTopK,
+        fn_constructor_args=(q_ref, k, id_col, emb_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+    )
+    return local.groupby("query_id").map_groups(
+        _final_topk(k, id_col), batch_format="pandas")
+
+
+# ------------------------------------------------------------------ IVF
+
+def train_centroids(sample: np.ndarray, n_centroids: int, seed: int = 42,
+                    iters: int = 10) -> np.ndarray:
+    """Tiny seeded k-means (cosine/spherical) on a driver-side sample.
+    The sample is small by construction; training is not a cluster job."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10, *,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+             sample_size: int = 2048, id_col: str = "vec_id",
+             emb_col: str = "embedding",
+             concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
+    """Approximate top-k: scan only the ``nprobe`` nearest centroid
+    buckets per query.  Same output schema as ``brute_force_topk``."""
+    sample = ds.limit(sample_size).to_pandas()
+    C = train_centroids(np.stack(sample[emb_col].to_numpy()), n_centroids, seed)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # centroid -> list of query ids probing it
+    probe_map: dict[int, list[int]] = {}
+    for qi, cents in enumerate(probe):
+        for c in cents:
+            probe_map.setdefault(int(c), []).append(qi)
+    c_ref, q_ref, pm_ref = ray.put(C), ray.put(Q), ray.put(probe_map)
+
+    class ProbeTopK:
+        def __init__(self) -> None:
+            self.C = ray.get(c_ref)
+            self.Q = ray.get(q_ref)
+            self.pm = ray.get(pm_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            X = embeddings_to_numpy(batch.column(emb_col)).astype(np.float64)
+            Xn = _normalize(X)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            assign = np.argmax(Xn @ self.C.T, axis=1)
+            frames = []
+            for c, qids in self.pm.items():
+                mask = assign == c
+                if not mask.any():
+                    continue
+                sims = self.Q[qids] @ Xn[mask].T
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                sub_ids = ids[mask]
+                for row, qi in enumerate(qids):
+                    sel = idx[row]
+                    frames.append(pd.DataFrame({
+                        "query_id": np.full(len(sel), qi, dtype=np.int64),
+                        id_col: sub_ids[sel],
+                        "cosine": sims[row, sel],
+                    }))
+            if not frames:
+                return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+            return pd.concat(frames, ignore_index=True)
+
+    local = ds.map_batches(ProbeTopK, batch_format="pyarrow",
+                           batch_size=4096, concurrency=concurrency)
+    return local.groupby("query_id").map_groups(
+        _final_topk(k, id_col), batch_format="pandas")
+
+
+def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            cosine_threshold: float = 0.95,
+                            mode: str = "lsh", n_bands: int = 8,
+                            planes_per_band: int = 6, k: int = 20,
+                            dim: int | None = None) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (the 'embedding near-dup'
+    dedup flavor): LSH-bucketed candidate KNN + threshold filter."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import LSHBucketer, constant_bucket, make_pairgen
+    from ray.data.aggregate import Min
+
+    if dim is None:
+        first = ds.limit(1).to_pandas()
+        dim = len(first[emb_col].iloc[0])
+
+    def norm_batch(t: pa.Table) -> pa.Table:
+        from .encode import vectors_to_arrow
+
+        X = _normalize(embeddings_to_numpy(t.column(emb_col)).astype(np.float64))
+        t = t.drop_columns([emb_col])
+        return t.append_column("embedding", vectors_to_arrow(X))
+
+    ds = ds.select_columns([id_col, emb_col]).map_batches(
+        norm_batch, batch_format="pyarrow")
+    if mode == "exact":
+        ds = ds.map_batches(constant_bucket, batch_format="pyarrow")
+    else:
+        ds = ds.map_batches(
+            LSHBucketer,
+            fn_constructor_kwargs={"dim": dim, "n_bands": n_bands,
+                                   "planes_per_band": planes_per_band},
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        )
+    pairs = ds.groupby("bucket").map_groups(
+        make_pairgen(k=k, id_col=id_col), batch_format="pyarrow")
+    pairs = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("distance", alias_name="distance"))
+    return pairs.map_batches(
+        lambda t: t.filter(pc.less_equal(t["distance"], 1.0 - cosine_threshold)),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,86 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard,
+    simhash_dedup_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun")
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    vocab = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+             "eiusmod tempor incididunt ut labore et dolore magna aliqua").split()
+    rows = []
+    for i in range(30):  # unrelated docs
+        rows.append((f"u{i:02d}", " ".join(rng.choice(vocab, size=25))))
+    rows.append(("dup_a", BASE))
+    rows.append(("dup_b", BASE))                          # exact dup
+    rows.append(("near_a", BASE.replace("lazy", "sleepy")))  # near dup of BASE
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return rd.from_pandas(_corpus())
+
+
+def test_exact_dedup(ds):
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert len(out) == len(_corpus()) - 1           # one exact dup removed
+    assert "dup_a" in set(out["doc_id"])            # min-id kept
+    assert "dup_b" not in set(out["doc_id"])
+
+
+def test_minhash_pairs(ds):
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.5,
+                                concurrency=(1, 2)).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert ("dup_a", "dup_b") in got
+    exact = pairs[(pairs.id_a == "dup_a") & (pairs.id_b == "dup_b")]
+    assert exact["jaccard"].iloc[0] == 1.0
+    assert ("dup_a", "near_a") in got or ("near_a", "dup_a") in got
+    # no false pairs among unrelated docs
+    assert not any(a.startswith("u") and b.startswith("u") for a, b in got)
+
+
+def test_simhash_pairs(ds):
+    pairs = simhash_dedup_pairs(ds, max_hamming=3,
+                                concurrency=(1, 2)).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert ("dup_a", "dup_b") in got
+    ham = pairs[(pairs.id_a == "dup_a") & (pairs.id_b == "dup_b")]["hamming"]
+    assert ham.iloc[0] == 0
+    assert not any(a.startswith("u") and b.startswith("u") for a, b in got)
+
+
+def test_minhash_estimate_tracks_true_jaccard():
+    mh = MinHasher(num_perm=128, num_bands=16)
+    a, b = BASE, BASE.replace("lazy", "sleepy")
+    sig_a, sig_b = mh.signature(a), mh.signature(b)
+    est = float((sig_a == sig_b).mean())
+    true = ngram_jaccard(a, b, k=3)
+    assert abs(est - true) < 0.2
+
+
+def test_simhash_determinism():
+    h1 = SimHasher().simhash(BASE)
+    h2 = SimHasher().simhash(BASE)
+    assert h1 == h2
+    assert SimHasher().simhash(BASE + " extra") != h1
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "completely different words here") == 0.0

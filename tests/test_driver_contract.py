@@ -1,0 +1,76 @@
+"""Driver-contract replication: every oracle-backed query must match
+DuckDB at sf0.001 on row count, column names and sorted value hash."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return sorted(df.itertuples(index=False, name=None))
+
+
+def _oracle_cases():
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q), "oracle entries must have a query"
+    return [(name, q[name], o[name]) for name in o]
+
+
+@pytest.mark.parametrize("name,fn,sql", _oracle_cases(),
+                         ids=[n for n, _, _ in _oracle_cases()])
+def test_query_matches_oracle(con, name, fn, sql):
+    got = _to_pandas(fn(SF_DIR))
+    exp = con.execute(sql).fetchdf()
+    assert len(got) == len(exp), f"{name}: row count"
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: columns"
+    assert _canon(got) == _canon(exp), f"{name}: values"
+
+
+def test_rows_only_queries_run():
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    for name in set(q) - set(o):
+        got = _to_pandas(q[name](SF_DIR))
+        assert len(got) >= 0, name
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    out = _to_pandas(e.entry())
+    assert len(out) > 0
+    assert "subj" in out.columns and "pred" in out.columns

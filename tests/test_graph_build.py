@@ -1,0 +1,86 @@
+"""Graph materialization: dedup keys, endpoint resolution, idempotency."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from aisafetyintervention_literatureextraction_ray.fixtures import make_corpus
+from aisafetyintervention_literatureextraction_ray.functions.normalize import (
+    normalize_name,
+)
+from aisafetyintervention_literatureextraction_ray.pipelines import graph_build as gb
+from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+    extract_pipeline,
+    triples_from_extractions,
+)
+from aisafetyintervention_literatureextraction_ray.schemas import (
+    EDGES_SCHEMA,
+    EXTRACTION_SCHEMA,
+    NODES_SCHEMA,
+)
+
+
+@pytest.fixture(scope="module")
+def built():
+    docs, _ = make_corpus(120, seed=42)
+    extr_tbl = pa.Table.from_pandas(
+        extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2)).to_pandas(),
+        schema=EXTRACTION_SCHEMA)
+    extr = rd.from_arrow(extr_tbl)
+    nodes = gb.build_nodes(extr).to_pandas()
+    nmap = gb.node_id_map(gb.build_nodes(rd.from_arrow(extr_tbl)))
+    edges = gb.build_edges(
+        triples_from_extractions(rd.from_arrow(extr_tbl)), nmap).to_pandas()
+    return extr_tbl, nodes, nmap, edges
+
+
+def test_node_pk_unique(built):
+    _, nodes, _, _ = built
+    assert not nodes.duplicated(subset=["type", "name_norm"]).any()
+    assert not nodes.duplicated(subset=["node_id"]).any()
+    assert pa.Table.from_pandas(nodes, schema=NODES_SCHEMA).schema.equals(NODES_SCHEMA)
+
+
+def test_edge_pk_unique_and_resolved(built):
+    _, nodes, _, edges = built
+    assert not edges.duplicated(subset=["src_id", "pred", "dst_id"]).any()
+    node_ids = set(nodes["node_id"])
+    assert set(edges["src_id"]) <= node_ids
+    assert set(edges["dst_id"]) <= node_ids
+    assert pa.Table.from_pandas(edges, schema=EDGES_SCHEMA).schema.equals(EDGES_SCHEMA)
+
+
+def test_normalization_key():
+    assert normalize_name("Reinforcement  Learning from Human-Feedback!") == \
+        "reinforcement_learning_from_human_feedback"
+    assert normalize_name("RLHF") == "rlhf"
+
+
+def test_idempotent_rebuild(built):
+    """Re-running the build over the same extractions yields the identical
+    graph (MERGE re-run safety, db.py:36,42,51)."""
+    extr_tbl, nodes, nmap, edges = built
+    nodes2 = gb.build_nodes(rd.from_arrow(extr_tbl)).to_pandas()
+    a = nodes.sort_values("node_id").reset_index(drop=True)
+    b = nodes2.sort_values("node_id").reset_index(drop=True)
+    assert a.drop(columns="aliases").equals(b.drop(columns="aliases"))
+    assert all(list(x) == list(y) for x, y in zip(a["aliases"], b["aliases"]))
+    edges2 = gb.build_edges(
+        triples_from_extractions(rd.from_arrow(extr_tbl)), nmap).to_pandas()
+    key = ["src_id", "pred", "dst_id"]
+    assert edges.sort_values(key).reset_index(drop=True).equals(
+        edges2.sort_values(key).reset_index(drop=True))
+
+
+def test_provenance_counts(built):
+    extr_tbl, nodes, _, edges = built
+    # total node provenance = number of (doc, node) mentions
+    mentions = sum(len(ns) for ns in extr_tbl.column("nodes").to_pylist())
+    assert nodes["n_provenance"].sum() == mentions
+    assert (edges["n_provenance"] >= 1).all()
+
+
+def test_papers_distinct(built):
+    extr_tbl, _, _, _ = built
+    p = gb.papers(rd.from_arrow(extr_tbl)).to_pandas()
+    assert sorted(p["doc_id"]) == sorted(extr_tbl.column("doc_id").to_pylist())

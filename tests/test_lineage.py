@@ -1,0 +1,100 @@
+"""Lineage / resume: kill-after-partition-k restart yields identical output."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+import ray.data as rd
+
+from aisafetyintervention_literatureextraction_ray.fixtures import docs_batch
+from aisafetyintervention_literatureextraction_ray.pipelines.full import (
+    run_full,
+    run_partitioned_extraction,
+)
+from aisafetyintervention_literatureextraction_ray.state.lineage import Manifest
+
+N_DOCS, P = 80, 4
+
+
+def make_part(pid):
+    lo, hi = pid * N_DOCS // P, (pid + 1) * N_DOCS // P
+    return rd.from_arrow(docs_batch(np.arange(lo, hi)))
+
+
+@pytest.fixture()
+def run_dir(tmp_path):
+    d = tmp_path / "run"
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _triples_table(run_dir):
+    return (
+        pads.dataset(Path(run_dir) / "triples")
+        .to_table()
+        .sort_by([("doc_id", "ascending"), ("chain_id", "ascending"),
+                  ("edge_idx", "ascending")])
+    )
+
+
+def test_resume_after_partial_run(run_dir):
+    # full reference run
+    ref_dir = run_dir.parent / "ref"
+    run_partitioned_extraction(make_part, P, ref_dir, concurrency=(1, 2))
+    ref = _triples_table(ref_dir)
+
+    # "crashed" run: only partitions 0-1 completed
+    class Boom(RuntimeError):
+        pass
+
+    def flaky(pid):
+        if pid >= 2:
+            raise Boom()
+        return make_part(pid)
+
+    with pytest.raises(Boom):
+        run_partitioned_extraction(flaky, P, run_dir, concurrency=(1, 2))
+    m = Manifest(run_dir)
+    assert sorted(m.completed("extract")) == [0, 1]
+
+    # restart: completed partitions are skipped, output byte-identical
+    stats = run_partitioned_extraction(make_part, P, run_dir, concurrency=(1, 2))
+    assert stats["skipped"] == 2 and stats["ran"] == 2
+    assert _triples_table(run_dir).equals(ref)
+
+
+def test_no_partial_partition_visible(run_dir):
+    """A crash mid-partition leaves no part=K directory behind (atomic
+    tmp-dir rename)."""
+    def exploding(pid):
+        if pid == 1:
+            raise RuntimeError("mid-run crash")
+        return make_part(pid)
+
+    with pytest.raises(RuntimeError):
+        run_partitioned_extraction(exploding, P, run_dir, concurrency=(1, 2))
+    parts = sorted(p.name for p in (run_dir / "extractions").iterdir())
+    assert parts == ["part=0"]
+
+
+def test_manifest_metrics(run_dir):
+    run_partitioned_extraction(make_part, P, run_dir, concurrency=(1, 2))
+    rows = Manifest(run_dir).rows()
+    assert len(rows) == P
+    for r in rows:
+        assert r["n_rows"] == N_DOCS // P
+        assert r["wall_time_s"] > 0
+        assert len(r["checksum"]) == 16
+
+
+def test_full_run_idempotent(run_dir):
+    r1 = run_full(make_part, P, run_dir, canonicalize_mode="lsh",
+                  concurrency=(1, 2))
+    r2 = run_full(make_part, P, run_dir, canonicalize_mode="lsh",
+                  concurrency=(1, 2))
+    assert r2["extract"]["skipped"] == P
+    assert r1["n_triples"] == r2["n_triples"]
+    assert r1["graph"]["n_nodes"] == r2["graph"]["n_nodes"]
+    assert r1["graph"]["n_edges"] == r2["graph"]["n_edges"]

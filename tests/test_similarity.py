@@ -1,0 +1,89 @@
+"""Similarity search: brute-force exactness, IVF recall, near-dup pairs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from aisafetyintervention_literatureextraction_ray.stages.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
+
+DIM = 32
+N = 300
+
+
+def _embeddings():
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((N, DIM))
+    # plant two near-dup pairs
+    X[1] = X[0] + rng.standard_normal(DIM) * 0.01
+    X[3] = X[2] + rng.standard_normal(DIM) * 0.01
+    return X
+
+
+@pytest.fixture(scope="module")
+def data():
+    X = _embeddings()
+    df = pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64),
+                       "embedding": list(X)})
+    return X, rd.from_pandas(df)
+
+
+def _np_topk(X, Q, k):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Xn.T
+    return [set(np.argsort(-sims[q])[:k]) for q in range(len(Q))]
+
+
+def test_brute_force_matches_numpy(data):
+    X, ds = data
+    Q = X[:4]
+    out = brute_force_topk(ds, Q, k=7, concurrency=(1, 2)).to_pandas()
+    expected = _np_topk(X, Q, 7)
+    for q in range(4):
+        got = set(out[out.query_id == q]["vec_id"])
+        assert got == expected[q]
+    # ranks are 1..k and cosine non-increasing within a query
+    for q in range(4):
+        sub = out[out.query_id == q].sort_values("rank")
+        assert list(sub["rank"]) == list(range(1, 8))
+        assert (np.diff(sub["cosine"]) <= 1e-12).all()
+
+
+def test_ivf_recall(data):
+    X, ds = data
+    Q = X[:4]
+    bf = brute_force_topk(ds, Q, k=5, concurrency=(1, 2)).to_pandas()
+    # full probe => exact
+    ivf_full = ivf_topk(ds, Q, k=5, n_centroids=8, nprobe=8,
+                        concurrency=(1, 2)).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert set(map(tuple, ivf_full[key].itertuples(index=False))) == \
+        set(map(tuple, bf[key].itertuples(index=False)))
+    # partial probe: reasonable recall on random data
+    ivf_p = ivf_topk(ds, Q, k=5, n_centroids=8, nprobe=4,
+                     concurrency=(1, 2)).to_pandas()
+    inter = set(map(tuple, ivf_p[key].itertuples(index=False))) & \
+        set(map(tuple, bf[key].itertuples(index=False)))
+    assert len(inter) / len(bf) >= 0.5
+
+
+def test_embedding_neardup(data):
+    _, ds = data
+    pairs = embedding_neardup_pairs(ds, cosine_threshold=0.98,
+                                    mode="exact").to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in got and (2, 3) in got
+    assert len(got) == 2  # random vectors in 32-d don't hit 0.98
+
+
+def test_embedding_neardup_lsh_finds_planted(data):
+    _, ds = data
+    pairs = embedding_neardup_pairs(ds, cosine_threshold=0.98, mode="lsh",
+                                    n_bands=8, planes_per_band=6).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in got and (2, 3) in got

@@ -1,0 +1,85 @@
+"""Text-analysis kernels and the multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from aisafetyintervention_literatureextraction_ray.fixtures import make_corpus
+from aisafetyintervention_literatureextraction_ray.functions.text import (
+    add_fingerprint,
+    add_token_count,
+    detect_language,
+    quality_scores,
+)
+from aisafetyintervention_literatureextraction_ray.stages.multimodal import (
+    FEATURE_DIM,
+    MEDIA_FEATURES_SCHEMA,
+    MediaFeatureExtractor,
+    media_features,
+    synth_media_table,
+)
+
+
+def test_token_count():
+    t = pa.table({"text": ["one two three", "  padded   tokens  ", "", "single"]})
+    out = add_token_count(t).column("n_tokens").to_pylist()
+    assert out == [3, 2, 0, 1]
+
+
+def test_detect_language():
+    t = pa.table({"text": [
+        "the cat and the dog is of the house",
+        "der hund und die katze ist das tier",
+        "le chat et la maison est les amis",
+        "xyzzy plugh qwerty",
+    ]})
+    out = detect_language(t).column("lang_detected").to_pylist()
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_quality_scores_bounds():
+    t = pa.table({"text": ["the cat is on the mat and it is warm", "!!!;;;...", ""]})
+    out = quality_scores(t)
+    scores = out.column("quality_score").to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[1]
+    assert out.column("n_tokens").to_pylist()[2] == 0
+
+
+def test_fingerprint_stability():
+    t = pa.table({"text": ["some document body text", "some document body text",
+                           "some document body texT"]})
+    fp = add_fingerprint(t).column("fingerprint").to_pylist()
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_media_pipeline_schema_and_determinism():
+    docs, _ = make_corpus(40)
+    media = synth_media_table(docs)
+    assert media.num_rows > 0
+    out = media_features(rd.from_arrow(media), concurrency=(1, 2)).to_pandas()
+    assert len(out) == media.num_rows
+    assert sorted(out.columns) == sorted(MEDIA_FEATURES_SCHEMA.names)
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # deterministic: same payload -> same features
+    ex = MediaFeatureExtractor()
+    a = ex(media).column("features").to_pylist()
+    b = ex(media).column("features").to_pylist()
+    assert a == b
+    # images carry resized dims; audio carries duration
+    kinds = out.set_index("media_ref")["kind"]
+    for _, row in out.iterrows():
+        if row["kind"] == "image":
+            assert row["width"] == 224 and row["duration_ms"] == -1
+        if row["kind"] == "audio":
+            assert row["width"] == -1 and row["duration_ms"] > 0
+    assert set(kinds) <= {"image", "audio", "video"}
+
+
+def test_feature_vectors_normalized():
+    docs, _ = make_corpus(10)
+    media = synth_media_table(docs)
+    out = MediaFeatureExtractor()(media)
+    for f in out.column("features").to_pylist():
+        assert abs(np.linalg.norm(f) - 1.0) < 1e-4
