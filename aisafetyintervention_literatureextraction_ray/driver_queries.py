@@ -257,25 +257,14 @@ def exact_dedup_docs(sf_dir: str):
     """Exact text dedup: hash-partition + per-group first (keep min id)."""
     from .stages.dedup import content_hash
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[["doc_id", "text"]].copy()
-        df["__h"] = content_hash(df, "text")
-        g = df.groupby("__h", sort=False, as_index=False).agg(
-            keep_id=("doc_id", "min"), n_copies=("doc_id", "count"),
-            text=("text", "first"))
-        return g
-
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby("text", sort=False, as_index=False).agg(
-            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum"))
-        return out[["keep_id", "n_copies"]]
+    from .functions.agg import hash_aggregate
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("__h").map_groups(final, batch_format="pandas")
-        .to_pandas()
-    )
+    out = hash_aggregate(
+        ds, ["text"], [("doc_id", "min"), ("doc_id", "count")],
+        rename={"doc_id_min": "keep_id", "doc_id_count": "n_copies"},
+    ).to_pandas()
+    return out[["keep_id", "n_copies"]]
 
 
 # ---------------------------------------------------------------- token counting
@@ -345,20 +334,20 @@ def events_hourly_window(sf_dir: str):
     """Tumbling event-time window as a keyed aggregate (ray_guide.md
     streaming-shaped pattern): floor timestamps per batch, two-stage sum."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    from .functions.agg import hash_aggregate
+
+    def floor_hour(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["hour"] = df["ts"].dt.floor("h")
-        return df.groupby(["event_type", "hour"], as_index=False).agg(
-            n=("value", "size"), s=("value", "sum"))
+        return df[["event_type", "hour", "value"]]
 
-    out = (
+    out = hash_aggregate(
         _pq(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n_events"),
-                   Sum("s", alias_name="sum_value"))
-        .to_pandas()
-    )
+        .map_batches(floor_hour, batch_format="pandas", batch_size=65536),
+        ["event_type", "hour"],
+        [("value", "count"), ("value", "sum")],
+        rename={"value_count": "n_events", "value_sum": "sum_value"},
+    ).to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     return out[["event_type", "hour", "n_events", "sum_value"]]
 
@@ -549,13 +538,15 @@ def embedding_neardup_pairs_q(sf_dir: str):
 def resume_antijoin(sf_dir: str):
     """J2: broadcast anti semi-join of the input against a completed-work
     manifest (here: everything with doc_id%10<3 is 'done')."""
-    done = ray.put({i for i in range(0, 10_000_000, 10)} |
-                   {i for i in range(1, 10_000_000, 10)} |
-                   {i for i in range(2, 10_000_000, 10)})
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    done = ray.put(np.asarray(ids[ids % 10 < 3]))  # the "completed" manifest
 
     def anti(t: pa.Table) -> pa.Table:
         d = ray.get(done)
-        keep = [int(x) not in d for x in t.column("doc_id").to_pylist()]
+        keep = ~np.isin(t.column("doc_id").to_numpy(), d)
         return t.filter(pa.array(keep))
 
     return (
@@ -628,8 +619,8 @@ def kg_canonicalized(sf_dir: str):
     from .sources.docs import interleave_from_documents
 
     docs = interleave_from_documents(sf_dir)
-    extr = extract_pipeline(docs, batch_size=128)
-    nodes = build_nodes(extr)
+    extr = extract_pipeline(docs, batch_size=128).materialize()
+    nodes = build_nodes(extr).materialize()
     nmap = node_id_map(nodes)
     edges = build_edges(triples_from_extractions(extr), nmap)
     nodes2, edges2, accepted, remap = canonicalize(
@@ -681,6 +672,6 @@ def kg_edges(sf_dir: str):
     from .sources.docs import interleave_from_documents
 
     docs = interleave_from_documents(sf_dir)
-    extr = extract_pipeline(docs, batch_size=128)
+    extr = extract_pipeline(docs, batch_size=128).materialize()
     nmap = node_id_map(build_nodes(extr))
     return build_edges(triples_from_extractions(extr), nmap).to_pandas()

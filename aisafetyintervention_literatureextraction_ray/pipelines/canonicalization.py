@@ -12,8 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
+from ..functions.agg import bucketed_group_map, hash_aggregate
 from ..stages.canonicalize import (
     LSHBucketer,
     constant_bucket,
@@ -53,13 +53,13 @@ def candidate_pairs(
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    pairs = ds.groupby("bucket").map_groups(
-        make_pairgen(k=k), batch_format="pyarrow"
-    )
-    # A4/A5: best distance per unordered pair (symmetric hits collapse)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("distance", alias_name="distance")
-    )
+    pairs = bucketed_group_map(ds, ["bucket"], make_pairgen(k=k),
+                               batch_format="pyarrow")
+    # A4/A5: best distance per unordered pair (symmetric hits collapse);
+    # two-stage arrow hash aggregate (functions/agg.py), NOT Ray's
+    # sort-based groupby (orders of magnitude slower on many pairs).
+    return hash_aggregate(pairs, ["id_a", "id_b"], [("distance", "min")],
+                          rename={"distance_min": "distance"})
 
 
 def accept_pairs(pairs: rd.Dataset, *, top_n: int | None = 30,
@@ -113,17 +113,15 @@ def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
         df["dst_id"] = df["dst_id"].map(lambda x: m.get(x, x))
         return df
 
-    def rededup(group: pd.DataFrame) -> pd.DataFrame:
-        first = group.sort_values("description", kind="stable").iloc[0]
-        out = first.to_frame().T
-        out["confidence"] = group["confidence"].max()
-        out["n_provenance"] = group["n_provenance"].sum()
-        return out
-
-    edges2 = (
-        edges.map_batches(rewire, batch_format="pandas")
-        .groupby(["src_id", "pred", "dst_id"])
-        .map_groups(rededup, batch_format="pandas")
+    edges2 = hash_aggregate(
+        edges.map_batches(rewire, batch_format="pandas"),
+        ["src_id", "pred", "dst_id"],
+        [("subj", "min"), ("obj", "min"), ("description", "min"),
+         ("confidence", "max"), ("n_provenance", "sum")],
+        rename={"subj_min": "subj", "obj_min": "obj",
+                "description_min": "description",
+                "confidence_max": "confidence",
+                "n_provenance_sum": "n_provenance"},
     )
     return nodes2, edges2, remap
 

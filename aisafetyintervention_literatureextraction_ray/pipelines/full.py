@@ -87,7 +87,10 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
     extr = rd.read_parquet(str(out / "extractions"))
     triples = rd.read_parquet(str(out / "triples"))
 
-    nodes = build_nodes(extr)
+    # the canonical node table is small relative to the corpus and is
+    # consumed three times (id map, canonicalization, write) — pin it
+    # in the object store instead of recomputing the dedup per consumer.
+    nodes = build_nodes(extr).materialize()
     nmap = node_id_map(nodes)
     edges = build_edges(triples, nmap)
 

@@ -86,12 +86,18 @@ def _node_final(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def build_nodes(extractions: rd.Dataset) -> rd.Dataset:
-    """extractions -> canonical nodes table (NODES_SCHEMA)."""
+    """extractions -> canonical nodes table (NODES_SCHEMA).
+
+    Exchange uses the bucketed reduce of ``functions/agg.py`` (coarse
+    hash buckets, per-key reduce inside the bucket) instead of Ray's
+    per-key sort groupby — same semantics, orders of magnitude faster
+    with many distinct nodes.
+    """
+    from ..functions.agg import bucketed_group_map
+
     partials = extractions.map_batches(_node_partials, batch_format="pyarrow",
                                        zero_copy_batch=True)
-    nodes = partials.groupby(["type", "name_norm"]).map_groups(
-        _node_final, batch_format="pandas"
-    )
+    nodes = bucketed_group_map(partials, ["type", "name_norm"], _node_final)
     return nodes.map_batches(
         lambda b: cast_batch(b, NODES_SCHEMA), batch_format="pyarrow"
     )
@@ -119,29 +125,13 @@ class _EndpointResolver:
         resolved = df[df["src_id"].notna() & df["dst_id"].notna()].copy()
         grouped = resolved.groupby(["src_id", "pred", "dst_id"], sort=False)
         out = grouped.agg(
-            subj=("subj", "first"),
-            obj=("obj", "first"),
+            subj=("subj", "min"),
+            obj=("obj", "min"),
             description=("description", "min"),
             confidence=("confidence", "max"),
             n_provenance=("doc_id", "nunique"),
         ).reset_index()
         return out
-
-
-def _edge_final(group: pd.DataFrame) -> pd.DataFrame:
-    first = group.sort_values("description", kind="stable").iloc[0]
-    return pd.DataFrame(
-        {
-            "src_id": [first["src_id"]],
-            "pred": [first["pred"]],
-            "dst_id": [first["dst_id"]],
-            "subj": [first["subj"]],
-            "obj": [first["obj"]],
-            "description": [group["description"].min()],
-            "confidence": [group["confidence"].max()],
-            "n_provenance": [int(group["n_provenance"].sum())],
-        }
-    )
 
 
 def node_id_map(nodes: rd.Dataset) -> dict[str, str]:
@@ -157,6 +147,8 @@ def node_id_map(nodes: rd.Dataset) -> dict[str, str]:
 def build_edges(triples: rd.Dataset, node_map: dict[str, str],
                 *, concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
     """triples + broadcast node map -> canonical edges table (EDGES_SCHEMA)."""
+    from ..functions.agg import hash_aggregate
+
     ref = ray.put(node_map)
     partials = triples.map_batches(
         _EndpointResolver,
@@ -164,8 +156,16 @@ def build_edges(triples: rd.Dataset, node_map: dict[str, str],
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    edges = partials.groupby(["src_id", "pred", "dst_id"]).map_groups(
-        _edge_final, batch_format="pandas"
+    # A3 last-wins-determinized reduce, fully Arrow-expressible:
+    # min surface forms / description, max confidence, summed provenance.
+    edges = hash_aggregate(
+        partials, ["src_id", "pred", "dst_id"],
+        [("subj", "min"), ("obj", "min"), ("description", "min"),
+         ("confidence", "max"), ("n_provenance", "sum")],
+        rename={"subj_min": "subj", "obj_min": "obj",
+                "description_min": "description",
+                "confidence_max": "confidence",
+                "n_provenance_sum": "n_provenance"},
     )
     return edges.map_batches(
         lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"
@@ -178,9 +178,9 @@ def papers(extractions: rd.Dataset) -> rd.Dataset:
     Implemented as a group-by-first rather than ``Dataset.unique`` (which
     collects to the driver): stays a distributed dataset.
     """
-    return (
-        extractions.select_columns(["doc_id"])
-        .groupby("doc_id")
-        .count()
-        .select_columns(["doc_id"])
-    )
+    from ..functions.agg import hash_aggregate
+
+    return hash_aggregate(
+        extractions.select_columns(["doc_id"]), ["doc_id"],
+        [("doc_id", "count")],
+    ).select_columns(["doc_id"])

@@ -122,10 +122,12 @@ def make_pairgen(k: int = 40, id_col: str = "node_id",
         from .encode import embeddings_to_numpy
 
         n = group.num_rows
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "distance": []})
-        X = embeddings_to_numpy(group.column("embedding")).astype(np.float32)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if n < 2:
+            # typed empty (same id dtype) so block schemas stay mergeable
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "distance": np.array([], dtype=np.float64)})
+        X = embeddings_to_numpy(group.column("embedding")).astype(np.float32)
         rows_a, rows_b, dists = [], [], []
         kk = min(k + 1, n)
         for start in range(0, n, max_group):

@@ -52,24 +52,49 @@ def exact_dedup(ds: rd.Dataset, col: str, id_col: str) -> rd.Dataset:
             .drop(columns="__h")
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("__h")
-        .map_groups(final, batch_format="pandas")
-    )
+    from ..functions.agg import bucketed_group_map
+
+    return bucketed_group_map(
+        ds.map_batches(partial, batch_format="pandas"), ["__h"], final)
 
 
 # ------------------------------------------------------------------ MinHash
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+_SHINGLE_MIX = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+                np.uint64(0x165667B19E3779F9))
+
+
+class _TokenHashCache:
+    """Shared token->crc32 cache; vocabulary << corpus, so hit rate ~1."""
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+
+    def hash_tokens(self, toks: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = zlib.crc32(t.encode("utf-8"))
+                cache[t] = h
+            out[i] = h
+        return out
+
+
+def shingle_hashes(text: str, k: int, cache: _TokenHashCache) -> np.ndarray:
+    """Vectorized word-k-gram hashes: hash tokens once (cached crc32),
+    combine k consecutive token hashes with a polynomial mix — no string
+    joins, no per-shingle Python."""
     toks = text.split()
+    th = cache.hash_tokens(toks)
     if len(toks) < k:
         return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    return np.fromiter(
-        (zlib.crc32(" ".join(toks[i: i + k]).encode()) for i in range(len(toks) - k + 1)),
-        dtype=np.uint64,
-        count=len(toks) - k + 1,
-    )
+    acc = th[: len(th) - k + 1] * _SHINGLE_MIX[0]
+    for j in range(1, k):
+        acc = acc ^ (th[j: len(th) - k + 1 + j] * _SHINGLE_MIX[j % 3])
+        acc = (acc << np.uint64(7)) | (acc >> np.uint64(57))
+    return acc
 
 
 class MinHasher:
@@ -91,34 +116,54 @@ class MinHasher:
         self.text_col, self.id_col = text_col, id_col
         self.k, self.num_perm, self.num_bands = k_shingle, num_perm, num_bands
         self.rows_per_band = num_perm // num_bands
+        self._tokens = _TokenHashCache()
 
     def signature(self, text: str) -> np.ndarray:
-        s = _shingle_hashes(text or "", self.k)
-        # (P, S) permuted hashes -> min over shingles
+        s = shingle_hashes(text or "", self.k, self._tokens)
         ph = (self.a[:, None] * s[None, :] + self.b[:, None]) % _MERSENNE
         return ph.min(axis=1)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Whole-batch signatures: one flat shingle array + per-doc
+        offsets, permutations applied once, per-doc min via reduceat."""
+        if not texts:
+            return np.empty((0, self.num_perm), np.uint64)
+        shingle_lists = [shingle_hashes(t or "", self.k, self._tokens)
+                         for t in texts]
+        lens = np.array([len(s) for s in shingle_lists])
+        flat = np.concatenate(shingle_lists)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        # (P, S_total) permuted hashes -> per-doc min via reduceat
+        ph = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+        return np.minimum.reduceat(ph, offsets, axis=1).T  # (n_docs, P)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col)
         texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if ids else \
-            np.empty((0, self.num_perm), np.uint64)
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        r = self.rows_per_band
-        for band in range(self.num_bands):
-            chunk = sigs[:, band * r: (band + 1) * r]
-            for i, did in enumerate(ids):
-                bh = zlib.crc32(chunk[i].tobytes())
-                out_id.append(did)
-                out_band.append(band)
-                out_bh.append(bh)
-                out_sig.append(sigs[i])
+        n = len(texts)
+        sigs = self.signatures(texts)
+        r, nb = self.rows_per_band, self.num_bands
+        # vectorized band hashes: polynomial mix of each band's rows
+        chunks = sigs.reshape(n, nb, r) if n else np.empty((0, nb, r), np.uint64)
+        bh = np.zeros((n, nb), dtype=np.uint64)
+        for j in range(r):
+            bh = (bh ^ (chunks[:, :, j] * _SHINGLE_MIX[j % 3]))
+            bh = (bh << np.uint64(9)) | (bh >> np.uint64(55))
+        # explode to nb rows per doc
+        id_idx = np.repeat(np.arange(n), nb)
+        band_col = np.tile(np.arange(nb, dtype=np.int32), n)
+        sig_flat = np.repeat(sigs, nb, axis=0).reshape(-1)
+        sig_offsets = pa.array(
+            np.arange(0, (n * nb + 1) * self.num_perm, self.num_perm,
+                      dtype=np.int64))
         return pa.table({
-            self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_bh, type=pa.int64()),
-            "sig": pa.array([s.tolist() for s in out_sig],
-                            type=pa.list_(pa.uint64())),
+            self.id_col: ids.take(pa.array(id_idx)),
+            "band": pa.array(band_col, type=pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64),
+                                  type=pa.int64()),
+            "sig": pa.LargeListArray.from_arrays(
+                sig_offsets, pa.array(sig_flat, type=pa.uint64())),
         })
 
 
@@ -134,7 +179,9 @@ def make_minhash_pair_verifier(id_col: str = "doc_id",
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         n = len(g)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            empty = g[id_col].to_numpy()[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty,
+                                 "jaccard": np.array([], dtype=np.float64)})
         truncated = n > max_group
         if truncated:
             g = g.head(max_group)
@@ -161,7 +208,7 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
                         concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
     """Near-duplicate pairs by MinHash+LSH: shingle -> minhash -> band ->
     bucket groupby -> in-group verification -> per-pair max estimate."""
-    from ray.data.aggregate import Max
+    from ..functions.agg import bucketed_group_map, hash_aggregate
 
     sigs = ds.map_batches(
         MinHasher,
@@ -170,13 +217,12 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
                                "k_shingle": k_shingle},
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+    pairs = bucketed_group_map(
+        sigs, ["band", "band_hash"],
         make_minhash_pair_verifier(id_col=id_col,
-                                   jaccard_threshold=jaccard_threshold),
-        batch_format="pandas",
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard"))
+                                   jaccard_threshold=jaccard_threshold))
+    return hash_aggregate(pairs, ["id_a", "id_b"], [("jaccard", "max")],
+                          rename={"jaccard_max": "jaccard"})
 
 
 # ------------------------------------------------------------------ SimHash
@@ -203,29 +249,39 @@ class SimHasher:
         return h
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
+        return int(self.simhashes([text])[0])
+
+    def simhashes(self, texts: list[str]) -> np.ndarray:
+        """Whole-batch 64-bit simhashes: cached token hashes, flat bit
+        matrix, per-doc signed bit sums via reduceat."""
+        tok_lists = [(t or "").lower().split() for t in texts]
+        lens = np.array([max(len(x), 1) for x in tok_lists])
+        flat_tokens = [tok for toks in tok_lists for tok in (toks or [""])]
+        th = np.fromiter((self._th(t) for t in flat_tokens), dtype=np.uint64,
+                         count=len(flat_tokens))
         shifts = np.arange(64, dtype=np.uint64)
-        for tok in (text or "").lower().split():
-            h = np.uint64(self._th(tok))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += bits * 2 - 1
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        signed = bits * 2 - 1  # (T_total, 64)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        acc = np.add.reduceat(signed, offsets, axis=0)  # (n_docs, 64)
+        return ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        hashes = [self.simhash(t) for t in batch.column(self.text_col).to_pylist()]
-        out_id, out_band, out_key, out_h = [], [], [], []
-        for did, h in zip(ids, hashes):
-            for band in range(4):
-                out_id.append(did)
-                out_band.append(band)
-                out_key.append((h >> (band * 16)) & 0xFFFF)
-                out_h.append(h)
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        hashes = self.simhashes(texts) if n else np.empty(0, np.uint64)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = ((hashes[:, None] >> (bands * np.uint64(16))[None, :])
+                & np.uint64(0xFFFF)).astype(np.int64)  # (n, 4)
+        id_idx = np.repeat(np.arange(n), 4)
         return pa.table({
-            self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_key": pa.array(out_key, type=pa.int64()),
-            "simhash": pa.array(out_h, type=pa.uint64()),
+            self.id_col: ids.take(pa.array(id_idx)),
+            "band": pa.array(np.tile(bands.astype(np.int32), n), type=pa.int32()),
+            "band_key": pa.array(keys.reshape(-1), type=pa.int64()),
+            "simhash": pa.array(np.repeat(hashes, 4), type=pa.uint64()),
         })
 
 
@@ -235,8 +291,6 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
     """Near-dup pairs with Hamming distance <= ``max_hamming`` (any pair
     within distance 3 shares at least one identical 16-bit quarter, so
     4-band blocking is lossless up to hamming 3 x ... <=16/4-1)."""
-    from ray.data.aggregate import Min
-
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
@@ -245,7 +299,9 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            empty = g[id_col].to_numpy()[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty,
+                                 "hamming": np.array([], dtype=np.int64)})
         hs = g["simhash"].to_numpy().astype(np.uint64)
         ids = g[id_col].to_numpy()
         ia, ib = np.triu_indices(len(g), k=1)
@@ -255,10 +311,11 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
                              "hamming": ham[keep]})
 
-    pairs = sigs.groupby(["band", "band_key"]).map_groups(
-        verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    from ..functions.agg import bucketed_group_map, hash_aggregate
+
+    pairs = bucketed_group_map(sigs, ["band", "band_key"], verify)
+    return hash_aggregate(pairs, ["id_a", "id_b"], [("hamming", "min")],
+                          rename={"hamming_min": "hamming"})
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -169,8 +169,8 @@ def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
     dedup flavor): LSH-bucketed candidate KNN + threshold filter."""
     import pyarrow.compute as pc
 
+    from ..functions.agg import bucketed_group_map, hash_aggregate
     from .canonicalize import LSHBucketer, constant_bucket, make_pairgen
-    from ray.data.aggregate import Min
 
     if dim is None:
         first = ds.limit(1).to_pandas()
@@ -194,10 +194,11 @@ def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
                                    "planes_per_band": planes_per_band},
             batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
         )
-    pairs = ds.groupby("bucket").map_groups(
-        make_pairgen(k=k, id_col=id_col), batch_format="pyarrow")
-    pairs = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("distance", alias_name="distance"))
+    pairs = bucketed_group_map(ds, ["bucket"],
+                               make_pairgen(k=k, id_col=id_col),
+                               batch_format="pyarrow")
+    pairs = hash_aggregate(pairs, ["id_a", "id_b"], [("distance", "min")],
+                           rename={"distance_min": "distance"})
     return pairs.map_batches(
         lambda t: t.filter(pc.less_equal(t["distance"], 1.0 - cosine_threshold)),
         batch_format="pyarrow",
