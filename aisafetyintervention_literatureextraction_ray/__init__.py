@@ -13,3 +13,42 @@ shuffles are the three keyed group-bys documented in SURVEY.md §4.3
 """
 
 __version__ = "0.1.0"
+
+
+def _shim_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable without aiohttp.
+
+    Ray Data's path resolution lazily does ``from
+    fsspec.implementations.http import HTTPFileSystem`` on EVERY read and
+    write.  In this environment aiohttp is absent, so the import fails —
+    and because failed imports are retried, two driver threads importing
+    it concurrently race on the partially-initialized module and crash
+    with a spurious ImportError.  Installing a dummy module (whose
+    ``HTTPFileSystem`` nothing can be an instance of) makes the import
+    deterministic and thread-safe; no HTTP filesystems exist here.
+    """
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # dummy sentinel class
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    try:
+        import fsspec.implementations
+
+        fsspec.implementations.http = mod
+    except ImportError:
+        pass
+
+
+_shim_fsspec_http()

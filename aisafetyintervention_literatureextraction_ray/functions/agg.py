@@ -57,12 +57,25 @@ def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int,
 def hash_aggregate(ds: rd.Dataset, keys: list[str],
                    aggs: list[tuple[str, str]],
                    *, num_buckets: int | None = None,
-                   rename: dict[str, str] | None = None) -> rd.Dataset:
+                   rename: dict[str, str] | None = None,
+                   exchange: str = "coalesce") -> rd.Dataset:
     """Two-stage keyed aggregate.
 
     ``aggs`` are ``(column, fn)`` with fn in {sum, count, min, max};
     output columns are named ``{column}_{fn}`` (pyarrow convention) or
     via ``rename``.  ``count`` counts non-null rows of the column.
+
+    ``exchange`` picks the final stage:
+
+    * ``"coalesce"`` (default): partials (one row per key per block) are
+      concatenated into one block and combined there.  Correct whenever
+      the DISTINCT KEY SET fits a block — true for every reduce in this
+      engine (canonical nodes/edges/pairs are orders of magnitude
+      smaller than the input).  Avoids Ray's sort machinery entirely,
+      which costs ~15 s of pure scheduling on thousands of tiny blocks.
+    * ``"shuffle"``: hash-bucket exchange via Ray groupby on a single
+      int key — the path for key sets too large for one block (e.g.
+      exact URL dedup over the full corpus).
     """
     if num_buckets is None:
         num_buckets = default_num_buckets()
@@ -71,23 +84,32 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str],
     final_aggs = [(n, _COMBINE[f]) for n, (c, f) in zip(partial_names, aggs)]
     final_names = [f"{n}_{_COMBINE[f]}" for n, (c, f) in zip(partial_names, aggs)]
 
-    def partial(t: pa.Table) -> pa.Table:
-        # pyarrow returns [keys..., "{col}_{fn}"...]
+    mapping = dict(zip(final_names, partial_names))
+    if rename:
+        mapping = {k: rename.get(v, v) for k, v in mapping.items()}
+        mapping.update({k: v for k, v in rename.items() if k in keys})
+
+    def combine(t: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(t, keys).aggregate(final_aggs)
+        return out.rename_columns([mapping.get(c, c) for c in out.column_names])
+
+    if exchange == "coalesce":
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.TableGroupBy(t, keys).aggregate(aggs)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+
+    def partial_b(t: pa.Table) -> pa.Table:
         out = pa.TableGroupBy(t, keys).aggregate(aggs)
         return add_bucket_column(out, keys, num_buckets)
 
     def final_grouped(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket"])
-        out = pa.TableGroupBy(t, keys).aggregate(final_aggs)
-        # pyarrow names combined results "{partial}_{combine}"; rename back
-        mapping = dict(zip(final_names, partial_names))
-        if rename:
-            mapping = {k: rename.get(v, v) for k, v in mapping.items()}
-            mapping.update({k: v for k, v in rename.items() if k in keys})
-        out = out.rename_columns([mapping.get(c, c) for c in out.column_names])
-        return out
+        return combine(t.drop_columns(["__bucket"]))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow",
+    partials = ds.map_batches(partial_b, batch_format="pyarrow",
                               zero_copy_batch=True)
     return partials.groupby("__bucket").map_groups(
         final_grouped, batch_format="pyarrow")
@@ -96,30 +118,44 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str],
 def bucketed_group_map(ds: rd.Dataset, keys: list[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame],
                        *, num_buckets: int | None = None,
-                       batch_format: str = "pandas") -> rd.Dataset:
-    """``groupby(keys).map_groups(fn)`` semantics at bucket granularity:
-    Ray shuffles ``num_buckets`` coarse groups (cheap), and the real
-    per-key grouping happens inside each bucket with pandas/pyarrow
-    (C hash grouping + one Python call per key group)."""
+                       batch_format: str = "pandas",
+                       exchange: str = "coalesce",
+                       min_group_size: int = 1) -> rd.Dataset:
+    """``groupby(keys).map_groups(fn)`` semantics without Ray's per-key
+    sort shuffle.
+
+    ``exchange="coalesce"`` (default): concatenate into one block and
+    group there — correct and far faster whenever the grouped data fits
+    a block (see ``hash_aggregate``).  ``exchange="shuffle"``: hash the
+    keys into ``num_buckets`` coarse buckets, shuffle those (cheap: the
+    Ray group count is the bucket count), group per bucket — the path
+    for data too large for one block.  Either way the per-key grouping
+    is a C hash-group with one Python call per key group.
+
+    ``min_group_size=2`` drops singleton key groups VECTORIZED before
+    any per-group Python runs — the dominant case for LSH-bucket
+    candidate generation, where almost every bucket holds one row and
+    the UDF would return empty anyway.
+    """
     if num_buckets is None:
         num_buckets = default_num_buckets()
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        return add_bucket_column(t, keys, num_buckets)
-
     if batch_format == "pandas":
-        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.drop(columns="__bucket")
+        def group_rows(df: pd.DataFrame) -> pd.DataFrame:
+            if "__bucket" in df.columns:
+                df = df.drop(columns="__bucket")
+            if min_group_size >= 2 and not df.empty:
+                df = df[df.duplicated(subset=keys, keep=False)]
             if df.empty:
                 return fn(df)
             parts = [fn(g) for _, g in df.groupby(keys, sort=False, dropna=False)]
             return pd.concat(parts, ignore_index=True)
     else:
-        def per_bucket(t: pa.Table):
-            t = t.drop_columns(["__bucket"])
+        def group_rows(t: pa.Table):
+            if "__bucket" in t.column_names:
+                t = t.drop_columns(["__bucket"])
             if t.num_rows == 0:
                 return fn(t)
-            # stable sort by keys then slice contiguous runs
             idx = pa.compute.sort_indices(
                 t, sort_keys=[(k, "ascending") for k in keys])
             t = t.take(idx)
@@ -129,14 +165,26 @@ def bucketed_group_map(ds: rd.Dataset, keys: list[str],
             boundaries = np.flatnonzero(np.diff(codes)) + 1
             starts = np.concatenate([[0], boundaries])
             ends = np.concatenate([boundaries, [len(codes)]])
-            outs = [fn(t.slice(s, e - s)) for s, e in zip(starts, ends)]
+            if min_group_size >= 2:
+                keep = (ends - starts) >= min_group_size
+                starts, ends = starts[keep], ends[keep]
+                if not len(starts):
+                    return fn(t.slice(0, 0))
+            outs = [fn(t.slice(s_, e - s_)) for s_, e in zip(starts, ends)]
             outs = [o if isinstance(o, pa.Table) else
                     pa.Table.from_pandas(o, preserve_index=False) for o in outs]
             return pa.concat_tables([o for o in outs if o.num_rows > 0]) \
                 if any(o.num_rows for o in outs) else outs[0]
 
+    if exchange == "coalesce":
+        return ds.repartition(1).map_batches(
+            group_rows, batch_format=batch_format, batch_size=None)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return add_bucket_column(t, keys, num_buckets)
+
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
-        .map_groups(per_bucket, batch_format=batch_format)
+        .map_groups(group_rows, batch_format=batch_format)
     )

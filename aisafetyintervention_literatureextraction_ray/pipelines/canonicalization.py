@@ -54,7 +54,7 @@ def candidate_pairs(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     pairs = bucketed_group_map(ds, ["bucket"], make_pairgen(k=k),
-                               batch_format="pyarrow")
+                               batch_format="pyarrow", min_group_size=2)
     # A4/A5: best distance per unordered pair (symmetric hits collapse);
     # two-stage arrow hash aggregate (functions/agg.py), NOT Ray's
     # sort-based groupby (orders of magnitude slower on many pairs).
@@ -126,11 +126,75 @@ def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
     return nodes2, edges2, remap
 
 
+def candidate_pairs_local(nodes_tbl: pa.Table, *, mode: str = "exact",
+                          k: int = 40, dim: int | None = None,
+                          n_bands: int = 8, planes_per_band: int = 6
+                          ) -> pd.DataFrame:
+    """Driver-side pair generation over a SMALL canonical node table.
+
+    Same kernels and seeds as the distributed path (text projection,
+    hashing encoder, bucketer, pairgen) applied to one in-memory Arrow
+    table — identical results, none of the per-stage scheduling cost.
+    Used automatically when the node table is far below a block's worth
+    of data; the distributed path is the same operator graph at scale.
+    """
+    from ..stages.encode import DEFAULT_DIM as _D
+    from ..stages.encode import HashingEncoder as _Enc
+
+    dim = dim or _D
+    t = project_node_text(nodes_tbl)
+    t = _Enc(dim=dim)(t)
+    t = t.select(["node_id", "embedding"])
+    if mode == "exact":
+        t = constant_bucket(t)
+    else:
+        t = LSHBucketer(dim=dim, n_bands=n_bands,
+                        planes_per_band=planes_per_band)(t)
+    pairgen = make_pairgen(k=k)
+    frames = []
+    buckets = t.column("bucket").to_numpy()
+    import numpy as np
+
+    for b in np.unique(buckets):
+        frames.append(pairgen(t.filter(pa.array(buckets == b))))
+    pairs = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"id_a": [], "id_b": [], "distance": []})
+    if pairs.empty:
+        return pairs
+    return pairs.groupby(["id_a", "id_b"], as_index=False)["distance"].min()
+
+
 def canonicalize(nodes: rd.Dataset, edges: rd.Dataset, *,
                  mode: str = "exact", k: int = 40, top_n: int | None = 30,
-                 threshold: float | None = None, **kwargs):
-    """Full canonicalization (merge.py ``run()`` analogue, merge.py:111-116)."""
-    pairs = candidate_pairs(nodes, mode=mode, k=k, **kwargs)
-    accepted = accept_pairs(pairs, top_n=top_n, threshold=threshold)
+                 threshold: float | None = None,
+                 driver_threshold: int = 50_000, **kwargs):
+    """Full canonicalization (merge.py ``run()`` analogue, merge.py:111-116).
+
+    Node tables at or below ``driver_threshold`` rows take the local
+    fast path (same kernels, driver-side) — a tiny table spread over a
+    dozen distributed stages is pure scheduling overhead.  Above it, the
+    shuffle-based path runs.
+    """
+    nodes_tbl = None
+    if driver_threshold:
+        head = pa.concat_tables(
+            nodes.limit(driver_threshold + 1)
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+        if head.num_rows <= driver_threshold:
+            nodes_tbl = head
+    if nodes_tbl is not None:
+        pairs_df = candidate_pairs_local(nodes_tbl, mode=mode, k=k,
+                                         **{k2: v for k2, v in kwargs.items()
+                                            if k2 in ("dim", "n_bands",
+                                                      "planes_per_band")})
+        if threshold is not None:
+            accepted = pairs_df[pairs_df["distance"] <= threshold]
+        else:
+            accepted = pairs_df.sort_values(
+                ["distance", "id_a", "id_b"]).head(top_n)
+        accepted = accepted.reset_index(drop=True)
+    else:
+        pairs = candidate_pairs(nodes, mode=mode, k=k, **kwargs)
+        accepted = accept_pairs(pairs, top_n=top_n, threshold=threshold)
     nodes2, edges2, remap = apply_merges(nodes, edges, accepted)
     return nodes2, edges2, accepted, remap

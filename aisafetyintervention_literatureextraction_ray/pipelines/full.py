@@ -40,6 +40,7 @@ def run_partitioned_extraction(
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
+    max_inflight: int = 2,
 ) -> dict:
     """Run extraction partition-by-partition with lineage checkpoints.
 
@@ -48,32 +49,69 @@ def run_partitioned_extraction(
     owns the physical partitioning, mirroring how a 100 TB corpus is
     already sharded in storage).  Completed partitions are skipped on
     resume; each partition writes extractions and triples atomically.
+
+    Up to ``max_inflight`` partitions execute concurrently (driver
+    threads submitting to the same Ray cluster) — overlapping one
+    partition's fixed scheduling latency with another's compute, the
+    single-node analogue of submitting one job per shard.
     """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     out = Path(out_dir)
     manifest = Manifest(out)
     done = manifest.completed("extract") if resume else {}
     stats = {"partitions": num_partitions, "skipped": 0, "ran": 0, "rows": 0}
+    lock = threading.Lock()
+    # Dataset CREATION is serialized (Ray's path resolution lazily
+    # imports fsspec submodules, which races across threads); execution
+    # (write_parquet below) runs concurrently.
+    plan_lock = threading.Lock()
+
+    def run_one(pid: int) -> None:
+        t0 = time.time()
+        with plan_lock:
+            docs = make_partition(pid)
+            extr = extract_pipeline(docs, concurrency=concurrency,
+                                    batch_size=batch_size)
+        with atomic_partition_dir(out / "extractions", pid) as tmp:
+            extr.write_parquet(str(tmp), min_rows_per_file=8192)
+        # triples need only (doc_id, logical_chains): prune at the read
+        with plan_lock:
+            extr_part = rd.read_parquet(
+                str(out / "extractions" / f"part={pid}"),
+                columns=["doc_id", "logical_chains"])
+            tri = triples_from_extractions(extr_part)
+        with atomic_partition_dir(out / "triples", pid) as tmp:
+            tri.write_parquet(str(tmp), min_rows_per_file=32768)
+        ids = pads.dataset(out / "extractions" / f"part={pid}").to_table(
+            columns=["doc_id"]).column("doc_id").to_pylist()
+        with lock:
+            manifest.mark("extract", pid, n_rows=len(ids),
+                          checksum=order_free_checksum(ids),
+                          wall_time_s=time.time() - t0)
+            stats["ran"] += 1
+            stats["rows"] += len(ids)
+
+    todo = []
     for pid in range(num_partitions):
         if pid in done:
             stats["skipped"] += 1
             stats["rows"] += done[pid]["n_rows"]
-            continue
-        t0 = time.time()
-        docs = make_partition(pid)
-        extr = extract_pipeline(docs, concurrency=concurrency,
-                                batch_size=batch_size)
-        with atomic_partition_dir(out / "extractions", pid) as tmp:
-            extr.write_parquet(str(tmp))
-        extr_part = rd.read_parquet(str(out / "extractions" / f"part={pid}"))
-        with atomic_partition_dir(out / "triples", pid) as tmp:
-            triples_from_extractions(extr_part).write_parquet(str(tmp))
-        ids = pads.dataset(out / "extractions" / f"part={pid}").to_table(
-            columns=["doc_id"]).column("doc_id").to_pylist()
-        manifest.mark("extract", pid, n_rows=len(ids),
-                      checksum=order_free_checksum(ids),
-                      wall_time_s=time.time() - t0)
-        stats["ran"] += 1
-        stats["rows"] += len(ids)
+        else:
+            todo.append(pid)
+    if todo:
+        from concurrent.futures import as_completed
+
+        with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
+            futures = [pool.submit(run_one, pid) for pid in todo]
+            try:
+                for f in as_completed(futures):
+                    f.result()  # propagate the first failure
+            except BaseException:
+                for f2 in futures:
+                    f2.cancel()  # fail fast: drop not-yet-started partitions
+                raise
     return stats
 
 
@@ -84,7 +122,10 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
     out = Path(out_dir)
     manifest = Manifest(out)
     t0 = time.time()
-    extr = rd.read_parquet(str(out / "extractions"))
+    # node dedup needs only (doc_id, nodes) — never re-read the heavy
+    # spans/chains columns (prune at the read, SURVEY.md brief).
+    extr = rd.read_parquet(str(out / "extractions"),
+                           columns=["doc_id", "nodes"])
     triples = rd.read_parquet(str(out / "triples"))
 
     # the canonical node table is small relative to the corpus and is
@@ -129,12 +170,14 @@ def run_full(
     canonicalize_mode: str | None = "lsh",
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
+    max_inflight: int = 2,
 ) -> dict:
     """Full pipeline; returns the metrics dict (triples/sec headline)."""
     t0 = time.time()
     ext = run_partitioned_extraction(
         make_partition, num_partitions, out_dir, resume=resume,
-        concurrency=concurrency, batch_size=batch_size)
+        concurrency=concurrency, batch_size=batch_size,
+        max_inflight=max_inflight)
     gb = run_graph_build(out_dir, canonicalize_mode=canonicalize_mode)
     wall = time.time() - t0
     n_triples = pads.dataset(Path(out_dir) / "triples").count_rows()

@@ -31,6 +31,7 @@ extractions dataset) — the analogue of MERGE re-run safety.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -109,29 +110,39 @@ class _EndpointResolver:
     """Broadcast name_norm -> node_id lookup inside the edge stage (J1).
 
     The node map is shipped once via ``ray.put`` and fetched once per
-    actor in ``__init__`` — never re-serialized per batch.
+    actor in ``__init__`` — never re-serialized per batch.  The lookup
+    itself is a vectorized hash join (``pd.Index.get_indexer``); no
+    per-row Python.
     """
 
     def __init__(self, node_map_ref) -> None:
-        self.node_map: dict[str, str] = ray.get(node_map_ref)
+        node_map: dict[str, str] = ray.get(node_map_ref)
+        self.index = pd.Index(list(node_map.keys()))
+        self.ids = np.asarray(list(node_map.values()), dtype=object)
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        for col, out in (("subj", "src_id"), ("obj", "dst_id")):
-            norm = pa.Array.to_pandas(
-                normalize_names(pa.array(df[col].astype(str)))
-            )
-            df[out] = norm.map(self.node_map)
-        resolved = df[df["src_id"].notna() & df["dst_id"].notna()].copy()
-        grouped = resolved.groupby(["src_id", "pred", "dst_id"], sort=False)
-        out = grouped.agg(
-            subj=("subj", "min"),
-            obj=("obj", "min"),
-            description=("description", "min"),
-            confidence=("confidence", "max"),
-            n_provenance=("doc_id", "nunique"),
-        ).reset_index()
+    def _resolve(self, names: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        norm = normalize_names(names).to_pandas().to_numpy()
+        pos = self.index.get_indexer(norm)
+        out = np.where(pos >= 0, self.ids[np.clip(pos, 0, None)], None)
         return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = self._resolve(batch.column("subj"))
+        dst = self._resolve(batch.column("obj"))
+        t = pa.table({
+            "src_id": pa.array(src, type=pa.string()),
+            "pred": batch.column("pred"),
+            "dst_id": pa.array(dst, type=pa.string()),
+            "subj": batch.column("subj"),
+            "obj": batch.column("obj"),
+            "description": batch.column("description"),
+            "confidence": batch.column("confidence"),
+            "doc_id": batch.column("doc_id"),
+        })
+        import pyarrow.compute as pc
+
+        valid = pc.and_(pc.is_valid(t["src_id"]), pc.is_valid(t["dst_id"]))
+        return t.filter(valid)
 
 
 def node_id_map(nodes: rd.Dataset) -> dict[str, str]:
@@ -157,15 +168,16 @@ def build_edges(triples: rd.Dataset, node_map: dict[str, str],
         concurrency=concurrency,
     )
     # A3 last-wins-determinized reduce, fully Arrow-expressible:
-    # min surface forms / description, max confidence, summed provenance.
+    # min surface forms / description, max confidence, provenance =
+    # row count (each (doc, subj, pred, obj) is unique post-extraction).
     edges = hash_aggregate(
         partials, ["src_id", "pred", "dst_id"],
         [("subj", "min"), ("obj", "min"), ("description", "min"),
-         ("confidence", "max"), ("n_provenance", "sum")],
+         ("confidence", "max"), ("doc_id", "count")],
         rename={"subj_min": "subj", "obj_min": "obj",
                 "description_min": "description",
                 "confidence_max": "confidence",
-                "n_provenance_sum": "n_provenance"},
+                "doc_id_count": "n_provenance"},
     )
     return edges.map_batches(
         lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"

@@ -29,7 +29,7 @@ from ..schemas import DOCS_SCHEMA
 
 _N_RULES = len(RULES)
 _CHUNK_WORDS = 12
-_MAX_CHUNKS = 10
+_MAX_CHUNKS = 40
 
 
 def read_docs(path: str, **kwargs) -> rd.Dataset:

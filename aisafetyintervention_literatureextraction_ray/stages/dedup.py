@@ -220,7 +220,8 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
     pairs = bucketed_group_map(
         sigs, ["band", "band_hash"],
         make_minhash_pair_verifier(id_col=id_col,
-                                   jaccard_threshold=jaccard_threshold))
+                                   jaccard_threshold=jaccard_threshold),
+        min_group_size=2)
     return hash_aggregate(pairs, ["id_a", "id_b"], [("jaccard", "max")],
                           rename={"jaccard_max": "jaccard"})
 
@@ -313,7 +314,8 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
 
     from ..functions.agg import bucketed_group_map, hash_aggregate
 
-    pairs = bucketed_group_map(sigs, ["band", "band_key"], verify)
+    pairs = bucketed_group_map(sigs, ["band", "band_key"], verify,
+                               min_group_size=2)
     return hash_aggregate(pairs, ["id_a", "id_b"], [("hamming", "min")],
                           rename={"hamming_min": "hamming"})
 

@@ -68,13 +68,15 @@ class TripleExtractor:
         self.surface_to_entity = surfaces
         alts = sorted(surfaces, key=len, reverse=True)
         alias_re = "|".join(re.escape(s) for s in alts)
-        self.patterns: dict[str, re.Pattern] = {
-            pred: re.compile(
-                rf"\b({alias_re})\s+{re.escape(trig)}\s+({alias_re})\b",
-                re.IGNORECASE,
-            )
-            for pred, trig in TRIGGERS.items()
-        }
+        # ONE combined pattern (single scan per doc instead of one per
+        # predicate); the matched trigger text maps back to the verb.
+        trigs = sorted(TRIGGERS.values(), key=len, reverse=True)
+        trig_re = "|".join(re.escape(t) for t in trigs)
+        self.pattern = re.compile(
+            rf"\b({alias_re})\s+({trig_re})\s+({alias_re})\b",
+            re.IGNORECASE,
+        )
+        self.trigger_to_pred = {t.lower(): p for p, t in TRIGGERS.items()}
         self.rule_chain = {(r.subj, r.pred, r.obj): r.chain for r in RULES}
         self.rule_conf = {(r.subj, r.pred, r.obj): r.confidence for r in RULES}
 
@@ -82,11 +84,11 @@ class TripleExtractor:
         """Detect triples in one doc; returns (nodes, chains) py-structs."""
         found: dict[tuple[str, str, str], None] = {}
         low = text.lower()
-        for pred, pat in self.patterns.items():
-            for m in pat.finditer(low):
-                subj = self.surface_to_entity[m.group(1)]
-                obj = self.surface_to_entity[m.group(2)]
-                found.setdefault((subj, pred, obj), None)
+        for m in self.pattern.finditer(low):
+            subj = self.surface_to_entity[m.group(1)]
+            pred = self.trigger_to_pred[" ".join(m.group(2).split())]
+            obj = self.surface_to_entity[m.group(3)]
+            found.setdefault((subj, pred, obj), None)
 
         if not found:
             return [], []

@@ -196,7 +196,7 @@ def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
         )
     pairs = bucketed_group_map(ds, ["bucket"],
                                make_pairgen(k=k, id_col=id_col),
-                               batch_format="pyarrow")
+                               batch_format="pyarrow", min_group_size=2)
     pairs = hash_aggregate(pairs, ["id_a", "id_b"], [("distance", "min")],
                            rename={"distance_min": "distance"})
     return pairs.map_batches(

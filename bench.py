@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the full KG pipeline (interleave -> extract -> triples ->
+node/edge dedup -> canonicalize -> materialize) over an interleaved-doc
+corpus derived deterministically from ``$GRAFT_SF_DIR/documents.parquet``
+replicated ``GRAFT_BENCH_REPLICAS`` times with distinct doc ids — input
+size scales with sf and is identical across parallelism levels.
+
+    python bench.py                 # sf0.1, num_cpus=$RAY_GRAFT_CPUS (32)
+    python bench.py --scaling       # fresh 8-CPU and 32-CPU runs + efficiency
+
+Output (last line is the JSON):
+    {"metric": "kg_full_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "n_docs": ..., "n_triples": ..., "triples_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "24"))
+PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "4"))
+
+# representative per-operator queries timed after the headline run
+BENCH_QUERIES = [
+    "pricing_summary", "top_revenue_parts", "customer_nation_rollup",
+    "orders_by_segment", "exact_dedup_docs", "doc_token_stats",
+    "top_docs_by_chars", "events_hourly_window", "knn_bruteforce",
+    "ann_ivf_topk", "minhash_neardup_pairs", "simhash_neardup_pairs",
+    "embedding_neardup_pairs", "resume_antijoin", "lang_id_distribution",
+    "doc_quality_scores", "media_feature_extraction",
+]
+
+
+def _consume(result):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def make_partition_factory(sf_dir: str, replicas: int, partitions: int,
+                           num_cpus: int):
+    """Partition p = a contiguous slice of the replicated corpus.
+
+    The base ``documents`` table is small (5k rows at sf0.1) and is
+    broadcast ONCE via ``ray.put``; each partition is generated from
+    ``ray.data.range`` with an explicit block count so derivation and
+    extraction parallelize across every CPU — a single-file parquet
+    read would otherwise pin the whole corpus to one or two blocks.
+    (At real scale the corpus is already sharded in storage and the
+    reader provides the blocks; this factory stands in for that.)
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.sources.docs import (
+        _interleave_batch,
+    )
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_base = base.num_rows
+    base_ref = ray.put(base)
+    total = n_base * replicas
+
+    # paper-sized documents: concatenate K base rows per doc so the per-doc
+    # extraction work resembles a real document (~2-3 KB), not a tweet
+    K_ROWS = int(os.environ.get("GRAFT_BENCH_DOC_ROWS", "8"))
+
+    class Derive:
+        def __init__(self) -> None:
+            self.base = ray.get(base_ref)
+            self.texts = self.base.column("text").to_pylist()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = batch.column("id").to_numpy()
+            rows = (idx % n_base).astype(np.int64)
+            reps = (idx // n_base).astype(np.int64)
+            texts = [
+                " ".join(self.texts[(r + j * 131) % n_base]
+                         for j in range(K_ROWS))
+                for r in rows
+            ]
+            base_ids = self.base.column("doc_id").to_numpy()
+            ids = base_ids[rows] + reps * 10_000_000
+            t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+            return _interleave_batch(t, 42)
+
+        def __reduce__(self):  # plain function-like pickling for tasks
+            return (Derive, ())
+
+    def make_partition(pid: int):
+        lo = pid * total // partitions
+        hi = (pid + 1) * total // partitions
+        blocks = max(8, num_cpus * 8)
+        ds = rd.range(hi - lo, override_num_blocks=blocks)
+
+        def shift(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.set_column(0, "id", pc.add(t["id"], lo))
+
+        return ds.map_batches(shift, batch_format="pyarrow").map_batches(
+            Derive(), batch_format="pyarrow", batch_size=256)
+
+    return make_partition
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    from aisafetyintervention_literatureextraction_ray.pipelines.full import (
+        run_full,
+    )
+
+    out_dir = f"/tmp/kg_bench_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    make_partition = make_partition_factory(SF_DIR, REPLICAS, PARTITIONS,
+                                            num_cpus)
+    # fixed pools sized so the two concurrent partitions together fit
+    # the CPU budget with ~25% headroom for read/write tasks (a fixed
+    # pool of num_cpus actors per partition would deadlock; an
+    # autoscaling pool ramps too slowly; and pools that pin every CPU
+    # starve the write stage, which backpressures the extractors).
+    inflight = min(2, PARTITIONS)
+    conc = max(1, (num_cpus - max(2, num_cpus // 8)) // inflight)
+
+    # untimed warm-up: pays worker-process import + pyc/page-cache costs
+    # so the timed run measures compute + shuffle, not cold starts
+    from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+        extract_pipeline,
+    )
+
+    warm = make_partition(0).limit(2000)
+    extract_pipeline(warm, concurrency=conc, batch_size=256).materialize()
+
+    t0 = time.time()
+    res = run_full(make_partition, PARTITIONS, out_dir, resume=False,
+                   canonicalize_mode="lsh", concurrency=conc,
+                   batch_size=256, max_inflight=inflight)
+    wall = time.time() - t0
+    return {
+        "sec": round(wall, 2),
+        "n_docs": res["n_docs"],
+        "n_triples": res["n_triples"],
+        "triples_per_sec": round(res["n_triples"] / wall, 1),
+        "extract_sec": round(sum(r["wall_time_s"] for r in
+                                 __manifest_rows(out_dir, "extract")), 2),
+        "graph_sec": round(res["graph"]["wall_time_s"], 2),
+    }
+
+
+def __manifest_rows(out_dir: str, stage: str):
+    from aisafetyintervention_literatureextraction_ray.state.lineage import (
+        Manifest,
+    )
+
+    return [r for r in Manifest(out_dir).rows() if r["stage"] == stage]
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(queries[name](SF_DIR))
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm the page cache so we measure compute+shuffle, not first read
+    import pyarrow.dataset as pads
+
+    for t in ("documents", "lineitem", "events", "embeddings", "customer",
+              "orders", "nation", "region", "part"):
+        pads.dataset(f"{SF_DIR}/{t}.parquet").to_table()
+
+    headline = run_headline(NUM_CPUS)
+    queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" \
+        else {}
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "kg_full_pipeline_sec",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "n_docs": headline["n_docs"],
+        "n_triples": headline["n_triples"],
+        "triples_per_sec": headline["triples_per_sec"],
+        "extract_sec": headline["extract_sec"],
+        "graph_sec": headline["graph_sec"],
+    }))
+
+
+def scaling() -> None:
+    """Same job at two parallelism levels (N and 4N CPUs) in fresh
+    processes — the sandbox stand-in for N vs 4N nodes (BASELINE.md).
+
+    Default levels are 7 and 28 (override with GRAFT_SCALING_CPUS,
+    e.g. "8,32"): the machine has 32 cores shared with the Ray driver,
+    raylet and object-store threads, so a num_cpus=32 worker fleet is
+    oversubscribed against the harness itself; 28 leaves the harness
+    off the measured budget, identically at both levels.
+    """
+    import subprocess
+
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "7,28").split(","))
+    assert hi == 4 * lo, "scaling levels must be N and 4N"
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_QUERIES="0",
+                   GRAFT_BENCH_REPLICAS=os.environ.get(
+                       "GRAFT_BENCH_REPLICAS", "192"),
+                   GRAFT_BENCH_PARTITIONS=os.environ.get(
+                       "GRAFT_BENCH_PARTITIONS", "2"))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr_lo = results[lo]["triples_per_sec"]
+    thr_hi = results[hi]["triples_per_sec"]
+    print(json.dumps({
+        "cpus": [lo, hi],
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
+        f"thr_{lo}": thr_lo,
+        f"thr_{hi}": thr_hi,
+        "n_docs": results[hi]["n_docs"],
+        "n_triples": results[hi]["n_triples"],
+        "scaling_efficiency": round((thr_hi / thr_lo) / 4, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

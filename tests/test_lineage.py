@@ -74,9 +74,16 @@ def test_no_partial_partition_visible(run_dir):
         return make_part(pid)
 
     with pytest.raises(RuntimeError):
-        run_partitioned_extraction(exploding, P, run_dir, concurrency=(1, 2))
+        run_partitioned_extraction(exploding, P, run_dir, concurrency=(1, 2),
+                                   max_inflight=1)
     parts = sorted(p.name for p in (run_dir / "extractions").iterdir())
-    assert parts == ["part=0"]
+    # the failed partition left nothing behind — no partial part=1, no
+    # _tmp_part debris; partitions that were already in flight may have
+    # completed (and are in the manifest)
+    assert "part=1" not in parts
+    assert not any(p.startswith("_tmp") for p in parts)
+    completed = set(Manifest(run_dir).completed("extract"))
+    assert {int(p.split("=")[1]) for p in parts} == completed
 
 
 def test_manifest_metrics(run_dir):
