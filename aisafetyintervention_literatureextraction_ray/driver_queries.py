@@ -331,25 +331,104 @@ def top_docs_by_chars(sf_dir: str):
     """,
 )
 def events_hourly_window(sf_dir: str):
-    """Tumbling event-time window as a keyed aggregate (ray_guide.md
-    streaming-shaped pattern): floor timestamps per batch, two-stage sum."""
+    """Tumbling event-time window (stages/window.py; ray_guide.md
+    streaming-shaped pattern)."""
+    from .stages.window import tumbling_window
 
-    from .functions.agg import hash_aggregate
-
-    def floor_hour(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["hour"] = df["ts"].dt.floor("h")
-        return df[["event_type", "hour", "value"]]
-
-    out = hash_aggregate(
-        _pq(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(floor_hour, batch_format="pandas", batch_size=65536),
-        ["event_type", "hour"],
-        [("value", "count"), ("value", "sum")],
-        rename={"value_count": "n_events", "value_sum": "sum_value"},
-    ).to_pandas()
+    out = tumbling_window(
+        _pq(sf_dir, "events", ["event_type", "ts", "value"]),
+        "event_type", "ts", "value", freq="h").to_pandas()
+    out = out.rename(columns={"window": "hour"})
     out["sum_value"] = out["sum_value"].round(2)
     return out[["event_type", "hour", "n_events", "sum_value"]]
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user — the incremental-state
+    stream pattern expressed as a keyed sorted group map."""
+    from .stages.window import sessionize
+
+    out = sessionize(_pq(sf_dir, "events", ["user_id", "ts"]),
+                     key_col="user_id", ts_col="ts", gap="30min").to_pandas()
+    out["session_id"] = out["session_id"].astype("int64")
+    return out
+
+
+@query(
+    "ard_roundtrip",
+    """
+    SELECT printf('record_%d', doc_id) AS doc_id, n_chars
+    FROM documents
+    """,
+)
+def ard_roundtrip(sf_dir: str):
+    """ARD JSONL source (S3): write documents as gzip ARD records, read
+    back through the gzip-aware JSONL reader, convert to interleaved
+    docs, report per-doc text length."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .sources.ard import read_ard_jsonl, write_ard_jsonl
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = [
+        {"title": "", "authors": [], "date_published": "unknown",
+         "text": t, "abstract": None, "url": f"record_{i}"}
+        for i, t in zip(docs.column("doc_id").to_pylist(),
+                        docs.column("text").to_pylist())
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ard.jsonl.gz"
+        write_ard_jsonl(rows, path)
+        ds = read_ard_jsonl(path)
+
+        def measure(t: pa.Table) -> pa.Table:
+            spans = t.column("spans").combine_chunks()
+            import pyarrow.compute as pc2
+
+            texts = pa.ListArray.from_arrays(
+                spans.offsets, spans.values.field("text"))
+            joined = pc2.binary_join(texts, "")
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc2.utf8_length(joined).cast(pa.int64()),
+            })
+
+        return ds.map_batches(measure, batch_format="pyarrow").to_pandas()
+
+
+@query("kg_mentions")
+def kg_mentions(sf_dir: str):
+    """PAPER -[mentions]-> node provenance edges (legacy-schema fold)."""
+    from .pipelines.extraction import extract_pipeline
+    from .pipelines.graph_build import build_mentions, build_nodes, node_id_map
+    from .sources.docs import interleave_from_documents
+
+    extr = extract_pipeline(interleave_from_documents(sf_dir),
+                            batch_size=128).materialize()
+    nmap = node_id_map(build_nodes(extr))
+    return build_mentions(extr, nmap).to_pandas()
 
 
 # ---------------------------------------------------------------- ANN / similarity

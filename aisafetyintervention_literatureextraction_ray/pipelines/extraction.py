@@ -32,6 +32,7 @@ def extract_pipeline(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
+    max_triples_per_doc: int | None = None,
 ) -> rd.Dataset:
     """docs (DOCS_SCHEMA) -> extractions (EXTRACTION_SCHEMA), streaming."""
     if concurrency is None:
@@ -40,6 +41,7 @@ def extract_pipeline(
                           batch_size=batch_size, zero_copy_batch=True)
     return ds.map_batches(
         TripleExtractor,
+        fn_constructor_kwargs={"max_triples_per_doc": max_triples_per_doc},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

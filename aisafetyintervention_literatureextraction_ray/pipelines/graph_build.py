@@ -155,6 +155,40 @@ def node_id_map(nodes: rd.Dataset) -> dict[str, str]:
                     tbl.column("node_id").to_pylist()))
 
 
+def build_alias_index(nodes: rd.Dataset) -> dict[str, str]:
+    """J5: shared alias index — normalized surface form -> node_id.
+
+    Generalizes the prompt's alias/canonical_name machinery
+    (``prompts.py:94``, ``core.py:7``): every canonical name AND every
+    alias resolves to its node.  Canonical names win over aliases on
+    collision; remaining collisions resolve to the min node_id
+    (deterministic).  Built from the (small, post-dedup) canonical node
+    table and broadcast via ``ray.put``; at an unbounded-vocabulary
+    scale the same index is a ``flat_map(aliases) -> groupby`` dataset
+    joined instead of broadcast (SURVEY.md §2.4 J5).
+    """
+    tbl = pa.concat_tables(
+        nodes.select_columns(["name_norm", "node_id", "aliases"])
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    norms = tbl.column("name_norm").to_pylist()
+    ids = tbl.column("node_id").to_pylist()
+    aliases = tbl.column("aliases").to_pylist()
+    index: dict[str, str] = {}
+    # alias entries first (min-id deterministic) ...
+    alias_pairs = []
+    for nid, al in zip(ids, aliases):
+        for a in al or []:
+            alias_pairs.append((normalize_names(pa.array([a])).to_pylist()[0],
+                                nid))
+    for key, nid in sorted(alias_pairs, key=lambda kv: (kv[0], kv[1])):
+        index.setdefault(key, nid)
+    # ... then canonical names override
+    for key, nid in zip(norms, ids):
+        index[key] = nid
+    return index
+
+
 def build_edges(triples: rd.Dataset, node_map: dict[str, str],
                 *, concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
     """triples + broadcast node map -> canonical edges table (EDGES_SCHEMA)."""
@@ -182,6 +216,43 @@ def build_edges(triples: rd.Dataset, node_map: dict[str, str],
     return edges.map_batches(
         lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"
     )
+
+
+def build_mentions(extractions: rd.Dataset, node_map: dict[str, str]
+                   ) -> rd.Dataset:
+    """PAPER -[MENTIONS]-> node provenance edges.
+
+    The reference's legacy schema makes the paper the implicit source of
+    every extraction (``prompts.py:96``; ingested as paper->node edges
+    at ``db.py:50-53``).  The PaperSchema generation drops that, so we
+    keep it as a derived provenance edge table (SURVEY.md §1.1.3):
+    one row per (doc_id, node_id), pred = "mentions".
+    """
+    from ..functions.agg import hash_aggregate
+
+    ref = ray.put(node_map)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        flat = explode_nodes(batch)
+        norm = normalize_names(flat.column("name")).to_pandas().to_numpy()
+        index = pd.Index(list(m.keys()))
+        ids = np.asarray(list(m.values()), dtype=object)
+        pos = index.get_indexer(norm)
+        node_id = np.where(pos >= 0, ids[np.clip(pos, 0, None)], None)
+        t = pa.table({
+            "doc_id": flat.column("doc_id"),
+            "node_id": pa.array(node_id, type=pa.string()),
+        })
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t["node_id"]))
+
+    mentions = extractions.map_batches(resolve, batch_format="pyarrow")
+    out = hash_aggregate(mentions, ["doc_id", "node_id"],
+                         [("node_id", "count")],
+                         rename={"node_id_count": "n_mentions"})
+    return out.add_column("pred", lambda df: "mentions")
 
 
 def papers(extractions: rd.Dataset) -> rd.Dataset:

@@ -57,7 +57,11 @@ class TripleExtractor:
     concurrency=N, batch_size=B)``.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, max_triples_per_doc: int | None = None) -> None:
+        # A6: the reference caps extraction volume via prompt guidance
+        # ("<= ~10,000 tokens per paper", fpp.py:8); here the budget is
+        # an explicit deterministic cap (sorted-order truncation).
+        self.max_triples_per_doc = max_triples_per_doc
         # one-time state (per actor): surface->entity map + per-predicate
         # compiled patterns.  Longest-first alternation so multi-word
         # aliases win over embedded shorter aliases.
@@ -92,6 +96,10 @@ class TripleExtractor:
 
         if not found:
             return [], []
+        if self.max_triples_per_doc is not None \
+                and len(found) > self.max_triples_per_doc:
+            found = dict.fromkeys(
+                sorted(found)[: self.max_triples_per_doc])
 
         # chains: group triples by gazetteer chain title; unknown
         # combinations (possible on non-synthetic text) fall into a

@@ -1,0 +1,148 @@
+"""ARD source, alias-index linking, extraction cap, quarantine, windows."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from aisafetyintervention_literatureextraction_ray.fixtures import make_corpus
+from aisafetyintervention_literatureextraction_ray.pipelines import graph_build as gb
+from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+    extract_pipeline,
+)
+from aisafetyintervention_literatureextraction_ray.schemas import DOCS_SCHEMA
+from aisafetyintervention_literatureextraction_ray.sources.ard import (
+    read_ard_jsonl,
+    write_ard_jsonl,
+)
+from aisafetyintervention_literatureextraction_ray.stages.extract import (
+    TripleExtractor,
+    assemble_full_text,
+)
+from aisafetyintervention_literatureextraction_ray.stages.validate import (
+    validate_extractions,
+)
+from aisafetyintervention_literatureextraction_ray.stages.window import sessionize
+
+
+def test_ard_jsonl_roundtrip(tmp_path):
+    rows = [
+        {"title": "Paper A", "authors": ["X", "Y"],
+         "date_published": "2023-01-01", "url": "https://arxiv.org/abs/1",
+         "abstract": None,
+         "text": "first paragraph.\n\nsecond paragraph.\nthird."},
+        {"title": "Paper B", "authors": [], "date_published": "unknown",
+         "url": "", "abstract": "a", "text": ""},
+    ]
+    for name in ("a.jsonl", "a.jsonl.gz"):  # gzip-aware (merge.py:11-20)
+        path = tmp_path / name
+        write_ard_jsonl(rows, str(path))
+        out = read_ard_jsonl(str(path)).to_pandas().sort_values("doc_id")
+        assert len(out) == 2
+        tbl = pa.Table.from_pandas(out.reset_index(drop=True),
+                                   schema=DOCS_SCHEMA)
+        assert tbl.schema.equals(DOCS_SCHEMA)
+        a = out[out.title == "Paper A"].iloc[0]
+        spans = list(a["spans"])
+        assert [s["text"] for s in spans] == [
+            "first paragraph.", "second paragraph.", "third."]
+        assert [s["offset"] for s in spans] == [0, 1, 2]
+        assert a["doc_id"] == "https_arxiv_org_abs_1"  # slugged url
+
+
+def test_alias_index_resolves_aliases():
+    docs, _ = make_corpus(60)
+    extr = extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2))
+    nodes = gb.build_nodes(extr).materialize()
+    index = gb.build_alias_index(nodes)
+    nmap = gb.node_id_map(nodes)
+    # canonical names resolve identically
+    for norm, nid in nmap.items():
+        assert index[norm] == nid
+    # every alias of "rlhf" resolves to the rlhf node
+    assert index["reinforcement_learning_from_human_feedback"] == nmap["rlhf"]
+    assert index["preference_based_fine_tuning"] == nmap["rlhf"]
+    # edges built with alias-form subjects resolve via the index (J5)
+    triples = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["d1"], "chain_id": [0], "edge_idx": [0],
+        "subj": ["Reinforcement Learning from Human Feedback"],
+        "pred": ["refined_by"],
+        "obj": ["Constitutional AI during RLHF"],  # alias of the intervention
+        "description": ["x"], "confidence": [3],
+    }))
+    edges = gb.build_edges(triples, index).to_pandas()
+    assert len(edges) == 1
+    assert edges.iloc[0]["src_id"] == nmap["rlhf"]
+
+
+def test_extraction_cap():
+    docs, _ = make_corpus(40)
+    ex = TripleExtractor(max_triples_per_doc=1)
+    out = ex(assemble_full_text(docs))
+    for chains in out.column("logical_chains").to_pylist():
+        assert sum(len(c["edges"]) for c in chains) <= 1
+    # cap is deterministic: same input -> same kept triple
+    out2 = TripleExtractor(max_triples_per_doc=1)(assemble_full_text(docs))
+    assert out.equals(out2)
+
+
+def test_validator_quarantine(tmp_path):
+    docs, _ = make_corpus(20)
+    extr_tbl = pa.Table.from_pandas(
+        extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2)).to_pandas())
+    # corrupt one row: out-of-range confidence
+    bad = extr_tbl.to_pylist()
+    bad[3]["logical_chains"][0]["edges"][0]["edge_confidence"] = 9
+    corrupted = pa.Table.from_pylist(bad, schema=extr_tbl.schema)
+    qdir = tmp_path / "quarantine"
+    good = validate_extractions(rd.from_arrow(corrupted),
+                                quarantine_dir=str(qdir)).to_pandas()
+    assert len(good) == len(bad) - 1
+    qfiles = list(qdir.glob("*.parquet"))
+    assert len(qfiles) == 1
+    quarantined = pq.read_table(qfiles[0])
+    assert quarantined.num_rows == 1
+    assert quarantined.column("doc_id").to_pylist() == [bad[3]["doc_id"]]
+
+
+def test_sessionize_matches_pandas():
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+    })
+    got = sessionize(rd.from_pandas(df), key_col="user_id", ts_col="ts",
+                     gap="30min").to_pandas()
+    # reference computation
+    exp_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        sid = (g["ts"].diff() > pd.Timedelta("30min")).cumsum()
+        agg = g.groupby(sid)["ts"].agg(["size", "min", "max"]).reset_index(drop=True)
+        for i, row in agg.iterrows():
+            exp_rows.append((uid, i, row["size"], row["min"], row["max"]))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "session_id", "n_events",
+                                          "start_ts", "end_ts"])
+    key = ["user_id", "session_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["start_ts"].to_numpy() == exp["start_ts"].to_numpy()).all()
+
+
+def test_mentions_provenance():
+    docs, _ = make_corpus(50)
+    extr = extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2)).materialize()
+    nodes = gb.build_nodes(extr).materialize()
+    nmap = gb.node_id_map(nodes)
+    mentions = gb.build_mentions(extr, nmap).to_pandas()
+    # one row per (doc, node) with pred=mentions; node ids all valid
+    assert (mentions["pred"] == "mentions").all()
+    assert not mentions.duplicated(subset=["doc_id", "node_id"]).any()
+    assert set(mentions["node_id"]) <= set(nmap.values())
+    total_mentions = sum(len(ns) for ns in extr.to_pandas()["nodes"])
+    assert len(mentions) == total_mentions
