@@ -24,12 +24,18 @@ from collections.abc import Callable
 from pathlib import Path
 
 import pyarrow.dataset as pads
+import ray
 import ray.data as rd
 
 from ..state.lineage import Manifest, atomic_partition_dir, order_free_checksum
 from .canonicalization import canonicalize
 from .extraction import extract_pipeline, triples_from_extractions
-from .graph_build import build_edges, build_nodes, node_id_map
+from .graph_build import (
+    build_alias_index,
+    build_edges,
+    build_mentions,
+    build_nodes,
+)
 
 
 def run_partitioned_extraction(
@@ -132,8 +138,11 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
     # consumed three times (id map, canonicalization, write) — pin it
     # in the object store instead of recomputing the dedup per consumer.
     nodes = build_nodes(extr).materialize()
-    nmap = node_id_map(nodes)
-    edges = build_edges(triples, nmap)
+    # J5: endpoint resolution goes through the shared alias index, so
+    # surface-form variants (aliases) link to their canonical node.
+    alias_index = build_alias_index(nodes)
+    edges = build_edges(triples, alias_index)
+    mentions = build_mentions(extr, alias_index)
 
     n_merged = 0
     if canonicalize_mode:
@@ -144,12 +153,31 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
             nodes, edges, mode=canonicalize_mode, top_n=top_n,
             threshold=threshold if top_n is None else None)
         n_merged = len(remap)
+        if remap:
+            # provenance follows the merge: rewire mention endpoints
+            # through the same remap and re-dedup per (doc, node)
+            from ..functions.agg import hash_aggregate
+
+            remap_ref = ray.put(remap)
+
+            def rewire_mentions(df):
+                m = ray.get(remap_ref)
+                df = df.copy()
+                df["node_id"] = df["node_id"].map(lambda x: m.get(x, x))
+                return df[["doc_id", "node_id", "n_mentions"]]
+
+            mentions = hash_aggregate(
+                mentions.map_batches(rewire_mentions, batch_format="pandas"),
+                ["doc_id", "node_id"], [("n_mentions", "sum")],
+                rename={"n_mentions_sum": "n_mentions"},
+            ).add_column("pred", lambda df: "mentions")
 
     graph = out / "graph"
     if graph.exists():
         shutil.rmtree(graph)
     nodes.write_parquet(str(graph / "nodes"))
     edges.write_parquet(str(graph / "edges"))
+    mentions.write_parquet(str(graph / "mentions"))
 
     n_nodes = pads.dataset(graph / "nodes").count_rows()
     n_edges = pads.dataset(graph / "edges").count_rows()

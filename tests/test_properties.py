@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the deterministic kernels, plus
+the head-entity skew correctness check (SURVEY.md §7.4)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aisafetyintervention_literatureextraction_ray.fixtures import (
+    golden_batch,
+    make_corpus,
+)
+from aisafetyintervention_literatureextraction_ray.functions.hashing import (
+    stable_id,
+    stable_u64,
+)
+from aisafetyintervention_literatureextraction_ray.functions.normalize import (
+    normalize_name,
+)
+from aisafetyintervention_literatureextraction_ray.pipelines import graph_build as gb
+from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+    extract_pipeline,
+)
+from aisafetyintervention_literatureextraction_ray.stages.canonicalize import (
+    union_find,
+)
+from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+    MinHasher,
+    ngram_jaccard,
+)
+
+text_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po")),
+    max_size=80,
+)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent_and_stable(s):
+    once = normalize_name(s)
+    assert normalize_name(once) == once
+    # only [a-z0-9_] survives
+    assert all(c.islower() or c.isdigit() or c == "_" for c in once)
+    assert not once.startswith("_") and not once.endswith("_")
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_stable_hashes_deterministic(s):
+    assert stable_u64(s) == stable_u64(s)
+    assert stable_id("t", s) == stable_id("t", s)
+    assert 0 <= stable_u64(s) < 2 ** 64
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_union_find_is_order_invariant_and_transitive(pairs):
+    pairs = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    remap = union_find(pairs)
+    # order invariance
+    assert union_find(list(reversed(pairs))) == remap
+    # closure: endpoints of every pair share a canonical id
+    for a, b in pairs:
+        assert remap.get(a, a) == remap.get(b, b)
+    # canonical ids are fixed points
+    for canon in remap.values():
+        assert remap.get(canon, canon) == canon
+
+
+@given(st.lists(st.sampled_from("alpha beta gamma delta epsilon".split()),
+                min_size=3, max_size=60))
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimate_within_bounds(words):
+    a = " ".join(words)
+    b = " ".join(words[: max(3, len(words) // 2)])
+    mh = MinHasher(num_perm=128)
+    est = float((mh.signature(a) == mh.signature(b)).mean())
+    true = ngram_jaccard(a, b, k=3)
+    assert abs(est - true) < 0.35  # 128 perms -> ~4 sigma bound
+
+
+def test_head_entity_skew_correctness():
+    """Heavily skewed corpus (90% head docs): the two-stage partial
+    combine must still produce exact provenance counts for the hot keys
+    (SURVEY.md §4.2 salted-aggregate requirement)."""
+    n = 300
+    docs, _ = make_corpus(n, head_frac=0.9)
+    golden = golden_batch(np.arange(n), head_frac=0.9).to_pandas()
+    extr = extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2))
+    nodes = gb.build_nodes(extr).to_pandas()
+    # expected provenance per node = #docs mentioning it (subj or obj)
+    mention_docs = {}
+    for _, row in golden.iterrows():
+        for name in (row["subj"], row["obj"]):
+            mention_docs.setdefault(name, set()).add(row["doc_id"])
+    by_name = {normalize_name(k): len(v) for k, v in mention_docs.items()}
+    got = dict(zip(nodes["name_norm"], nodes["n_provenance"]))
+    assert got == by_name
+    # the head keys really are hot
+    assert by_name["rlhf"] > n * 0.5
