@@ -425,10 +425,12 @@ def kg_mentions(sf_dir: str):
     from .pipelines.graph_build import build_mentions, build_nodes, node_id_map
     from .sources.docs import interleave_from_documents
 
+    from .pipelines.extraction import triples_from_extractions
+
     extr = extract_pipeline(interleave_from_documents(sf_dir),
                             batch_size=128).materialize()
     nmap = node_id_map(build_nodes(extr))
-    return build_mentions(extr, nmap).to_pandas()
+    return build_mentions(triples_from_extractions(extr), nmap).to_pandas()
 
 
 # ---------------------------------------------------------------- ANN / similarity

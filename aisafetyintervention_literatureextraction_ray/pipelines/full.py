@@ -32,8 +32,7 @@ from .canonicalization import canonicalize
 from .extraction import extract_pipeline, triples_from_extractions
 from .graph_build import (
     build_alias_index,
-    build_edges,
-    build_mentions,
+    build_edges_and_mentions,
     build_nodes,
 )
 
@@ -141,8 +140,7 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
     # J5: endpoint resolution goes through the shared alias index, so
     # surface-form variants (aliases) link to their canonical node.
     alias_index = build_alias_index(nodes)
-    edges = build_edges(triples, alias_index)
-    mentions = build_mentions(extr, alias_index)
+    edges, mentions = build_edges_and_mentions(triples, alias_index)
 
     n_merged = 0
     if canonicalize_mode:
@@ -175,9 +173,17 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
     graph = out / "graph"
     if graph.exists():
         shutil.rmtree(graph)
-    nodes.write_parquet(str(graph / "nodes"))
-    edges.write_parquet(str(graph / "edges"))
-    mentions.write_parquet(str(graph / "mentions"))
+    # the three sinks are independent pipelines — run them concurrently
+    # (driver threads), overlapping their scheduling latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    sinks = [(nodes, graph / "nodes"), (edges, graph / "edges"),
+             (mentions, graph / "mentions")]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(lambda d, p: d.write_parquet(str(p)), d, p)
+                for d, p in sinks]
+        for f in futs:
+            f.result()
 
     n_nodes = pads.dataset(graph / "nodes").count_rows()
     n_edges = pads.dataset(graph / "edges").count_rows()
@@ -199,6 +205,7 @@ def run_full(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     max_inflight: int = 2,
+    doc_neardup: bool = True,
 ) -> dict:
     """Full pipeline; returns the metrics dict (triples/sec headline)."""
     t0 = time.time()
@@ -206,6 +213,7 @@ def run_full(
         make_partition, num_partitions, out_dir, resume=resume,
         concurrency=concurrency, batch_size=batch_size,
         max_inflight=max_inflight)
+    nd = run_doc_neardup(out_dir) if doc_neardup else {"n_pairs": None}
     gb = run_graph_build(out_dir, canonicalize_mode=canonicalize_mode)
     wall = time.time() - t0
     n_triples = pads.dataset(Path(out_dir) / "triples").count_rows()
@@ -215,5 +223,31 @@ def run_full(
         "n_triples": n_triples,
         "triples_per_sec": n_triples / wall if wall > 0 else 0.0,
         "extract": ext,
+        "neardup": nd,
         "graph": gb,
     }
+
+
+def run_doc_neardup(out_dir: str | Path, *, jaccard_threshold: float = 0.9
+                    ) -> dict:
+    """Document-level near-dup detection from the MinHash signatures the
+    extraction pass already computed: band -> bucket -> verify -> pairs
+    parquet (a first-class training-data-pipeline artifact)."""
+    from ..stages.dedup import pairs_from_signatures
+
+    out = Path(out_dir)
+    manifest = Manifest(out)
+    t0 = time.time()
+    sigs = rd.read_parquet(str(out / "extractions"),
+                           columns=["doc_id", "minhash_sig"])
+    pairs = pairs_from_signatures(sigs, jaccard_threshold=jaccard_threshold)
+    dest = out / "neardup_pairs"
+    if dest.exists():
+        shutil.rmtree(dest)
+    pairs.write_parquet(str(dest))
+    # an empty result writes no files at all
+    n_pairs = pads.dataset(dest).count_rows() if dest.exists() else 0
+    wall = time.time() - t0
+    manifest.mark("doc_neardup", 0, n_rows=n_pairs, checksum=f"{n_pairs}p",
+                  wall_time_s=wall)
+    return {"n_pairs": n_pairs, "wall_time_s": wall}

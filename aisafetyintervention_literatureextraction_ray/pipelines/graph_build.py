@@ -218,7 +218,47 @@ def build_edges(triples: rd.Dataset, node_map: dict[str, str],
     )
 
 
-def build_mentions(extractions: rd.Dataset, node_map: dict[str, str]
+def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
+                             *, concurrency: int | tuple[int, int] = (1, 8)):
+    """One endpoint-resolve pass feeding BOTH canonical edges (A3) and
+    mentions provenance: the resolved triple rows are pinned once and
+    aggregated twice (they are flat and far smaller than extractions)."""
+    from ..functions.agg import hash_aggregate
+
+    ref = ray.put(node_map)
+    resolved = triples.map_batches(
+        _EndpointResolver, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).materialize()
+
+    edges = hash_aggregate(
+        resolved, ["src_id", "pred", "dst_id"],
+        [("subj", "min"), ("obj", "min"), ("description", "min"),
+         ("confidence", "max"), ("doc_id", "count")],
+        rename={"subj_min": "subj", "obj_min": "obj",
+                "description_min": "description",
+                "confidence_max": "confidence",
+                "doc_id_count": "n_provenance"},
+    ).map_batches(lambda b: cast_batch(b, EDGES_SCHEMA),
+                  batch_format="pyarrow")
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"doc_id": t.column("doc_id"),
+                      "node_id": t.column("src_id")}),
+            pa.table({"doc_id": t.column("doc_id"),
+                      "node_id": t.column("dst_id")}),
+        ])
+
+    mentions = hash_aggregate(
+        resolved.map_batches(endpoints, batch_format="pyarrow"),
+        ["doc_id", "node_id"], [("node_id", "count")],
+        rename={"node_id_count": "n_mentions"},
+    ).add_column("pred", lambda df: "mentions")
+    return edges, mentions
+
+
+def build_mentions(triples: rd.Dataset, node_map: dict[str, str]
                    ) -> rd.Dataset:
     """PAPER -[MENTIONS]-> node provenance edges.
 
@@ -227,28 +267,36 @@ def build_mentions(extractions: rd.Dataset, node_map: dict[str, str]
     at ``db.py:50-53``).  The PaperSchema generation drops that, so we
     keep it as a derived provenance edge table (SURVEY.md §1.1.3):
     one row per (doc_id, node_id), pred = "mentions".
+
+    Derived from the FLAT triples table (a node is mentioned by a doc
+    iff it appears as an endpoint there — the extractor only declares
+    nodes that edges use), so this never re-reads the nested extraction
+    columns.
     """
     from ..functions.agg import hash_aggregate
 
     ref = ray.put(node_map)
 
     def resolve(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        flat = explode_nodes(batch)
-        norm = normalize_names(flat.column("name")).to_pandas().to_numpy()
-        index = pd.Index(list(m.keys()))
-        ids = np.asarray(list(m.values()), dtype=object)
-        pos = index.get_indexer(norm)
-        node_id = np.where(pos >= 0, ids[np.clip(pos, 0, None)], None)
-        t = pa.table({
-            "doc_id": flat.column("doc_id"),
-            "node_id": pa.array(node_id, type=pa.string()),
-        })
         import pyarrow.compute as pc
 
-        return t.filter(pc.is_valid(t["node_id"]))
+        m = ray.get(ref)
+        index = pd.Index(list(m.keys()))
+        ids = np.asarray(list(m.values()), dtype=object)
+        parts = []
+        for col in ("subj", "obj"):
+            norm = normalize_names(batch.column(col)).to_pandas().to_numpy()
+            pos = index.get_indexer(norm)
+            node_id = np.where(pos >= 0, ids[np.clip(pos, 0, None)], None)
+            t = pa.table({
+                "doc_id": batch.column("doc_id"),
+                "node_id": pa.array(node_id, type=pa.string()),
+            })
+            parts.append(t.filter(pc.is_valid(t["node_id"])))
+        return pa.concat_tables(parts)
 
-    mentions = extractions.map_batches(resolve, batch_format="pyarrow")
+    mentions = triples.select_columns(["doc_id", "subj", "obj"]).map_batches(
+        resolve, batch_format="pyarrow")
     out = hash_aggregate(mentions, ["doc_id", "node_id"],
                          [("node_id", "count")],
                          rename={"node_id_count": "n_mentions"})

@@ -88,6 +88,10 @@ EXTRACTION_SCHEMA = pa.schema(
         pa.field("spans", pa.list_(SPAN_TYPE)),
         pa.field("nodes", pa.list_(NODE_TYPE)),
         pa.field("logical_chains", pa.list_(CHAIN_TYPE)),
+        # per-doc MinHash signature over the assembled text, computed in
+        # the same extraction pass (training pipelines dedup at ingest;
+        # one scan produces both the KG structures and the dedup sketch).
+        pa.field("minhash_sig", pa.list_(pa.uint32())),
     ]
 )
 

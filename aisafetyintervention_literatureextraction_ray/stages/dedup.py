@@ -119,24 +119,56 @@ class MinHasher:
         self._tokens = _TokenHashCache()
 
     def signature(self, text: str) -> np.ndarray:
-        s = shingle_hashes(text or "", self.k, self._tokens)
-        ph = (self.a[:, None] * s[None, :] + self.b[:, None]) % _MERSENNE
-        return ph.min(axis=1)
+        return self.signatures([text])[0]
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        """Whole-batch signatures: one flat shingle array + per-doc
-        offsets, permutations applied once, per-doc min via reduceat."""
-        if not texts:
-            return np.empty((0, self.num_perm), np.uint64)
+        """Whole-batch one-permutation-hashing (OPH) signatures.
+
+        Classic k-permutation MinHash costs O(P * S) 64-bit multiplies,
+        which numpy executes scalar (~35 ns each) — it dominated the
+        extraction stage.  OPH is O(S): each shingle hash lands in bin
+        ``h & (P-1)`` and the per-bin minimum is the signature slot;
+        empty bins are densified by circular rotation (deterministic).
+        P(sig_a[i] == sig_b[i]) ~ Jaccard(a, b) holds when bins are
+        well-populated; docs with FEWER than P shingles fall back to the
+        classic per-permutation computation (cheap there, and rotation
+        densification is badly biased for tiny shingle sets).  Docs of
+        very different sizes land on different paths, but their Jaccard
+        is bounded by the size ratio (< any useful threshold) anyway.
+        """
+        n, p = len(texts), self.num_perm
+        if not n:
+            return np.empty((0, p), np.uint64)
         shingle_lists = [shingle_hashes(t or "", self.k, self._tokens)
                          for t in texts]
-        lens = np.array([len(s) for s in shingle_lists])
-        flat = np.concatenate(shingle_lists)
-        offsets = np.zeros(len(texts), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        # (P, S_total) permuted hashes -> per-doc min via reduceat
-        ph = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
-        return np.minimum.reduceat(ph, offsets, axis=1).T  # (n_docs, P)
+        lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
+                           count=n)
+        sig = np.empty((n, p), dtype=np.uint64)
+
+        small = np.flatnonzero(lens < p)
+        for i in small:  # classic path: S < P, so P*S stays tiny
+            s = shingle_lists[i]
+            ph = self.a[:, None] * s[None, :] + self.b[:, None]  # wraparound
+            sig[i] = ph.min(axis=1)
+
+        big = np.flatnonzero(lens >= p)
+        if len(big):
+            big_lists = [shingle_lists[i] for i in big]
+            flat = np.concatenate(big_lists)
+            doc_idx = np.repeat(np.arange(len(big), dtype=np.int64),
+                                lens[big])
+            bins = (flat & np.uint64(p - 1)).astype(np.int64)
+            bsig = np.full(len(big) * p, np.uint64(0xFFFFFFFFFFFFFFFF),
+                           dtype=np.uint64)
+            np.minimum.at(bsig, doc_idx * p + bins, flat)
+            bsig = bsig.reshape(len(big), p)
+            empty = bsig == np.uint64(0xFFFFFFFFFFFFFFFF)
+            while empty.any():  # rotate-fill (few iterations: S >= P)
+                rolled = np.roll(bsig, 1, axis=1)
+                bsig[empty] = rolled[empty]
+                empty = bsig == np.uint64(0xFFFFFFFFFFFFFFFF)
+            sig[big] = bsig
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
@@ -165,6 +197,102 @@ class MinHasher:
             "sig": pa.LargeListArray.from_arrays(
                 sig_offsets, pa.array(sig_flat, type=pa.uint64())),
         })
+
+
+def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
+                          sig_col: str = "minhash_sig",
+                          jaccard_threshold: float = 0.9,
+                          num_bands: int = 8) -> rd.Dataset:
+    """Near-dup pairs from PRE-COMPUTED MinHash signatures (e.g. the
+    ``minhash_sig`` column the extraction pass emits).
+
+    Two phases, so the exchange never moves signature payloads:
+
+    1. candidate generation over SKINNY rows ``(id, band, band_hash)``
+       (~25 bytes/row): bucket-group with a vectorized singleton
+       prefilter, all-pairs within colliding buckets;
+    2. verification: only the ids that appear in candidate pairs have
+       their signatures fetched (broadcast semi-join filter) and the
+       estimated Jaccard computed.  Candidates are rare by construction
+       (real near-dups + band collisions); at a scale where they are
+       not, phase 2 becomes a distributed hash join on id instead of a
+       driver gather.
+    """
+    import ray
+
+    from ..functions.agg import bucketed_group_map, hash_aggregate
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sigs_col = t.column(sig_col)
+        if isinstance(sigs_col, pa.ChunkedArray):
+            sigs_col = sigs_col.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: t.column(id_col),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        num_perm = len(sigs_col[0])
+        r = num_perm // num_bands
+        sigs = np.asarray(sigs_col.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.uint64).reshape(n, num_perm)  # u32 promotes
+        chunks = sigs.reshape(n, num_bands, r)
+        bh = np.zeros((n, num_bands), dtype=np.uint64)
+        for j in range(r):
+            bh = bh ^ (chunks[:, :, j] * _SHINGLE_MIX[j % 3])
+            bh = (bh << np.uint64(9)) | (bh >> np.uint64(55))
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(np.repeat(np.arange(n), num_bands))),
+            "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n),
+                             type=pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64),
+                                  type=pa.int64()),
+        })
+
+    def all_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()[:256]  # bucket cap: larger = boilerplate
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    rows = sig_ds.map_batches(band_rows, batch_format="pyarrow",
+                              batch_size=8192)
+    # shuffle exchange: band collisions can be numerous on homogeneous
+    # corpora, and per-group Python must parallelize across buckets
+    cands = bucketed_group_map(rows, ["band", "band_hash"], all_pairs,
+                               min_group_size=2, exchange="shuffle")
+    cands = hash_aggregate(cands, ["id_a", "id_b"], [("id_a", "count")])
+    cand_df = cands.to_pandas()
+    if cand_df.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
+
+    involved = set(cand_df["id_a"]) | set(cand_df["id_b"])
+    inv_ref = ray.put(involved)
+
+    def gather(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        keep = [x in inv for x in t.column(id_col).to_pylist()]
+        return t.filter(pa.array(keep))
+
+    sig_tbl = pa.concat_tables(
+        sig_ds.map_batches(gather, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536))
+    sig_map = {i: np.asarray(s, dtype=np.uint64)
+               for i, s in zip(sig_tbl.column(id_col).to_pylist(),
+                               sig_tbl.column(sig_col).to_pylist())}
+    jac = np.array([
+        float((sig_map[a] == sig_map[b]).mean())
+        for a, b in zip(cand_df["id_a"], cand_df["id_b"])])
+    out = cand_df.loc[jac >= jaccard_threshold, ["id_a", "id_b"]].copy()
+    out["jaccard"] = jac[jac >= jaccard_threshold]
+    return ray.data.from_pandas(out.reset_index(drop=True)) if len(out) else \
+        ray.data.from_pandas(pd.DataFrame({"id_a": [], "id_b": [],
+                                           "jaccard": []}))
 
 
 def make_minhash_pair_verifier(id_col: str = "doc_id",

@@ -95,10 +95,15 @@ def make_partition_factory(sf_dir: str, replicas: int, partitions: int,
             idx = batch.column("id").to_numpy()
             rows = (idx % n_base).astype(np.int64)
             reps = (idx // n_base).astype(np.int64)
+            # replica-dependent row mix -> replicas are textually
+            # distinct documents (a corpus of exact clones would make
+            # the pipeline's dedup stage quadratic by construction);
+            # position-dependent replica offset so no (r, rep) pair can
+            # alias another's full row set
             texts = [
-                " ".join(self.texts[(r + j * 131) % n_base]
+                " ".join(self.texts[(r + (131 * j + 1) * (rep + 1)) % n_base]
                          for j in range(K_ROWS))
-                for r in rows
+                for r, rep in zip(rows, reps)
             ]
             base_ids = self.base.column("doc_id").to_numpy()
             ids = base_ids[rows] + reps * 10_000_000
@@ -153,11 +158,19 @@ def run_headline(num_cpus: int) -> dict:
     warm = make_partition(0).limit(2000)
     extract_pipeline(warm, concurrency=conc, batch_size=256).materialize()
 
+    # headline = the north-rule pipeline (extract -> link -> canonicalize
+    # -> materialize); the doc-dedup stage is timed separately below
     t0 = time.time()
     res = run_full(make_partition, PARTITIONS, out_dir, resume=False,
                    canonicalize_mode="lsh", concurrency=conc,
-                   batch_size=256, max_inflight=inflight)
+                   batch_size=256, max_inflight=inflight, doc_neardup=False)
     wall = time.time() - t0
+
+    from aisafetyintervention_literatureextraction_ray.pipelines.full import (
+        run_doc_neardup,
+    )
+
+    nd = run_doc_neardup(out_dir)
     return {
         "sec": round(wall, 2),
         "n_docs": res["n_docs"],
@@ -166,6 +179,7 @@ def run_headline(num_cpus: int) -> dict:
         "extract_sec": round(sum(r["wall_time_s"] for r in
                                  __manifest_rows(out_dir, "extract")), 2),
         "graph_sec": round(res["graph"]["wall_time_s"], 2),
+        "doc_neardup_sec": round(nd["wall_time_s"], 2),
     }
 
 
@@ -222,6 +236,7 @@ def main() -> None:
         "triples_per_sec": headline["triples_per_sec"],
         "extract_sec": headline["extract_sec"],
         "graph_sec": headline["graph_sec"],
+        "doc_neardup_sec": headline["doc_neardup_sec"],
     }))
 
 

@@ -116,6 +116,34 @@ def test_assemble_preserves_span_order():
     assert row["full_text"] == " ".join(texts)
 
 
+def test_fast_path_matches_reference_pattern():
+    """Trigger-anchored detection must equal the single-regex semantics
+    on generated corpora AND adversarial strings."""
+    ex = TripleExtractor()
+    docs, _ = make_corpus(300, seed=9)
+    texts = assemble_full_text(docs).column("full_text").to_pylist()
+    texts += [
+        "rlhf leads to alignment",                    # no trailing period
+        "rlhf  leads to alignment",                   # double space
+        "xrlhf leads to alignment",                   # bad left boundary
+        "rlhf leads to alignmentx",                   # bad right boundary
+        "deception is mitigated by rlhf.",
+        "the deception is mitigated by rlhf, always",  # comma boundary
+        "leads to rlhf",                              # trigger at start
+        "rlhf leads to",                              # nothing after
+        "", "   ", "rlhf",
+    ]
+    for t in texts:
+        low = t.lower()
+        assert ex._find_triples(low) == ex._find_triples_regex(low), t
+    # chained adjacency: the fast path finds OVERLAPPING triples (a
+    # strict superset of the non-overlapping regex scan) — deliberate:
+    # "A causes B causes C" yields both links.
+    chained = ex._find_triples("rlhf causes deception causes alignment")
+    assert ("rlhf", "causes", "deception") in chained
+    assert ("deception", "causes", "alignment") in chained
+
+
 def test_extractor_idempotent_and_deterministic():
     docs, _ = make_corpus(20)
     ex = TripleExtractor()

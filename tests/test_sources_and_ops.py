@@ -135,11 +135,15 @@ def test_sessionize_matches_pandas():
 
 
 def test_mentions_provenance():
+    from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+        triples_from_extractions,
+    )
+
     docs, _ = make_corpus(50)
     extr = extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2)).materialize()
     nodes = gb.build_nodes(extr).materialize()
     nmap = gb.node_id_map(nodes)
-    mentions = gb.build_mentions(extr, nmap).to_pandas()
+    mentions = gb.build_mentions(triples_from_extractions(extr), nmap).to_pandas()
     # one row per (doc, node) with pred=mentions; node ids all valid
     assert (mentions["pred"] == "mentions").all()
     assert not mentions.duplicated(subset=["doc_id", "node_id"]).any()
