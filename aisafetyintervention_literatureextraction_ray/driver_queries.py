@@ -710,6 +710,24 @@ def kg_canonicalized(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+@query("kg_merge_pairs_parity")
+def kg_merge_pairs_parity(sf_dir: str):
+    """Reference-parity canonicalization: global exact KNN (K=40) and a
+    fixed top-30 accepted-pair list, mirroring merge.py:115 — the parity
+    surface SURVEY.md §2.7 defines (accepted-pair set, not merge order)."""
+    from .pipelines.canonicalization import accept_pairs, candidate_pairs
+    from .pipelines.extraction import extract_pipeline
+    from .pipelines.graph_build import build_nodes
+    from .sources.docs import interleave_from_documents
+
+    docs = interleave_from_documents(sf_dir)
+    nodes = build_nodes(extract_pipeline(docs, batch_size=128)).materialize()
+    pairs = candidate_pairs(nodes, mode="exact", k=40)
+    accepted = accept_pairs(pairs, top_n=30)
+    accepted["distance"] = accepted["distance"].round(4)
+    return accepted.reset_index(drop=True)
+
+
 @query("kg_triples_pr")
 def kg_triples_pr(sf_dir: str):
     """Self-scoring entry: extraction P/R against the derived golden set

@@ -46,7 +46,10 @@ def ard_records_to_docs(batch: pa.Table) -> pa.Table:
     titles = col("title")
     texts = col("text")
     urls = col("url")
-    dates = col("date_published", "unknown")
+    # ISO dates are strings in the data model (SURVEY.md §1.2: never
+    # parsed); Arrow's JSON reader may have inferred timestamps
+    dates = [d if isinstance(d, str) else (str(d) if d is not None else "unknown")
+             for d in col("date_published", "unknown")]
     authors = col("authors", None)
     rows = []
     for i in range(batch.num_rows):
