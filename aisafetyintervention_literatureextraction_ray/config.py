@@ -67,4 +67,11 @@ def run_with_config(make_partition, out_dir: str,
         batch_size=cfg.extraction.batch_size,
         max_inflight=cfg.max_inflight,
         doc_neardup=cfg.dedup.enabled,
+        max_triples_per_doc=cfg.extraction.max_triples_per_doc,
+        canon_threshold=cfg.canonicalization.threshold,
+        canon_top_n=cfg.canonicalization.top_n,
+        canon_k=cfg.canonicalization.k,
+        canon_dim=cfg.canonicalization.dim,
+        neardup_jaccard_threshold=cfg.dedup.jaccard_threshold,
+        neardup_num_bands=cfg.dedup.num_bands,
     )

@@ -117,10 +117,14 @@ def top_revenue_parts(sf_dir: str):
         .groupby("partkey")
         .aggregate(Sum("rev_sum", alias_name="revenue"))
     )
+    # round BEFORE the sort+limit so the ordering key matches the
+    # oracle's ORDER BY ROUND(revenue, 2) across the top-k boundary
+    agg = agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.round(t["revenue"], 2)),
+        batch_format="pyarrow")
     top = agg.sort(["revenue", "partkey"], descending=[True, False]).limit(10)
-    out = top.to_pandas()
-    out["revenue"] = out["revenue"].round(2)
-    return out[["partkey", "revenue"]]
+    return top.to_pandas()[["partkey", "revenue"]]
 
 
 # ---------------------------------------------------------------- J1: broadcast joins + rollup
@@ -254,16 +258,15 @@ def orders_by_segment(sf_dir: str):
     """,
 )
 def exact_dedup_docs(sf_dir: str):
-    """Exact text dedup: hash-partition + per-group first (keep min id)."""
-    from .stages.dedup import content_hash
-
-    from .functions.agg import hash_aggregate
+    """Exact text dedup via the real ``exact_dedup`` stage: content-hash
+    partial (the full text is never a shuffle key), hash-bucket shuffle
+    exchange, per-group first (keep min id) + duplicate counts."""
+    from .stages.dedup import exact_dedup
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = hash_aggregate(
-        ds, ["text"], [("doc_id", "min"), ("doc_id", "count")],
-        rename={"doc_id_min": "keep_id", "doc_id_count": "n_copies"},
-    ).to_pandas()
+    out = exact_dedup(ds, "text", "doc_id", with_counts=True,
+                      exchange="shuffle").to_pandas()
+    out = out.rename(columns={"doc_id": "keep_id"})
     return out[["keep_id", "n_copies"]]
 
 
@@ -500,6 +503,29 @@ def _docs_with_planted_dups(sf_dir: str):
     return ds.union(ds.map_batches(clone, batch_format="pyarrow"))
 
 
+def _candidate_texts_ref(docs: rd.Dataset, cands: rd.Dataset,
+                         id_col: str = "doc_id"):
+    """Broadcast ONLY the candidate ids' text (semi-join): collect the
+    skinny candidate id set, filter the corpus against it vectorized
+    (``pc.is_in``), and ``ray.put`` the resulting small id->text dict.
+    The full corpus text never lands on the driver."""
+    involved: set = set()
+    for b in cands.iter_batches(batch_format="pyarrow", batch_size=65536):
+        involved.update(b.column("id_a").to_pylist())
+        involved.update(b.column("id_b").to_pylist())
+    inv_ref = ray.put(pa.array(sorted(involved)))
+
+    def semi(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        return t.filter(pc.is_in(t.column(id_col), value_set=inv))
+
+    cand_texts = pa.concat_tables(
+        docs.map_batches(semi, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536))
+    return ray.put(dict(zip(cand_texts.column(id_col).to_pylist(),
+                            cand_texts.column("text").to_pylist())))
+
+
 @query(
     "minhash_neardup_pairs",
     """
@@ -517,19 +543,20 @@ def minhash_neardup_pairs(sf_dir: str):
     """MinHash+LSH candidate generation + exact n-gram-Jaccard verify.
 
     Candidates (estimated jaccard >= 0.8 from signatures) are verified
-    with the TRUE trigram Jaccard via a broadcast text lookup; only
-    j >= 0.99 (the planted exact dups) survive — which makes the result
-    SQL-checkable.  At scale the verify step becomes a join on doc_id
-    instead of a broadcast; the candidate shuffle is unchanged.
+    with the TRUE trigram Jaccard via a broadcast of ONLY the candidate
+    ids' text (semi-join — see ``_candidate_texts_ref``); only j >= 0.99
+    (the planted exact dups) survive, which makes the result
+    SQL-checkable.  At a scale where even candidates are numerous, the
+    same verify becomes two ``Dataset.join`` on doc_id (the pattern
+    ``pairs_from_signatures`` implements); the candidate shuffle is
+    unchanged.
     """
     from .stages.dedup import minhash_dedup_pairs, ngram_jaccard
 
     ds = _docs_with_planted_dups(sf_dir)
     cands = minhash_dedup_pairs(ds, jaccard_threshold=0.8,
-                                concurrency=(1, 4))
-    texts_ref = ray.put(dict(zip(
-        *[c.combine_chunks().to_pylist() for c in
-          pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).columns])))
+                                concurrency=(1, 4)).materialize()
+    texts_ref = _candidate_texts_ref(ds, cands)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         t = ray.get(texts_ref)
@@ -560,15 +587,15 @@ def minhash_neardup_pairs(sf_dir: str):
 )
 def simhash_neardup_pairs(sf_dir: str):
     """SimHash banding candidate generation + exact-equality verify
-    (hamming<=2 candidates, then broadcast text comparison — simhash of
-    short same-vocabulary docs collides, so verification is mandatory)."""
+    (hamming<=2 candidates, then a broadcast of ONLY the candidate ids'
+    text — simhash of short same-vocabulary docs collides, so
+    verification is mandatory)."""
     from .stages.dedup import simhash_dedup_pairs
 
     ds = _docs_with_planted_dups(sf_dir)
-    cands = simhash_dedup_pairs(ds, max_hamming=2, concurrency=(1, 4))
-    texts_ref = ray.put(dict(zip(
-        *[c.combine_chunks().to_pylist() for c in
-          pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).columns])))
+    cands = simhash_dedup_pairs(ds, max_hamming=2,
+                                concurrency=(1, 4)).materialize()
+    texts_ref = _candidate_texts_ref(ds, cands)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         t = ray.get(texts_ref)

@@ -115,6 +115,37 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str],
         final_grouped, batch_format="pyarrow")
 
 
+def bucketed_apply(ds: rd.Dataset, keys: list[str],
+                   fn: Callable[[pd.DataFrame], pd.DataFrame],
+                   *, num_buckets: int | None = None,
+                   batch_format: str = "pandas") -> rd.Dataset:
+    """Hash rows into coarse buckets on ``keys``, shuffle via Ray's
+    groupby on the single int bucket key, and apply ``fn`` ONCE per
+    bucket (not per key group).  All rows sharing a key land in the same
+    bucket, so ``fn`` can implement co-grouped semantics vectorized —
+    this is the primitive behind the engine's partitioned hash join
+    (``stages/dedup.py pairs_from_signatures``)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return add_bucket_column(t, keys, num_buckets)
+
+    def run(df):
+        if batch_format == "pandas":
+            if "__bucket" in df.columns:
+                df = df.drop(columns="__bucket")
+        elif "__bucket" in df.column_names:
+            df = df.drop_columns(["__bucket"])
+        return fn(df)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(run, batch_format=batch_format)
+    )
+
+
 def bucketed_group_map(ds: rd.Dataset, keys: list[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame],
                        *, num_buckets: int | None = None,

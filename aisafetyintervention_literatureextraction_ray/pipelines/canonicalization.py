@@ -8,6 +8,7 @@ remap -> groupby re-reduce``.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -94,23 +95,31 @@ def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
     """
     if accepted.empty:
         return nodes, edges, {}
+    import pyarrow.compute as pc
+
     remap = union_find(list(zip(accepted["id_a"], accepted["id_b"])))
-    losers = {x for x, c in remap.items() if x != c}
-    remap_ref = ray.put(remap)
-    losers_ref = ray.put(losers)
+    losers = sorted(x for x, c in remap.items() if x != c)
+    # broadcast the remap as (sorted keys, values) arrays: lookups are
+    # vectorized hash joins (pd.Index.get_indexer), never per-row Python
+    remap_ref = ray.put((pd.Index(sorted(remap)),
+                         np.asarray([remap[k] for k in sorted(remap)],
+                                    dtype=object)))
+    losers_ref = ray.put(pa.array(losers, type=pa.string()))
 
     def drop_losers(t: pa.Table) -> pa.Table:
         lose = ray.get(losers_ref)
-        keep = [nid not in lose for nid in t.column("node_id").to_pylist()]
-        return t.filter(pa.array(keep))
+        return t.filter(pc.invert(pc.is_in(t.column("node_id"),
+                                           value_set=lose)))
 
     nodes2 = nodes.map_batches(drop_losers, batch_format="pyarrow")
 
     def rewire(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(remap_ref)
+        index, targets = ray.get(remap_ref)
         df = df.copy()
-        df["src_id"] = df["src_id"].map(lambda x: m.get(x, x))
-        df["dst_id"] = df["dst_id"].map(lambda x: m.get(x, x))
+        for col in ("src_id", "dst_id"):
+            vals = df[col].to_numpy()
+            pos = index.get_indexer(vals)
+            df[col] = np.where(pos >= 0, targets[np.clip(pos, 0, None)], vals)
         return df
 
     edges2 = hash_aggregate(
@@ -153,8 +162,6 @@ def candidate_pairs_local(nodes_tbl: pa.Table, *, mode: str = "exact",
     pairgen = make_pairgen(k=k)
     frames = []
     buckets = t.column("bucket").to_numpy()
-    import numpy as np
-
     for b in np.unique(buckets):
         frames.append(pairgen(t.filter(pa.array(buckets == b))))
     pairs = pd.concat(frames, ignore_index=True) if frames else \

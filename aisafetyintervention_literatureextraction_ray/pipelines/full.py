@@ -46,6 +46,7 @@ def run_partitioned_extraction(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     max_inflight: int = 2,
+    max_triples_per_doc: int | None = None,
 ) -> dict:
     """Run extraction partition-by-partition with lineage checkpoints.
 
@@ -78,7 +79,8 @@ def run_partitioned_extraction(
         with plan_lock:
             docs = make_partition(pid)
             extr = extract_pipeline(docs, concurrency=concurrency,
-                                    batch_size=batch_size)
+                                    batch_size=batch_size,
+                                    max_triples_per_doc=max_triples_per_doc)
         with atomic_partition_dir(out / "extractions", pid) as tmp:
             extr.write_parquet(str(tmp), min_rows_per_file=8192)
         # triples need only (doc_id, logical_chains): prune at the read
@@ -122,7 +124,8 @@ def run_partitioned_extraction(
 
 def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None,
                     top_n: int | None = None,
-                    threshold: float | None = 0.2) -> dict:
+                    threshold: float | None = 0.2,
+                    k: int = 40, dim: int | None = None) -> dict:
     """extractions/* -> graph/nodes + graph/edges (+ optional near-dup merge)."""
     out = Path(out_dir)
     manifest = Manifest(out)
@@ -147,21 +150,32 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
         # default = threshold mode (the scale path, SURVEY.md §2.6 O3):
         # merge only true near-dups; pass top_n for reference-parity
         # fixed-k accepts.
+        canon_kwargs = {"dim": dim} if dim is not None else {}
         nodes, edges, accepted, remap = canonicalize(
             nodes, edges, mode=canonicalize_mode, top_n=top_n,
-            threshold=threshold if top_n is None else None)
+            threshold=threshold if top_n is None else None,
+            k=k, **canon_kwargs)
         n_merged = len(remap)
         if remap:
             # provenance follows the merge: rewire mention endpoints
             # through the same remap and re-dedup per (doc, node)
             from ..functions.agg import hash_aggregate
 
-            remap_ref = ray.put(remap)
+            import numpy as np
+            import pandas as pd
+
+            keys = sorted(remap)
+            remap_ref = ray.put((pd.Index(keys),
+                                 np.asarray([remap[k] for k in keys],
+                                            dtype=object)))
 
             def rewire_mentions(df):
-                m = ray.get(remap_ref)
+                index, targets = ray.get(remap_ref)
                 df = df.copy()
-                df["node_id"] = df["node_id"].map(lambda x: m.get(x, x))
+                vals = df["node_id"].to_numpy()
+                pos = index.get_indexer(vals)
+                df["node_id"] = np.where(
+                    pos >= 0, targets[np.clip(pos, 0, None)], vals)
                 return df[["doc_id", "node_id", "n_mentions"]]
 
             mentions = hash_aggregate(
@@ -206,15 +220,27 @@ def run_full(
     batch_size: int = 256,
     max_inflight: int = 2,
     doc_neardup: bool = True,
+    max_triples_per_doc: int | None = None,
+    canon_threshold: float | None = 0.2,
+    canon_top_n: int | None = None,
+    canon_k: int = 40,
+    canon_dim: int | None = None,
+    neardup_jaccard_threshold: float = 0.9,
+    neardup_num_bands: int = 8,
 ) -> dict:
     """Full pipeline; returns the metrics dict (triples/sec headline)."""
     t0 = time.time()
     ext = run_partitioned_extraction(
         make_partition, num_partitions, out_dir, resume=resume,
         concurrency=concurrency, batch_size=batch_size,
-        max_inflight=max_inflight)
-    nd = run_doc_neardup(out_dir) if doc_neardup else {"n_pairs": None}
-    gb = run_graph_build(out_dir, canonicalize_mode=canonicalize_mode)
+        max_inflight=max_inflight, max_triples_per_doc=max_triples_per_doc)
+    nd = (run_doc_neardup(out_dir,
+                          jaccard_threshold=neardup_jaccard_threshold,
+                          num_bands=neardup_num_bands)
+          if doc_neardup else {"n_pairs": None})
+    gb = run_graph_build(out_dir, canonicalize_mode=canonicalize_mode,
+                         top_n=canon_top_n, threshold=canon_threshold,
+                         k=canon_k, dim=canon_dim)
     wall = time.time() - t0
     n_triples = pads.dataset(Path(out_dir) / "triples").count_rows()
     return {
@@ -228,8 +254,8 @@ def run_full(
     }
 
 
-def run_doc_neardup(out_dir: str | Path, *, jaccard_threshold: float = 0.9
-                    ) -> dict:
+def run_doc_neardup(out_dir: str | Path, *, jaccard_threshold: float = 0.9,
+                    num_bands: int = 8) -> dict:
     """Document-level near-dup detection from the MinHash signatures the
     extraction pass already computed: band -> bucket -> verify -> pairs
     parquet (a first-class training-data-pipeline artifact)."""
@@ -240,7 +266,8 @@ def run_doc_neardup(out_dir: str | Path, *, jaccard_threshold: float = 0.9
     t0 = time.time()
     sigs = rd.read_parquet(str(out / "extractions"),
                            columns=["doc_id", "minhash_sig"])
-    pairs = pairs_from_signatures(sigs, jaccard_threshold=jaccard_threshold)
+    pairs = pairs_from_signatures(sigs, jaccard_threshold=jaccard_threshold,
+                                  num_bands=num_bands)
     dest = out / "neardup_pairs"
     if dest.exists():
         shutil.rmtree(dest)

@@ -35,7 +35,8 @@ from .encode import embeddings_to_numpy
 
 # ------------------------------------------------------------ text projection
 
-_PROJ_KEYS = ("name", "aliases", "description", "concept_category")
+_PROJ_KEYS = ("name", "aliases", "description", "concept_category",
+              "intervention_lifecycle", "intervention_maturity")
 
 
 def project_node_text(batch: pa.Table) -> pa.Table:
@@ -45,7 +46,8 @@ def project_node_text(batch: pa.Table) -> pa.Table:
     empty values become null and are skipped (the reference's
     ``len(v_str) > 0`` filter at ``db.py:95``); list values join with
     ``", "`` (``db.py:90-91``).  ``confidence``/``id`` style fields are
-    excluded by the fixed key list.
+    excluded by the fixed key list; intervention lifecycle/maturity ints
+    are stringified (reference ``db.py:89-91`` ``str(v)`` branch).
     """
     parts = []
     for key in _PROJ_KEYS:

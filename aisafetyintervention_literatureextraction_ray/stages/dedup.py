@@ -29,33 +29,52 @@ def content_hash(df: pd.DataFrame, col: str) -> pd.Series:
     return pd.util.hash_pandas_object(df[col], index=False)
 
 
-def exact_dedup(ds: rd.Dataset, col: str, id_col: str) -> rd.Dataset:
+def exact_dedup(ds: rd.Dataset, col: str, id_col: str, *,
+                with_counts: bool = False,
+                exchange: str = "shuffle") -> rd.Dataset:
     """Keep the min-``id_col`` row per distinct ``col`` value.
 
     Hash-partition + per-group first (SURVEY.md 'Deduplication' item):
-    stage 1 drops in-batch duplicates (partial combine), stage 2 groups
-    by the 64-bit content hash and resolves exact equality *within* the
-    group (collisions cannot merge distinct values).
+    stage 1 drops in-batch duplicates (partial combine, grouped on the
+    64-bit content hash AND the exact value so a hash collision can
+    never merge distinct values), stage 2 shuffles on the hash only —
+    the full ``col`` payload is never a shuffle key — and resolves
+    exact equality *within* the group.
+
+    ``with_counts=True`` appends ``n_copies`` (total duplicate count per
+    kept row).  ``exchange`` defaults to ``"shuffle"``: the distinct-key
+    set of a corpus-wide dedup is unbounded and must never coalesce to a
+    single block.
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__h"] = content_hash(df, col)
-        return df.sort_values(id_col, kind="stable").groupby(
-            "__h", sort=False, as_index=False).first()
+        df = df.sort_values(id_col, kind="stable")
+        grouped = df.groupby(["__h", col], sort=False, as_index=False)
+        out = grouped.first()
+        out["__n"] = grouped.size()["size"].to_numpy()
+        return out
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.sort_values(id_col, kind="stable")
-            .groupby(col, sort=False, as_index=False)
-            .first()
-            .drop(columns="__h")
-        )
+        g = group.sort_values(id_col, kind="stable")
+        counts = g.groupby(col, sort=False)["__n"].sum()
+        out = (g.drop(columns="__n")
+               .groupby(col, sort=False, as_index=False).first())
+        out["__n"] = counts.to_numpy()  # same first-occurrence order
+        return out.drop(columns="__h")
 
     from ..functions.agg import bucketed_group_map
 
-    return bucketed_group_map(
-        ds.map_batches(partial, batch_format="pandas"), ["__h"], final)
+    out = bucketed_group_map(
+        ds.map_batches(partial, batch_format="pandas"), ["__h"], final,
+        exchange=exchange)
+    if with_counts:
+        return out.map_batches(
+            lambda df: df.rename(columns={"__n": "n_copies"}),
+            batch_format="pandas")
+    return out.map_batches(lambda df: df.drop(columns="__n"),
+                           batch_format="pandas")
 
 
 # ------------------------------------------------------------------ MinHash
@@ -202,7 +221,8 @@ class MinHasher:
 def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
                           sig_col: str = "minhash_sig",
                           jaccard_threshold: float = 0.9,
-                          num_bands: int = 8) -> rd.Dataset:
+                          num_bands: int = 8,
+                          num_perm: int | None = None) -> rd.Dataset:
     """Near-dup pairs from PRE-COMPUTED MinHash signatures (e.g. the
     ``minhash_sig`` column the extraction pass emits).
 
@@ -211,31 +231,57 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
     1. candidate generation over SKINNY rows ``(id, band, band_hash)``
        (~25 bytes/row): bucket-group with a vectorized singleton
        prefilter, all-pairs within colliding buckets;
-    2. verification: only the ids that appear in candidate pairs have
-       their signatures fetched (broadcast semi-join filter) and the
-       estimated Jaccard computed.  Candidates are rare by construction
-       (real near-dups + band collisions); at a scale where they are
-       not, phase 2 becomes a distributed hash join on id instead of a
-       driver gather.
+    2. verification as a DISTRIBUTED semi-join: only the candidate
+       *ids* (two skinny values per pair) are ever collected; the
+       signature table is filtered against the broadcast id set
+       (``pc.is_in``), then attached to the pairs with two partitioned
+       hash joins (coarse-bucket exchange + vectorized pandas merge per
+       bucket, ``functions/agg.py bucketed_apply``) and the estimated
+       Jaccard is computed vectorized per batch.  No signature or text
+       payload ever lands on the driver.
+
+    Rows whose signature is empty or has a length different from
+    ``num_perm`` (legacy-schema ingest emits ``[]``) are dropped before
+    banding; ``num_perm=None`` infers the modal length per batch.
     """
     import ray
 
     from ..functions.agg import bucketed_group_map, hash_aggregate
 
+    pc_ = pa.compute
+
     def band_rows(t: pa.Table) -> pa.Table:
         sigs_col = t.column(sig_col)
         if isinstance(sigs_col, pa.ChunkedArray):
             sigs_col = sigs_col.combine_chunks()
+        empty = pa.table({id_col: t.column(id_col).slice(0, 0),
+                          "band": pa.array([], pa.int32()),
+                          "band_hash": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # validate: drop empty / ragged signatures before banding
+        lens = pc_.coalesce(pc_.list_value_length(sigs_col),
+                            pa.scalar(0, pa.int32())).to_numpy()
+        p = num_perm
+        if p is None:
+            nonzero = lens[lens > 0]
+            if not len(nonzero):
+                return empty
+            vals, counts = np.unique(nonzero, return_counts=True)
+            p = int(vals[counts.argmax()])  # modal length
+        keep = lens == p
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            sigs_col = t.column(sig_col)
+            if isinstance(sigs_col, pa.ChunkedArray):
+                sigs_col = sigs_col.combine_chunks()
         n = t.num_rows
-        if n == 0:
-            return pa.table({id_col: t.column(id_col),
-                             "band": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64())})
-        num_perm = len(sigs_col[0])
-        r = num_perm // num_bands
+        if n == 0 or p < num_bands:
+            return empty
+        r = p // num_bands
         sigs = np.asarray(sigs_col.flatten().to_numpy(zero_copy_only=False),
-                          dtype=np.uint64).reshape(n, num_perm)  # u32 promotes
-        chunks = sigs.reshape(n, num_bands, r)
+                          dtype=np.uint64).reshape(n, p)  # u32 promotes
+        chunks = sigs[:, : num_bands * r].reshape(n, num_bands, r)
         bh = np.zeros((n, num_bands), dtype=np.uint64)
         for j in range(r):
             bh = bh ^ (chunks[:, :, j] * _SHINGLE_MIX[j % 3])
@@ -265,34 +311,134 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
     # corpora, and per-group Python must parallelize across buckets
     cands = bucketed_group_map(rows, ["band", "band_hash"], all_pairs,
                                min_group_size=2, exchange="shuffle")
-    cands = hash_aggregate(cands, ["id_a", "id_b"], [("id_a", "count")])
-    cand_df = cands.to_pandas()
-    if cand_df.empty:
+    cands = hash_aggregate(cands, ["id_a", "id_b"], [("id_a", "count")],
+                           exchange="shuffle").materialize()
+
+    def _empty() -> rd.Dataset:
         return ray.data.from_pandas(
             pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
 
-    involved = set(cand_df["id_a"]) | set(cand_df["id_b"])
-    inv_ref = ray.put(involved)
+    # collect ONLY the candidate ids (skinny) for the semi-join filter
+    involved: set = set()
+    for b in cands.iter_batches(batch_format="pyarrow", batch_size=65536):
+        involved.update(b.column("id_a").to_pylist())
+        involved.update(b.column("id_b").to_pylist())
+    if not involved:
+        return _empty()
+    inv_ref = ray.put(pa.array(sorted(involved)))
 
-    def gather(t: pa.Table) -> pa.Table:
-        inv = ray.get(inv_ref)
-        keep = [x in inv for x in t.column(id_col).to_pylist()]
-        return t.filter(pa.array(keep))
+    def sig_side(out_sig: str, extra_nulls: list[str]):
+        # The signature rides through the exchange as a binary blob
+        # (uint64 LE), encoded/decoded with vectorized numpy: list
+        # payloads through joins hit Arrow tensor/ join-type limits.
+        def fn(t: pa.Table) -> pa.Table:
+            inv = ray.get(inv_ref)
+            t = t.filter(pc_.is_in(t.column(id_col), value_set=inv))
+            sigs = t.column(sig_col)
+            if isinstance(sigs, pa.ChunkedArray):
+                sigs = sigs.combine_chunks()
+            n = t.num_rows
+            if n == 0:
+                blob = pa.array([], type=pa.large_binary())
+            else:
+                flat = np.asarray(
+                    sigs.flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.uint64)
+                lens = pc_.coalesce(
+                    pc_.list_value_length(sigs),
+                    pa.scalar(0, pa.int32())).to_numpy().astype(np.int64)
+                offs = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens * 8, out=offs[1:])
+                blob = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(), len(lens),
+                    [None, pa.py_buffer(offs.tobytes()),
+                     pa.py_buffer(flat.tobytes())])
+            cols = {"__key": t.column(id_col)}
+            for c in extra_nulls:
+                cols[c] = (pa.nulls(n, t.column(id_col).type)
+                           if c.startswith("id_")
+                           else pa.nulls(n, pa.large_binary()))
+            cols[out_sig] = blob
+            return pa.table(cols)
+        return fn
 
-    sig_tbl = pa.concat_tables(
-        sig_ds.map_batches(gather, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=65536))
-    sig_map = {i: np.asarray(s, dtype=np.uint64)
-               for i, s in zip(sig_tbl.column(id_col).to_pylist(),
-                               sig_tbl.column(sig_col).to_pylist())}
-    jac = np.array([
-        float((sig_map[a] == sig_map[b]).mean())
-        for a, b in zip(cand_df["id_a"], cand_df["id_b"])])
-    out = cand_df.loc[jac >= jaccard_threshold, ["id_a", "id_b"]].copy()
-    out["jaccard"] = jac[jac >= jaccard_threshold]
-    return ray.data.from_pandas(out.reset_index(drop=True)) if len(out) else \
-        ray.data.from_pandas(pd.DataFrame({"id_a": [], "id_b": [],
-                                           "jaccard": []}))
+    def pair_side(key_from: str, carry: list[str], out_sig: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {"__key": t.column(key_from)}
+            for c in carry:
+                col = t.column(c)
+                if pa.types.is_binary(col.type):
+                    col = col.cast(pa.large_binary())
+                cols[c] = col
+            cols[out_sig] = pa.nulls(t.num_rows, pa.large_binary())
+            return pa.table(cols)
+        return fn
+
+    def make_merge(out_sig: str, out_cols: list[str]):
+        # per-bucket vectorized hash join (pandas C merge): rows with a
+        # null id_a are the signature side, the rest are pair rows
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            is_sig = df["id_a"].isna()
+            sigs = df.loc[is_sig, ["__key", out_sig]]
+            pairs = df.loc[~is_sig].drop(columns=[out_sig])
+            return pairs.merge(sigs, on="__key")[out_cols]
+        return merge
+
+    # round 1: attach sig_a by bucketing on id_a; round 2: same on id_b.
+    # This is a partitioned hash join built on the engine's coarse-bucket
+    # exchange (single int shuffle key, vectorized merge per bucket) —
+    # the distributed-join scale path with no driver gather.
+    from ..functions.agg import bucketed_apply
+
+    r1 = cands.map_batches(
+        pair_side("id_a", ["id_a", "id_b"], "sig_a"),
+        batch_format="pyarrow").union(
+        sig_ds.map_batches(sig_side("sig_a", ["id_a", "id_b"]),
+                           batch_format="pyarrow"))
+    r1 = bucketed_apply(r1, ["__key"],
+                        make_merge("sig_a", ["id_a", "id_b", "sig_a"]))
+    r2 = r1.map_batches(
+        pair_side("id_b", ["id_a", "id_b", "sig_a"], "sig_b"),
+        batch_format="pyarrow").union(
+        sig_ds.map_batches(sig_side("sig_b", ["id_a", "id_b", "sig_a"]),
+                           batch_format="pyarrow"))
+    j = bucketed_apply(r2, ["__key"],
+                       make_merge("sig_b",
+                                  ["id_a", "id_b", "sig_a", "sig_b"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": t.column("id_a").slice(0, 0),
+                          "id_b": t.column("id_b").slice(0, 0),
+                          "jaccard": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        la = pc_.binary_length(t.column("sig_a")).to_numpy()
+        lb = pc_.binary_length(t.column("sig_b")).to_numpy()
+        nbytes = int(la.max())
+        ok = (la == nbytes) & (lb == nbytes) & (nbytes > 0)
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+        n = t.num_rows
+        if n == 0 or nbytes == 0:
+            return empty
+        p = nbytes // 8
+
+        def decode(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            raw = b"".join(col.to_pylist())
+            return np.frombuffer(raw, dtype=np.uint64).reshape(n, p)
+
+        jac = (decode(t.column("sig_a")) == decode(t.column("sig_b"))
+               ).mean(axis=1)
+        keep = jac >= jaccard_threshold
+        return pa.table({
+            "id_a": t.column("id_a").filter(pa.array(keep)),
+            "id_b": t.column("id_b").filter(pa.array(keep)),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def make_minhash_pair_verifier(id_col: str = "doc_id",
@@ -345,13 +491,16 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
                                "k_shingle": k_shingle},
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
     )
+    # shuffle exchange: LSH band buckets over a whole corpus never fit
+    # one block — scale-safe default (VERDICT r1 #4)
     pairs = bucketed_group_map(
         sigs, ["band", "band_hash"],
         make_minhash_pair_verifier(id_col=id_col,
                                    jaccard_threshold=jaccard_threshold),
-        min_group_size=2)
+        min_group_size=2, exchange="shuffle")
     return hash_aggregate(pairs, ["id_a", "id_b"], [("jaccard", "max")],
-                          rename={"jaccard_max": "jaccard"})
+                          rename={"jaccard_max": "jaccard"},
+                          exchange="shuffle")
 
 
 # ------------------------------------------------------------------ SimHash
@@ -443,9 +592,10 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
     from ..functions.agg import bucketed_group_map, hash_aggregate
 
     pairs = bucketed_group_map(sigs, ["band", "band_key"], verify,
-                               min_group_size=2)
+                               min_group_size=2, exchange="shuffle")
     return hash_aggregate(pairs, ["id_a", "id_b"], [("hamming", "min")],
-                          rename={"hamming_min": "hamming"})
+                          rename={"hamming_min": "hamming"},
+                          exchange="shuffle")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

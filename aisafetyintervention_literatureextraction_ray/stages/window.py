@@ -35,7 +35,7 @@ def tumbling_window(events: rd.Dataset, key_col: str, ts_col: str,
 
 def sessionize(events: rd.Dataset, *, key_col: str = "user_id",
                ts_col: str = "ts", gap: pd.Timedelta | str = "30min",
-               exchange: str = "coalesce") -> rd.Dataset:
+               exchange: str = "shuffle") -> rd.Dataset:
     """Session windows: a new session starts when the gap since the
     previous event of the same key exceeds ``gap``.
 

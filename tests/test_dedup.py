@@ -84,3 +84,34 @@ def test_simhash_determinism():
 def test_ngram_jaccard_bounds():
     assert ngram_jaccard(BASE, BASE) == 1.0
     assert ngram_jaccard(BASE, "completely different words here") == 0.0
+
+
+def test_pairs_from_signatures_distributed_join():
+    """Planted dup is found via the band -> semi-join -> Dataset.join
+    verify path; empty and ragged signatures are dropped, not fatal."""
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        MinHasher,
+        pairs_from_signatures,
+    )
+
+    mh = MinHasher(num_perm=32, num_bands=8)
+    texts = {f"u{i:02d}": " ".join(f"w{i}_{j}" for j in range(40))
+             for i in range(20)}
+    texts["dup_a"] = BASE
+    texts["dup_b"] = BASE
+    ids = sorted(texts)
+    sigs = mh.signatures([texts[i] for i in ids])
+    # low 32 bits, as the extraction pass stores them (equality preserved)
+    rows = [{"doc_id": i, "minhash_sig": [int(x) & 0xFFFFFFFF for x in s]}
+            for i, s in zip(ids, sigs)]
+    rows.append({"doc_id": "legacy_empty", "minhash_sig": []})
+    rows.append({"doc_id": "ragged", "minhash_sig": [1, 2, 3]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = pairs_from_signatures(ds, jaccard_threshold=0.9,
+                                num_bands=8).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert ("dup_a", "dup_b") in got
+    assert out.set_index(["id_a", "id_b"]).loc[("dup_a", "dup_b"),
+                                               "jaccard"] == 1.0
+    flat = {x for p in got for x in p}
+    assert "legacy_empty" not in flat and "ragged" not in flat
