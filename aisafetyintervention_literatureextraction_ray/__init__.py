@@ -51,4 +51,26 @@ def _shim_fsspec_http() -> None:
         pass
 
 
+def _silence_schema_hash_noise() -> None:
+    """Drop Ray Data's "Failed to hash the schemas (for deduplication)"
+    log line.
+
+    ``transform_pyarrow.unify_schemas`` tries ``set(schemas)`` as a
+    fast-path and logs a WARNING whenever a schema is unhashable — which
+    is every schema carrying pandas footer metadata (any parquet written
+    by pandas), on every block merge.  The warning is informational
+    (unification proceeds on the slow path), but it floods worker logs
+    and buries real regressions; filter exactly that message.
+    """
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Drop())
+
+
 _shim_fsspec_http()
+_silence_schema_hash_noise()

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 SPAN_TYPE = pa.struct(
     [
-        pa.field("kind", pa.string()),       # "text" | "image" | "audio"
+        pa.field("kind", pa.string()),       # "text" | "image" | "audio" | "pdf"
         pa.field("text", pa.string()),       # prose for kind=text, "" otherwise
         pa.field("media_ref", pa.string()),  # "" for text; "media://<doc>/<i>"
         pa.field("offset", pa.int32()),      # 0-based position within doc
@@ -92,6 +92,11 @@ EXTRACTION_SCHEMA = pa.schema(
         # the same extraction pass (training pipelines dedup at ingest;
         # one scan produces both the KG structures and the dedup sketch).
         pa.field("minhash_sig", pa.list_(pa.uint32())),
+        # S4: the extractor's full raw structured output as JSON, persisted
+        # per partition BEFORE any downstream parsing — the analogue of the
+        # reference's per-paper raw-response dump (extract.py:77-80).
+        # Downstream stages never read it (every re-read prunes columns).
+        pa.field("raw_response", pa.string()),
     ]
 )
 

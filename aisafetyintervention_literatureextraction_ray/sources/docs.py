@@ -25,7 +25,7 @@ import ray.data as rd
 
 from ..fixtures import _fact_sentence
 from ..gazetteer import RULES
-from ..schemas import DOCS_SCHEMA
+from ..schemas import DOCS_SCHEMA, SPAN_TYPE
 
 _N_RULES = len(RULES)
 _CHUNK_WORDS = 12
@@ -46,41 +46,65 @@ def _facts_for(doc_id: int, seed: int) -> tuple[list[int], np.random.Generator]:
 
 
 def _interleave_batch(batch: pa.Table, seed: int) -> pa.Table:
+    """Flat-column span assembly: per-doc work is only the seeded rng
+    draws and string chunking (the fixture contract — golden replay
+    depends on the exact draw sequence); the nested spans column is
+    built ONCE per batch from flat arrays (``StructArray`` +
+    ``ListArray.from_arrays``), never via per-row pylist dicts."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    rows = []
-    for did, text in zip(ids, texts):
+    n = len(ids)
+    kinds: list[str] = []
+    span_texts: list[str] = []
+    media_refs: list[str] = []
+    span_pos: list[int] = []
+    list_offsets = np.empty(n + 1, dtype=np.int32)
+    list_offsets[0] = 0
+    doc_ids = []
+    titles = []
+    for row, (did, text) in enumerate(zip(ids, texts)):
         fact_idx, rng = _facts_for(int(did), seed)
         words = (text or "").split()
         chunks = [
             " ".join(words[i: i + _CHUNK_WORDS])
             for i in range(0, min(len(words), _CHUNK_WORDS * _MAX_CHUNKS), _CHUNK_WORDS)
         ] or [""]
-        sentences = [("text", c + ".") for c in chunks]
-        sentences += [("fact", _fact_sentence(i, rng)) for i in fact_idx]
+        sentences = [c + "." for c in chunks]
+        sentences += [_fact_sentence(i, rng) for i in fact_idx]
+        n_text = len(sentences)
         n_media = int(rng.integers(0, 3))
-        sentences += [("media", "")] * n_media
-        order = rng.permutation(len(sentences))
+        order = rng.permutation(n_text + n_media)
         doc_id = f"doc_{int(did):08d}"
-        spans = []
         for offset, j in enumerate(order):
-            kind, t = sentences[int(j)]
-            if kind == "media":
-                spans.append({"kind": "image", "text": "",
-                              "media_ref": f"media://{doc_id}/{offset}",
-                              "offset": offset})
+            j = int(j)
+            if j < n_text:
+                kinds.append("text")
+                span_texts.append(sentences[j])
+                media_refs.append("")
             else:
-                spans.append({"kind": "text", "text": t, "media_ref": "",
-                              "offset": offset})
-        rows.append({
-            "doc_id": doc_id,
-            "spans": spans,
-            "title": f"document {did}",
-            "authors": ["unknown"],
-            "date_published": "unknown",
-            "url": "",
-        })
-    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+                kinds.append("image")
+                span_texts.append("")
+                media_refs.append(f"media://{doc_id}/{offset}")
+            span_pos.append(offset)
+        list_offsets[row + 1] = list_offsets[row] + n_text + n_media
+        doc_ids.append(doc_id)
+        titles.append(f"document {did}")
+    span_values = pa.StructArray.from_arrays(
+        [pa.array(kinds, type=pa.string()),
+         pa.array(span_texts, type=pa.string()),
+         pa.array(media_refs, type=pa.string()),
+         pa.array(span_pos, type=pa.int32())],
+        fields=list(SPAN_TYPE))
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets), span_values)
+    authors = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32)),
+        pa.array(["unknown"] * n, type=pa.string()))
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, type=pa.string()), spans,
+         pa.array(titles, type=pa.string()), authors,
+         pa.array(["unknown"] * n, type=pa.string()),
+         pa.array([""] * n, type=pa.string())],
+        schema=DOCS_SCHEMA)
 
 
 def interleave_from_documents(sf_dir: str, seed: int = 42) -> rd.Dataset:

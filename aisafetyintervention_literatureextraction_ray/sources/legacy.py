@@ -75,6 +75,9 @@ def legacy_record_to_extraction(paper_id: str, record: dict) -> dict:
         "logical_chains": [{"title": f"legacy extraction {paper_id}",
                             "edges": edges}] if edges else [],
         "minhash_sig": [],
+        # S4: the legacy record itself IS the raw pre-parse artifact
+        "raw_response": json.dumps(record, sort_keys=True,
+                                   separators=(",", ":")),
     }
 
 

@@ -209,12 +209,19 @@ class TripleExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "full_text" not in batch.column_names:
             batch = assemble_full_text(batch)
+        import json
+
         texts = batch.column("full_text").to_pylist()
-        nodes_col, chains_col = [], []
+        nodes_col, chains_col, raw_col = [], [], []
         for text in texts:
             nodes, chains = self._extract_one(text or "")
             nodes_col.append(nodes)
             chains_col.append(chains)
+            # S4: the raw structured response, serialized before any
+            # downstream parsing/validation (extract.py:77-80 analogue)
+            raw_col.append(json.dumps(
+                {"nodes": nodes, "logical_chains": chains},
+                sort_keys=True, separators=(",", ":")))
         sigs = self.minhasher.signatures([t or "" for t in texts])
         n, p = sigs.shape if len(texts) else (0, self.minhasher.num_perm)
         # store the low 32 bits: equality (all the banding/estimation
@@ -232,6 +239,7 @@ class TripleExtractor:
                     chains_col, type=EXTRACTION_SCHEMA.field("logical_chains").type
                 ),
                 "minhash_sig": sig_col,
+                "raw_response": pa.array(raw_col, type=pa.string()),
             }
         )
         return cast_batch(out, EXTRACTION_SCHEMA)

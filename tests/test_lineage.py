@@ -105,3 +105,21 @@ def test_full_run_idempotent(run_dir):
     assert r1["n_triples"] == r2["n_triples"]
     assert r1["graph"]["n_nodes"] == r2["graph"]["n_nodes"]
     assert r1["graph"]["n_edges"] == r2["graph"]["n_edges"]
+
+
+def test_raw_response_persisted_per_partition(run_dir):
+    """S4: every extraction partition carries the raw pre-parse JSON
+    artifact, and it round-trips to the parsed columns."""
+    import json
+
+    run_partitioned_extraction(make_part, P, run_dir, concurrency=(1, 2))
+    for pid in range(P):
+        t = pads.dataset(Path(run_dir) / "extractions" / f"part={pid}").to_table(
+            columns=["doc_id", "nodes", "logical_chains", "raw_response"])
+        assert t.num_rows == N_DOCS // P
+        assert t.column("raw_response").null_count == 0
+        raw = json.loads(t.column("raw_response").to_pylist()[0])
+        assert set(raw) == {"nodes", "logical_chains"}
+        # raw is the same structure the parsed columns hold
+        assert [n["name"] for n in raw["nodes"]] == [
+            n["name"] for n in t.column("nodes").to_pylist()[0]]

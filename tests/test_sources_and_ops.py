@@ -150,3 +150,38 @@ def test_mentions_provenance():
     assert set(mentions["node_id"]) <= set(nmap.values())
     total_mentions = sum(len(ns) for ns in extr.to_pandas()["nodes"])
     assert len(mentions) == total_mentions
+
+
+def test_pdf_dir_source_roundtrip(tmp_path):
+    """S1/P1: sorted glob + first_n cap; stub extraction recovers the
+    planted text; extraction finds the planted fact (extract.py:32-35)."""
+    import pyarrow as pa
+
+    from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+        extract_pipeline,
+        triples_from_extractions,
+    )
+    from aisafetyintervention_literatureextraction_ray.schemas import DOCS_SCHEMA
+    from aisafetyintervention_literatureextraction_ray.sources.pdf import (
+        read_pdf_dir,
+        write_stub_pdf,
+    )
+
+    for i in range(5):
+        write_stub_pdf(tmp_path / f"paper_{i}.pdf",
+                       f"filler text {i}. reward hacking is mitigated by rlhf.")
+    ds = read_pdf_dir(tmp_path, first_n=3, concurrency=1)
+    t = pa.Table.from_pandas(ds.to_pandas(), schema=DOCS_SCHEMA)
+    # the sorted listing + first_n cap is deterministic (which files are
+    # selected); row arrival order is not a Dataset contract
+    assert sorted(t.column("doc_id").to_pylist()) == [
+        "paper_0", "paper_1", "paper_2"]
+    spans = t.column("spans").to_pylist()
+    assert all(s[0]["kind"] == "text" and s[1]["kind"] == "pdf" for s in spans)
+    assert all("reward hacking" in s[0]["text"] for s in spans)
+    assert all(s[1]["media_ref"].startswith("file://") for s in spans)
+
+    tri = triples_from_extractions(
+        extract_pipeline(read_pdf_dir(tmp_path), concurrency=1)).to_pandas()
+    assert len(tri) == 5  # one planted fact per pdf
+    assert set(tri["pred"]) == {"mitigated_by"}
