@@ -561,6 +561,40 @@ def kg_mentions(sf_dir: str):
     return build_mentions(triples, nmap).to_pandas()
 
 
+_CYPHER_ESC = ("replace(replace(coalesce({col}, ''), chr(92), "
+                "chr(92) || chr(92)), chr(39), chr(92) || chr(39))")
+
+
+@query(
+    "kg_cypher_export",
+    f"""
+    WITH nodes AS (
+      SELECT node_id, type, MIN(name) AS name,
+             MIN(description) AS description
+      FROM read_parquet('{_KG_ORACLE_DIR}/node_mentions/*.parquet')
+      GROUP BY node_id, type)
+    SELECT 'MERGE (n:' || upper(type) || ' {{id: ' || chr(39)
+           || {_CYPHER_ESC.format(col='node_id')} || chr(39)
+           || '}}) SET n.name = ' || chr(39)
+           || {_CYPHER_ESC.format(col='name')} || chr(39)
+           || ', n.description = ' || chr(39)
+           || {_CYPHER_ESC.format(col='description')} || chr(39)
+           || ';' AS stmt
+    FROM nodes
+    """,
+)
+def kg_cypher_export(sf_dir: str):
+    """Graph export sink (P5): node MERGE statements, oracle-checked by
+    reconstructing the identical strings (escaping included) in SQL."""
+    from .pipelines.graph_build import build_nodes
+    from .sinks import _node_stmts
+
+    out = _materialize_kg_inputs(sf_dir)
+    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
+    nodes = build_nodes(extr)
+    return nodes.map_batches(_node_stmts, batch_format="pyarrow").to_pandas()
+
+
 # ---------------------------------------------------------------- ANN / similarity
 @query(
     "knn_bruteforce",

@@ -118,13 +118,27 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str],
 def bucketed_apply(ds: rd.Dataset, keys: list[str],
                    fn: Callable[[pd.DataFrame], pd.DataFrame],
                    *, num_buckets: int | None = None,
-                   batch_format: str = "pandas") -> rd.Dataset:
+                   batch_format: str = "pandas",
+                   exchange: str = "shuffle") -> rd.Dataset:
     """Hash rows into coarse buckets on ``keys``, shuffle via Ray's
     groupby on the single int bucket key, and apply ``fn`` ONCE per
     bucket (not per key group).  All rows sharing a key land in the same
     bucket, so ``fn`` can implement co-grouped semantics vectorized —
     this is the primitive behind the engine's partitioned hash join
-    (``stages/dedup.py pairs_from_signatures``)."""
+    (``stages/dedup.py pairs_from_signatures``).
+
+    ``exchange="coalesce"`` skips the groupby machinery and applies
+    ``fn`` to everything as one block inside a worker task (NOT on the
+    driver) — for callers that have MEASURED the data to be small
+    (e.g. candidate-sized); the shuffle path is the default.
+    """
+    if exchange == "coalesce":
+        def run_all(df):
+            return fn(df)
+
+        return ds.repartition(1).map_batches(
+            run_all, batch_format=batch_format, batch_size=None)
+
     if num_buckets is None:
         num_buckets = default_num_buckets()
 

@@ -305,6 +305,10 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
+    # the skinny (id, signature) projection is consumed three times
+    # (band scan + the two join sides); pin it in the object store
+    # instead of re-executing the upstream read per consumer.
+    sig_ds = sig_ds.materialize()
     rows = sig_ds.map_batches(band_rows, batch_format="pyarrow",
                               batch_size=8192)
     # shuffle exchange: band collisions can be numerous on homogeneous
@@ -327,13 +331,21 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
         return _empty()
     inv_ref = ray.put(pa.array(sorted(involved)))
 
+    def semi_filter(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        return t.filter(pc_.is_in(t.column(id_col), value_set=inv))
+
+    # one pass filters the signatures down to the candidate ids; the
+    # result is candidate-sized (tiny), so both join sides read it from
+    # the object store instead of re-scanning the corpus.
+    sigs_small = sig_ds.map_batches(semi_filter,
+                                    batch_format="pyarrow").materialize()
+
     def sig_side(out_sig: str, extra_nulls: list[str]):
         # The signature rides through the exchange as a binary blob
         # (uint64 LE), encoded/decoded with vectorized numpy: list
         # payloads through joins hit Arrow tensor/ join-type limits.
         def fn(t: pa.Table) -> pa.Table:
-            inv = ray.get(inv_ref)
-            t = t.filter(pc_.is_in(t.column(id_col), value_set=inv))
             sigs = t.column(sig_col)
             if isinstance(sigs, pa.ChunkedArray):
                 sigs = sigs.combine_chunks()
@@ -390,21 +402,28 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
     # the distributed-join scale path with no driver gather.
     from ..functions.agg import bucketed_apply
 
+    # candidate cardinality is MEASURED (the involved-id pass above), so
+    # the attach exchange is chosen from it: candidate sets that fit a
+    # block merge in one worker task; larger ones take the bucketed
+    # shuffle.  Never driver-side either way.
+    exch = "coalesce" if len(involved) <= 250_000 else "shuffle"
     r1 = cands.map_batches(
         pair_side("id_a", ["id_a", "id_b"], "sig_a"),
         batch_format="pyarrow").union(
-        sig_ds.map_batches(sig_side("sig_a", ["id_a", "id_b"]),
-                           batch_format="pyarrow"))
+        sigs_small.map_batches(sig_side("sig_a", ["id_a", "id_b"]),
+                               batch_format="pyarrow"))
     r1 = bucketed_apply(r1, ["__key"],
-                        make_merge("sig_a", ["id_a", "id_b", "sig_a"]))
+                        make_merge("sig_a", ["id_a", "id_b", "sig_a"]),
+                        exchange=exch)
     r2 = r1.map_batches(
         pair_side("id_b", ["id_a", "id_b", "sig_a"], "sig_b"),
         batch_format="pyarrow").union(
-        sig_ds.map_batches(sig_side("sig_b", ["id_a", "id_b", "sig_a"]),
-                           batch_format="pyarrow"))
+        sigs_small.map_batches(sig_side("sig_b", ["id_a", "id_b", "sig_a"]),
+                               batch_format="pyarrow"))
     j = bucketed_apply(r2, ["__key"],
                        make_merge("sig_b",
-                                  ["id_a", "id_b", "sig_a", "sig_b"]))
+                                  ["id_a", "id_b", "sig_a", "sig_b"]),
+                       exchange=exch)
 
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": t.column("id_a").slice(0, 0),
