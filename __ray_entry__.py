@@ -41,4 +41,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from aisafetyintervention_literatureextraction_ray import driver_queries
 
+    # The kg_* oracles read flat extraction products from a parquet
+    # path the corresponding queries materialize.  Materialize for the
+    # driver's correctness sf here as well, so the oracles are valid
+    # regardless of whether the driver evaluates SQL before or after
+    # the Ray queries.  Best-effort: skip silently when Ray is not up
+    # or the testdata is absent.
+    try:
+        import os
+
+        import ray
+
+        if ray.is_initialized() and os.path.isdir("/root/testdata/sf0.01"):
+            driver_queries._materialize_kg_inputs("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return driver_queries.ORACLE_SQL

@@ -377,6 +377,64 @@ def events_sessionize(sf_dir: str):
 
 
 @query(
+    "events_sliding_window",
+    """
+    SELECT event_type, window_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM (SELECT event_type, value,
+                 date_trunc('hour', ts) + k * INTERVAL 1 HOUR AS window_end
+          FROM events CROSS JOIN (SELECT unnest(range(3)) AS k))
+    GROUP BY event_type, window_end
+    """,
+)
+def events_sliding_window(sf_dir: str):
+    """Sliding (hopping) 3-hour window per event type — replication +
+    two-stage reduce, no sort/range join (stages/window.py)."""
+    from .stages.window import sliding_window
+
+    out = sliding_window(
+        _pq(sf_dir, "events", ["event_type", "ts", "value"]),
+        "event_type", "ts", "value", width=3, freq="h").to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["event_type", "window_end", "n_events", "sum_value"]]
+
+
+@query(
+    "events_asof_orders",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_order_price
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.event_type, o.last_order_price
+    FROM events e ASOF LEFT JOIN o2 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def events_asof_orders(sf_dir: str):
+    """Backward as-of join: each event picks the customer's most recent
+    order at-or-before the event time (co-grouped bucketed exchange +
+    per-bucket vectorized merge_asof; DuckDB ASOF JOIN oracle)."""
+    from .functions.agg import hash_aggregate
+    from .stages.window import asof_join
+
+    events = _pq(sf_dir, "events",
+                 ["event_id", "user_id", "event_type", "ts"])
+    orders = hash_aggregate(
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        ["o_custkey", "o_orderdate"], [("o_totalprice", "max")],
+        rename={"o_totalprice_max": "last_order_price"},
+        exchange="shuffle")
+    out = asof_join(events, orders, by_left="user_id", by_right="o_custkey",
+                    on_left="ts", on_right="o_orderdate",
+                    right_value_cols=["last_order_price"]).to_pandas()
+    # left ints pick up NaN-capable float dtype through the unioned
+    # exchange; they are never null on the left side — cast back
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out[["event_id", "user_id", "event_type", "last_order_price"]]
+
+
+@query(
     "ard_roundtrip",
     """
     SELECT printf('record_%d', doc_id) AS doc_id, n_chars

@@ -33,6 +33,101 @@ def tumbling_window(events: rd.Dataset, key_col: str, ts_col: str,
     )
 
 
+def sliding_window(events: rd.Dataset, key_col: str, ts_col: str,
+                   value_col: str, *, width: int = 3,
+                   freq: str = "h") -> rd.Dataset:
+    """Sliding (hopping) event-time window: window ``W`` aggregates the
+    trailing ``width`` buckets ending at ``W`` (hop = 1 bucket).
+
+    Implemented replication-side (each event contributes one row per
+    window it falls in — ``width`` skinny rows), then the standard
+    two-stage keyed reduce; no sort, no range join."""
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        base = df[ts_col].dt.floor(freq)
+        n = len(df)
+        step_ns = pd.tseries.frequencies.to_offset(freq).nanos
+        offs = (np.tile(np.arange(width), n)
+                * np.timedelta64(step_ns, "ns"))
+        return pd.DataFrame({
+            key_col: np.repeat(df[key_col].to_numpy(), width),
+            "window_end": np.repeat(base.to_numpy(), width) + offs,
+            value_col: np.repeat(df[value_col].to_numpy(), width),
+        })
+
+    return hash_aggregate(
+        events.map_batches(replicate, batch_format="pandas",
+                           batch_size=65536),
+        [key_col, "window_end"],
+        [(value_col, "count"), (value_col, "sum")],
+        rename={f"{value_col}_count": "n_events",
+                f"{value_col}_sum": "sum_value"},
+    )
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, *,
+              by_left: str, by_right: str, on_left: str, on_right: str,
+              right_value_cols: list[str],
+              exchange: str = "shuffle") -> rd.Dataset:
+    """Backward inclusive as-of join: each left row gets the right row
+    with the largest ``on_right <= on_left`` within its ``by`` key
+    (``pd.merge_asof`` semantics; DuckDB ``ASOF LEFT JOIN`` equivalent).
+
+    Distributed as a co-grouped exchange: both sides are projected onto
+    one union schema (typed nulls for the other side's columns), hashed
+    on the ``by`` key into coarse buckets (``bucketed_apply``) and each
+    bucket runs a vectorized ``pd.merge_asof`` — the partitioning
+    assumption is only that one KEY's rows fit a bucket's share of the
+    heap, the standard keyed-shuffle contract.  Output = left columns +
+    ``right_value_cols`` (null where no right row precedes).
+    """
+    import pyarrow as pa
+
+    from ..functions.agg import bucketed_apply
+
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = [c for c in lschema.names]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def left_side(t: pa.Table) -> pa.Table:
+        cols = {"__key": t.column(by_left), "__ts": t.column(on_left)}
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        for c in right_value_cols:
+            cols[c] = pa.nulls(t.num_rows, rtypes[c])
+        cols["__side"] = pa.array([0] * t.num_rows, type=pa.int8())
+        return pa.table(cols)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        cols = {"__key": t.column(by_right).cast(ltypes[by_left]),
+                "__ts": t.column(on_right).cast(ltypes[on_left])}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, ltypes[c])
+        for c in right_value_cols:
+            cols[c] = t.column(c)
+        cols["__side"] = pa.array([1] * t.num_rows, type=pa.int8())
+        return pa.table(cols)
+
+    both = left.map_batches(left_side, batch_format="pyarrow").union(
+        right.map_batches(right_side, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = (df[df["__side"] == 0]
+               .drop(columns=["__side"] + right_value_cols)
+               .sort_values("__ts", kind="stable"))
+        rhs = (df[df["__side"] == 1][["__key", "__ts"] + right_value_cols]
+               .sort_values("__ts", kind="stable"))
+        out = pd.merge_asof(lhs, rhs, on="__ts", by="__key",
+                            direction="backward")
+        out = out.drop(columns=["__key", "__ts"])
+        return out.rename(columns={f"l_{c}": c for c in left_cols})
+
+    return bucketed_apply(both, ["__key"], merge, exchange=exchange)
+
+
 def sessionize(events: rd.Dataset, *, key_col: str = "user_id",
                ts_col: str = "ts", gap: pd.Timedelta | str = "30min",
                exchange: str = "shuffle") -> rd.Dataset:

@@ -185,3 +185,65 @@ def test_pdf_dir_source_roundtrip(tmp_path):
         extract_pipeline(read_pdf_dir(tmp_path), concurrency=1)).to_pandas()
     assert len(tri) == 5  # one planted fact per pdf
     assert set(tri["pred"]) == {"mitigated_by"}
+
+
+def test_sliding_window_matches_reference():
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 36_000, n), unit="s"),
+        "v": rng.random(n),
+    })
+    from aisafetyintervention_literatureextraction_ray.stages.window import (
+        sliding_window,
+    )
+
+    got = (sliding_window(rd.from_pandas(df), "k", "ts", "v",
+                          width=3, freq="h")
+           .to_pandas().sort_values(["k", "window_end"]).reset_index(drop=True))
+    # reference: each event counted in its own hour-bucket and the next 2
+    rows = []
+    for w in range(3):
+        t = df.copy()
+        t["window_end"] = t["ts"].dt.floor("h") + pd.Timedelta(hours=w)
+        rows.append(t)
+    exp = (pd.concat(rows).groupby(["k", "window_end"])
+           .agg(n_events=("v", "size"), sum_value=("v", "sum"))
+           .reset_index().sort_values(["k", "window_end"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"])
+
+
+def test_asof_join_matches_merge_asof():
+    rng = np.random.default_rng(6)
+    left = pd.DataFrame({
+        "id": np.arange(300),
+        "key": rng.integers(0, 10, 300),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, 300), unit="s"),
+    })
+    right = pd.DataFrame({
+        "key": rng.integers(0, 12, 80),
+        "rts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, 80), unit="s"),
+        "price": rng.random(80).round(3),
+    }).drop_duplicates(subset=["key", "rts"])
+    from aisafetyintervention_literatureextraction_ray.stages.window import (
+        asof_join,
+    )
+
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     by_left="key", by_right="key",
+                     on_left="ts", on_right="rts",
+                     right_value_cols=["price"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.rename(columns={"rts": "ts"})
+        .sort_values("ts"), on="ts", by="key",
+        direction="backward").sort_values("id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["price"].fillna(-1), exp["price"].fillna(-1))
