@@ -33,10 +33,11 @@ PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "4"))
 BENCH_QUERIES = [
     "pricing_summary", "top_revenue_parts", "customer_nation_rollup",
     "orders_by_segment", "exact_dedup_docs", "doc_token_stats",
-    "top_docs_by_chars", "events_hourly_window", "knn_bruteforce",
+    "top_docs_by_chars", "events_hourly_window", "events_sessionize",
+    "events_sliding_window", "events_asof_orders", "knn_bruteforce",
     "ann_ivf_topk", "minhash_neardup_pairs", "simhash_neardup_pairs",
     "embedding_neardup_pairs", "resume_antijoin", "lang_id_distribution",
-    "doc_quality_scores", "media_feature_extraction",
+    "doc_quality_scores", "media_feature_extraction", "pdf_ingest",
 ]
 
 
