@@ -1148,3 +1148,23 @@ def kg_edges(sf_dir: str):
     nmap = node_id_map(build_nodes(extr))
     triples = rd.read_parquet(f"{out}/triples")
     return build_edges(triples, nmap).to_pandas()
+
+
+@query("kg_edges_shuffle", ORACLE_SQL.get("kg_edges"))
+def kg_edges_shuffle(sf_dir: str):
+    """J1 SCALE path: the same edge table via fully distributed hash
+    joins (node index as a dataset, ``bucketed_join`` on name_norm) —
+    checked against the same DuckDB oracle as ``kg_edges``.
+
+    Note: the broadcast path resolves aliases too; the sf-derived
+    corpus has no alias-only endpoints, so both paths and the oracle
+    agree (the equivalence test in tests/test_graph_build.py covers
+    alias resolution explicitly).
+    """
+    from .pipelines.graph_build import build_edges_shuffle, build_nodes
+
+    out = _materialize_kg_inputs(sf_dir)
+    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
+    nodes = build_nodes(extr)
+    triples = rd.read_parquet(f"{out}/triples")
+    return build_edges_shuffle(triples, nodes).to_pandas()

@@ -160,6 +160,71 @@ def bucketed_apply(ds: rd.Dataset, keys: list[str],
     )
 
 
+def bucketed_join(left: rd.Dataset, right: rd.Dataset, *,
+                  left_key: str, right_key: str,
+                  right_value_cols: list[str], how: str = "inner",
+                  num_buckets: int | None = None,
+                  exchange: str = "shuffle",
+                  left_schema: pa.Schema | None = None,
+                  right_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Partitioned single-key equi-join on the coarse-bucket exchange.
+
+    Both sides are projected onto one union schema (typed nulls for the
+    other side's columns, types from ``Dataset.schema()``), hashed on
+    the key into ``num_buckets`` buckets, and merged per bucket with a
+    vectorized ``pd.merge`` — no Acero payload-type limits, no per-join
+    actor pools, never driver-side.  Output = left columns +
+    ``right_value_cols``.  The scale path for joins whose build side no
+    longer fits a broadcast (e.g. unbounded-vocabulary endpoint
+    resolution in the KG build).
+
+    Pass ``left_schema``/``right_schema`` when the side is a LAZY
+    pipeline: ``Dataset.schema()`` executes upstream stages to produce
+    a first block, which for shuffle-output datasets means running the
+    whole exchange once just to learn the schema.
+    """
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    if hasattr(lschema, "base_schema"):  # Ray Schema wrapper
+        lschema = lschema.base_schema
+    if hasattr(rschema, "base_schema"):
+        rschema = rschema.base_schema
+    left_cols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def left_side(t: pa.Table) -> pa.Table:
+        cols = {"__key": t.column(left_key)}
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        for c in right_value_cols:
+            cols[c] = pa.nulls(t.num_rows, rtypes[c])
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        cols = {"__key": t.column(right_key).cast(ltypes[left_key])}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, ltypes[c])
+        for c in right_value_cols:
+            cols[c] = t.column(c)
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(left_side, batch_format="pyarrow").union(
+        right.map_batches(right_side, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0].drop(columns=["__side"]
+                                         + right_value_cols)
+        rhs = df[df["__side"] == 1][["__key"] + right_value_cols]
+        out = lhs.merge(rhs, on="__key", how=how).drop(columns="__key")
+        return out.rename(columns={f"l_{c}": c for c in left_cols})
+
+    return bucketed_apply(both, ["__key"], merge, num_buckets=num_buckets,
+                          exchange=exchange)
+
+
 def bucketed_group_map(ds: rd.Dataset, keys: list[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame],
                        *, num_buckets: int | None = None,

@@ -218,6 +218,104 @@ def build_edges(triples: rd.Dataset, node_map: dict[str, str],
     )
 
 
+def node_index_dataset(nodes: rd.Dataset) -> rd.Dataset:
+    """The alias index as a DATASET ``(key, node_id)`` — the
+    unbounded-vocabulary form of ``build_alias_index``: every canonical
+    name and every alias resolves to its node, canonical names win over
+    aliases, residual collisions resolve to the min node_id.
+
+    Priority is encoded as a rank prefix on the node id ('0' canonical,
+    '1' alias) so one ``min`` aggregate implements the whole rule.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_aggregate
+
+    def _arr(x) -> pa.Array:
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def expand(t: pa.Table) -> pa.Table:
+        al = _arr(t.column("aliases"))
+        parent = pc.list_parent_indices(al)
+        alias_norm = _arr(normalize_names(al.flatten()))
+        alias_ids = _arr(pc.take(t.column("node_id"), parent))
+        n_canon, n_alias = t.num_rows, len(alias_ids)
+        key = pa.concat_arrays([_arr(t.column("name_norm")), alias_norm])
+        ids = pa.concat_arrays([_arr(t.column("node_id")), alias_ids])
+        rank = pa.array(["0"] * n_canon + ["1"] * n_alias)
+        tag = pc.binary_join_element_wise(rank, ids, "")
+        return pa.table({"key": key, "tag": tag})
+
+    idx = hash_aggregate(
+        nodes.select_columns(["name_norm", "node_id", "aliases"])
+        .map_batches(expand, batch_format="pyarrow"),
+        ["key"], [("tag", "min")], rename={"tag_min": "tag"},
+        exchange="shuffle")
+    return idx.map_batches(
+        lambda t: pa.table({"key": t.column("key"),
+                            "node_id": pc.utf8_slice_codeunits(
+                                t.column("tag"), 1)}),
+        batch_format="pyarrow")
+
+
+def build_edges_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
+                        *, num_buckets: int | None = None) -> rd.Dataset:
+    """Endpoint resolution as a DISTRIBUTED hash join (J1 scale path).
+
+    The broadcast path (``build_edges``) is correct while the canonical
+    node table fits the object store; at unbounded vocabulary the index
+    becomes a dataset (``node_index_dataset``) and resolution becomes
+    two partitioned joins on the normalized name — this function, built
+    on ``functions/agg.py::bucketed_join``.  Output is identical to the
+    broadcast path with the alias index (equivalence-tested).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import bucketed_join, hash_aggregate
+
+    idx = node_index_dataset(nodes).materialize()
+
+    def add_norms(t: pa.Table) -> pa.Table:
+        return (t.append_column("subj_norm",
+                                normalize_names(t.column("subj")))
+                .append_column("obj_norm", normalize_names(t.column("obj"))))
+
+    t2 = triples.select_columns(
+        ["doc_id", "subj", "pred", "obj", "description", "confidence"]
+    ).map_batches(add_norms, batch_format="pyarrow")
+    src_idx = idx.map_batches(
+        lambda t: t.rename_columns(["key", "src_id"]),
+        batch_format="pyarrow")
+    dst_idx = idx.map_batches(
+        lambda t: t.rename_columns(["key", "dst_id"]),
+        batch_format="pyarrow")
+    s = pa.string()
+    t2_schema = pa.schema([
+        ("doc_id", s), ("subj", s), ("pred", s), ("obj", s),
+        ("description", s), ("confidence", pa.int8()),
+        ("subj_norm", s), ("obj_norm", s)])
+    j = bucketed_join(t2, src_idx, left_key="subj_norm", right_key="key",
+                      right_value_cols=["src_id"], num_buckets=num_buckets,
+                      left_schema=t2_schema,
+                      right_schema=pa.schema([("key", s), ("src_id", s)]))
+    j = bucketed_join(j, dst_idx, left_key="obj_norm", right_key="key",
+                      right_value_cols=["dst_id"], num_buckets=num_buckets,
+                      left_schema=t2_schema.append(pa.field("src_id", s)),
+                      right_schema=pa.schema([("key", s), ("dst_id", s)]))
+    edges = hash_aggregate(
+        j, ["src_id", "pred", "dst_id"],
+        [("subj", "min"), ("obj", "min"), ("description", "min"),
+         ("confidence", "max"), ("doc_id", "count")],
+        rename={"subj_min": "subj", "obj_min": "obj",
+                "description_min": "description",
+                "confidence_max": "confidence",
+                "doc_id_count": "n_provenance"},
+        exchange="shuffle")
+    return edges.map_batches(
+        lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"
+    )
+
+
 def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
                              *, concurrency: int | tuple[int, int] = (1, 8)):
     """One endpoint-resolve pass feeding BOTH canonical edges (A3) and

@@ -84,3 +84,32 @@ def test_papers_distinct(built):
     extr_tbl, _, _, _ = built
     p = gb.papers(rd.from_arrow(extr_tbl)).to_pandas()
     assert sorted(p["doc_id"]) == sorted(extr_tbl.column("doc_id").to_pylist())
+
+
+def test_build_edges_shuffle_matches_broadcast():
+    """J1 scale path: distributed join endpoint resolution produces the
+    same edge table as the broadcast alias-index path."""
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.fixtures import make_corpus
+    from aisafetyintervention_literatureextraction_ray.pipelines import (
+        graph_build as gb,
+    )
+    from aisafetyintervention_literatureextraction_ray.pipelines.extraction import (
+        extract_pipeline,
+        triples_from_extractions,
+    )
+
+    docs, _ = make_corpus(60)
+    extr = extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2)).materialize()
+    nodes = gb.build_nodes(extr).materialize()
+    triples = triples_from_extractions(extr).materialize()
+
+    broadcast = gb.build_edges(triples, gb.build_alias_index(nodes)).to_pandas()
+    shuffle = gb.build_edges_shuffle(triples, nodes).to_pandas()
+    key = ["src_id", "pred", "dst_id"]
+    broadcast = broadcast.sort_values(key).reset_index(drop=True)
+    shuffle = shuffle.sort_values(key).reset_index(drop=True)
+    assert list(broadcast.columns) == list(shuffle.columns)
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(broadcast, shuffle)
