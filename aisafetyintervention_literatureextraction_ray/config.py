@@ -42,6 +42,7 @@ class PipelineConfig:
     num_partitions: int = 4
     max_inflight: int = 2
     resume: bool = True
+    max_block_mb: int | None = 64  # DataContext.target_max_block_size cap
     extraction: ExtractionConfig = field(default_factory=ExtractionConfig)
     canonicalization: CanonicalizationConfig = field(
         default_factory=CanonicalizationConfig)
@@ -74,4 +75,5 @@ def run_with_config(make_partition, out_dir: str,
         canon_dim=cfg.canonicalization.dim,
         neardup_jaccard_threshold=cfg.dedup.jaccard_threshold,
         neardup_num_bands=cfg.dedup.num_bands,
+        max_block_mb=cfg.max_block_mb,
     )

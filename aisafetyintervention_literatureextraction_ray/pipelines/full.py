@@ -47,6 +47,7 @@ def run_partitioned_extraction(
     batch_size: int = 256,
     max_inflight: int = 2,
     max_triples_per_doc: int | None = None,
+    max_block_mb: int | None = 64,
 ) -> dict:
     """Run extraction partition-by-partition with lineage checkpoints.
 
@@ -63,6 +64,16 @@ def run_partitioned_extraction(
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
+
+    if max_block_mb is not None:
+        # SURVEY §7.4 "very wide rows": spans lists + chains structs
+        # dominate block size; cap target blocks below Ray's 128 MB
+        # default so batch x actor-pool concurrency fits the worker
+        # heap (large-binary multimodal payloads need this even more).
+        from ray.data import DataContext
+
+        DataContext.get_current().target_max_block_size = (
+            max_block_mb * 1024 * 1024)
 
     out = Path(out_dir)
     manifest = Manifest(out)
@@ -227,13 +238,15 @@ def run_full(
     canon_dim: int | None = None,
     neardup_jaccard_threshold: float = 0.9,
     neardup_num_bands: int = 8,
+    max_block_mb: int | None = 64,
 ) -> dict:
     """Full pipeline; returns the metrics dict (triples/sec headline)."""
     t0 = time.time()
     ext = run_partitioned_extraction(
         make_partition, num_partitions, out_dir, resume=resume,
         concurrency=concurrency, batch_size=batch_size,
-        max_inflight=max_inflight, max_triples_per_doc=max_triples_per_doc)
+        max_inflight=max_inflight, max_triples_per_doc=max_triples_per_doc,
+        max_block_mb=max_block_mb)
     nd = (run_doc_neardup(out_dir,
                           jaccard_threshold=neardup_jaccard_threshold,
                           num_bands=neardup_num_bands)

@@ -32,8 +32,15 @@ def _row_valid(nodes, chains) -> bool:
             if not (n["intervention_maturity"] is not None
                     and 1 <= n["intervention_maturity"] <= 4):
                 return False
+        else:
+            # rubric fpp.py:234: concepts never carry intervention fields
+            if (n["intervention_lifecycle"] is not None
+                    or n["intervention_maturity"] is not None):
+                return False
         declared.add(n["name"])
     for chain in chains or []:
+        if not chain["edges"]:  # rubric: chains are non-empty
+            return False
         for e in chain["edges"] or []:
             if e["edge_confidence"] is None or not (1 <= e["edge_confidence"] <= 5):
                 return False

@@ -247,3 +247,27 @@ def test_asof_join_matches_merge_asof():
         direction="backward").sort_values("id").reset_index(drop=True)
     assert len(got) == len(exp)
     assert np.allclose(got["price"].fillna(-1), exp["price"].fillna(-1))
+
+
+def test_validator_rubric_checks(tmp_path):
+    """Rubric-derived assertions (SURVEY §5.4): concepts never carry
+    intervention fields; chains are non-empty."""
+    from aisafetyintervention_literatureextraction_ray.fixtures import make_corpus
+    from aisafetyintervention_literatureextraction_ray.stages.validate import (
+        validate_extractions,
+    )
+
+    docs, _ = make_corpus(10)
+    extr_tbl = pa.Table.from_pandas(
+        extract_pipeline(rd.from_arrow(docs), concurrency=(1, 2)).to_pandas())
+    rows = extr_tbl.to_pylist()
+    rows[0]["nodes"][0]["intervention_maturity"] = 2  # concept w/ maturity
+    if rows[0]["nodes"][0]["type"] == "intervention":
+        rows[0]["nodes"][0]["type"] = "concept"
+    rows[1]["logical_chains"].append({"title": "empty", "edges": []})
+    corrupted = pa.Table.from_pylist(rows, schema=extr_tbl.schema)
+    good = validate_extractions(rd.from_arrow(corrupted),
+                                quarantine_dir=str(tmp_path / "q")).to_pandas()
+    assert len(good) == len(rows) - 2
+    kept = set(good["doc_id"])
+    assert rows[0]["doc_id"] not in kept and rows[1]["doc_id"] not in kept
