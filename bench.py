@@ -221,13 +221,19 @@ def main() -> None:
               "orders", "nation", "region", "part"):
         pads.dataset(f"{SF_DIR}/{t}.parquet").to_table()
 
-    headline = run_headline(NUM_CPUS)
+    # the shared host carries ~±10-15% run-to-run variance; the headline
+    # is the median of GRAFT_BENCH_TRIALS runs (default 3) so one noisy
+    # run does not move the recorded number
+    n_trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+    trials = [run_headline(NUM_CPUS) for _ in range(max(1, n_trials))]
+    headline = sorted(trials, key=lambda h: h["sec"])[len(trials) // 2]
     queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" \
         else {}
     ray.shutdown()
     print(json.dumps({
         "metric": "kg_full_pipeline_sec",
         "value": headline["sec"],
+        "trials_sec": [h["sec"] for h in trials],
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
