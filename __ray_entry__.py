@@ -43,17 +43,20 @@ def oracle_sql() -> dict[str, str]:
 
     # The kg_* oracles read flat extraction products from a parquet
     # path the corresponding queries materialize.  Materialize for the
-    # driver's correctness sf here as well, so the oracles are valid
-    # regardless of whether the driver evaluates SQL before or after
-    # the Ray queries.  Best-effort: skip silently when Ray is not up
-    # or the testdata is absent.
+    # driver's correctness sf here as well (GRAFT_ORACLE_SF_DIR
+    # overrides; default = the driver's documented sf0.01), so the
+    # oracles are valid regardless of whether the driver evaluates SQL
+    # before or after the Ray queries.  Best-effort: skip silently when
+    # Ray is not up or the testdata is absent.
     try:
         import os
 
         import ray
 
-        if ray.is_initialized() and os.path.isdir("/root/testdata/sf0.01"):
-            driver_queries._materialize_kg_inputs("/root/testdata/sf0.01")
+        sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
+        if ray.is_initialized() and os.path.isdir(sf_dir):
+            driver_queries._materialize_kg_inputs(sf_dir)
     except Exception:
         pass
     return driver_queries.ORACLE_SQL

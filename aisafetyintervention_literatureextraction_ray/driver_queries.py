@@ -543,11 +543,31 @@ _NORM_SQL = ("replace(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', "
              "'g')), ' ', '_')")
 
 
+# bump when the extraction semantics change, so cached oracle inputs
+# under /tmp are invalidated even across processes
+_KG_ORACLE_CACHE_VERSION = 2
+
+
+def _kg_cache_key(sf_dir: str) -> dict:
+    import os
+
+    docs = f"{sf_dir}/documents.parquet"
+    return {
+        "sf_dir": sf_dir,
+        "version": _KG_ORACLE_CACHE_VERSION,
+        # stale-data guard: regenerated testdata invalidates the cache
+        "docs_mtime": os.path.getmtime(docs) if os.path.exists(docs) else 0,
+    }
+
+
 def _materialize_kg_inputs(sf_dir: str) -> str:
-    """Extract once per sf_dir and persist the flat products for both
-    the Ray queries and their DuckDB oracles.  ``node_mentions`` carries
-    a precomputed ``node_id`` (blake2b is not available in SQL; the hash
-    itself is not what the oracle checks — the aggregation is)."""
+    """Extract once per (sf_dir, testdata mtime, code version) and
+    persist the flat products for both the Ray queries and their DuckDB
+    oracles.  ``node_mentions`` carries a precomputed ``node_id``
+    (blake2b is not available in SQL; the hash itself is not what the
+    oracle checks — the aggregation is).  The build lands in a
+    process-private tmp dir and is atomically renamed into place, so
+    concurrent driver processes never read a half-written table."""
     import json
     import os
     import shutil as sh
@@ -560,12 +580,17 @@ def _materialize_kg_inputs(sf_dir: str) -> str:
 
     out = _KG_ORACLE_DIR
     marker = f"{out}/_SUCCESS"
+    want = _kg_cache_key(sf_dir)
     if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as f:
-            if json.load(f).get("sf_dir") == sf_dir:
-                return out
-    if os.path.exists(out):
-        sh.rmtree(out)
+        try:
+            with open(marker, encoding="utf-8") as f:
+                if json.load(f) == want:
+                    return out
+        except (OSError, json.JSONDecodeError):
+            pass
+    build = f"{out}.build.{os.getpid()}"
+    if os.path.exists(build):
+        sh.rmtree(build)
 
     def mentions(batch: pa.Table) -> pa.Table:
         flat = explode_nodes(batch).drop_columns(["aliases"])
@@ -577,12 +602,21 @@ def _materialize_kg_inputs(sf_dir: str) -> str:
 
     extr = extract_pipeline(interleave_from_documents(sf_dir),
                             batch_size=128).materialize()
-    extr.write_parquet(f"{out}/extractions")
-    triples_from_extractions(extr).write_parquet(f"{out}/triples")
+    extr.write_parquet(f"{build}/extractions")
+    triples_from_extractions(extr).write_parquet(f"{build}/triples")
     extr.map_batches(mentions, batch_format="pyarrow").write_parquet(
-        f"{out}/node_mentions")
-    with open(marker, "w", encoding="utf-8") as f:
-        json.dump({"sf_dir": sf_dir}, f)
+        f"{build}/node_mentions")
+    with open(f"{build}/_SUCCESS", "w", encoding="utf-8") as f:
+        json.dump(want, f)
+    # atomic swap: concurrent readers see either the old complete build
+    # or the new complete build, never a partial one
+    old = f"{out}.old.{os.getpid()}"
+    if os.path.exists(out):
+        os.rename(out, old)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.rename(build, out)
+    if os.path.exists(old):
+        sh.rmtree(old, ignore_errors=True)
     return out
 
 
@@ -730,6 +764,8 @@ def _candidate_texts_ref(docs: rd.Dataset, cands: rd.Dataset,
     for b in cands.iter_batches(batch_format="pyarrow", batch_size=65536):
         involved.update(b.column("id_a").to_pylist())
         involved.update(b.column("id_b").to_pylist())
+    if not involved:  # empty set -> null-typed array -> pc.is_in raises
+        return ray.put({})
     inv_ref = ray.put(pa.array(sorted(involved)))
 
     def semi(t: pa.Table) -> pa.Table:

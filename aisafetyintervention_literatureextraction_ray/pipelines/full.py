@@ -65,15 +65,27 @@ def run_partitioned_extraction(
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    if max_block_mb is not None:
+    import contextlib
+
+    @contextlib.contextmanager
+    def _block_cap():
         # SURVEY §7.4 "very wide rows": spans lists + chains structs
         # dominate block size; cap target blocks below Ray's 128 MB
         # default so batch x actor-pool concurrency fits the worker
-        # heap (large-binary multimodal payloads need this even more).
+        # heap.  DataContext is process-global — restore on exit so the
+        # cap never leaks into unrelated Ray Data work.
+        if max_block_mb is None:
+            yield
+            return
         from ray.data import DataContext
 
-        DataContext.get_current().target_max_block_size = (
-            max_block_mb * 1024 * 1024)
+        ctx = DataContext.get_current()
+        prev = ctx.target_max_block_size
+        ctx.target_max_block_size = max_block_mb * 1024 * 1024
+        try:
+            yield
+        finally:
+            ctx.target_max_block_size = prev
 
     out = Path(out_dir)
     manifest = Manifest(out)
@@ -121,7 +133,8 @@ def run_partitioned_extraction(
     if todo:
         from concurrent.futures import as_completed
 
-        with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
+        with _block_cap(), \
+                ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
             futures = [pool.submit(run_one, pid) for pid in todo]
             try:
                 for f in as_completed(futures):

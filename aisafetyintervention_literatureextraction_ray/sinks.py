@@ -62,12 +62,16 @@ def _edge_stmts(t: pa.Table) -> pa.Table:
 
 def _write_text(ds: rd.Dataset, dest: str | Path, col: str = "stmt") -> None:
     """Streaming plain-text sink: each block writes one
-    content-hash-named ``.cypher`` shard (atomic tmp+rename, idempotent
-    re-runs).  CSV/parquet writers would re-quote the statement text.
+    content-hash-named ``.cypher`` shard (atomic tmp+rename; the
+    destination is cleared first so a re-export never mixes stale
+    shards).  CSV/parquet writers would re-quote the statement text.
     ``dest`` must be shared storage on a multi-node cluster."""
     import hashlib
+    import shutil
 
     dest = Path(dest)
+    if dest.exists():  # re-export replaces: stale shards must not mix in
+        shutil.rmtree(dest)
     dest.mkdir(parents=True, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
@@ -130,10 +134,14 @@ def export_graph_csv(graph_dir: str | Path, dest: str | Path) -> dict:
             "confidence:long": t.column("confidence").cast(pa.int64()),
         })
 
+    import shutil
+
     nodes = rd.read_parquet(str(graph_dir / "nodes"))
     edges = rd.read_parquet(str(graph_dir / "edges"))
-    (Path(dest) / "nodes").mkdir(parents=True, exist_ok=True)
-    (Path(dest) / "edges").mkdir(parents=True, exist_ok=True)
+    for sub in ("nodes", "edges"):
+        if (Path(dest) / sub).exists():  # replace, never mix stale shards
+            shutil.rmtree(Path(dest) / sub)
+        (Path(dest) / sub).mkdir(parents=True, exist_ok=True)
     nodes.map_batches(node_rows, batch_format="pyarrow").write_csv(
         str(dest / "nodes"))
     edges.map_batches(edge_rows, batch_format="pyarrow").write_csv(

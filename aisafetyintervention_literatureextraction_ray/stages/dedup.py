@@ -51,16 +51,20 @@ def exact_dedup(ds: rd.Dataset, col: str, id_col: str, *,
         df = df.copy()
         df["__h"] = content_hash(df, col)
         df = df.sort_values(id_col, kind="stable")
-        grouped = df.groupby(["__h", col], sort=False, as_index=False)
+        # dropna=False: a null dedup key is a group like any other (the
+        # SQL GROUP BY keeps a NULL group; silently losing rows is worse)
+        grouped = df.groupby(["__h", col], sort=False, as_index=False,
+                             dropna=False)
         out = grouped.first()
         out["__n"] = grouped.size()["size"].to_numpy()
         return out
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col, kind="stable")
-        counts = g.groupby(col, sort=False)["__n"].sum()
+        counts = g.groupby(col, sort=False, dropna=False)["__n"].sum()
         out = (g.drop(columns="__n")
-               .groupby(col, sort=False, as_index=False).first())
+               .groupby(col, sort=False, as_index=False, dropna=False)
+               .first())
         out["__n"] = counts.to_numpy()  # same first-occurrence order
         return out.drop(columns="__h")
 
@@ -402,11 +406,16 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
     # the distributed-join scale path with no driver gather.
     from ..functions.agg import bucketed_apply
 
-    # candidate cardinality is MEASURED (the involved-id pass above), so
-    # the attach exchange is chosen from it: candidate sets that fit a
-    # block merge in one worker task; larger ones take the bucketed
-    # shuffle.  Never driver-side either way.
-    exch = "coalesce" if len(involved) <= 250_000 else "shuffle"
+    # candidate cardinality is MEASURED, so the attach exchange is
+    # chosen from it: small candidate sets merge in one worker task;
+    # larger ones take the bucketed shuffle.  Both the PAIR count (what
+    # actually flows through the coalesced block — boilerplate corpora
+    # can emit many pairs over few ids) and the involved-id count (the
+    # signature payload volume) must be small.  Never driver-side.
+    n_pairs = cands.count()  # cands is materialized: metadata count
+    exch = ("coalesce"
+            if n_pairs <= 500_000 and len(involved) <= 250_000
+            else "shuffle")
     r1 = cands.map_batches(
         pair_side("id_a", ["id_a", "id_b"], "sig_a"),
         batch_format="pyarrow").union(
@@ -433,23 +442,31 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
             return empty
         la = pc_.binary_length(t.column("sig_a")).to_numpy()
         lb = pc_.binary_length(t.column("sig_b")).to_numpy()
-        nbytes = int(la.max())
-        ok = (la == nbytes) & (lb == nbytes) & (nbytes > 0)
+        # a pair is comparable iff BOTH sides have the same (non-zero)
+        # length — compare per row, not against the batch max, so mixed
+        # signature widths in one batch never drop valid pairs
+        ok = (la == lb) & (la > 0)
         if not ok.all():
             t = t.filter(pa.array(ok))
-        n = t.num_rows
-        if n == 0 or nbytes == 0:
+            la = la[ok]
+        if t.num_rows == 0:
             return empty
-        p = nbytes // 8
 
-        def decode(col) -> np.ndarray:
+        def decode(col) -> list[bytes]:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            raw = b"".join(col.to_pylist())
-            return np.frombuffer(raw, dtype=np.uint64).reshape(n, p)
+            return col.to_pylist()
 
-        jac = (decode(t.column("sig_a")) == decode(t.column("sig_b"))
-               ).mean(axis=1)
+        blobs_a, blobs_b = decode(t.column("sig_a")), decode(t.column("sig_b"))
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        for nbytes in np.unique(la):  # one vectorized pass per width
+            idx = np.flatnonzero(la == nbytes)
+            p = int(nbytes) // 8
+            va = np.frombuffer(b"".join(blobs_a[i] for i in idx),
+                               dtype=np.uint64).reshape(len(idx), p)
+            vb = np.frombuffer(b"".join(blobs_b[i] for i in idx),
+                               dtype=np.uint64).reshape(len(idx), p)
+            jac[idx] = (va == vb).mean(axis=1)
         keep = jac >= jaccard_threshold
         return pa.table({
             "id_a": t.column("id_a").filter(pa.array(keep)),
