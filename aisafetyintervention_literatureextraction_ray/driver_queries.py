@@ -864,6 +864,73 @@ def simhash_neardup_pairs(sf_dir: str):
 
 
 @query(
+    "ngram_neardup_pairs",
+    r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zz qq ww' FROM documents
+      WHERE doc_id < 20),
+    tri AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM all_docs))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.t, b.t)) * 1.0 /
+           (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+    FROM tri a JOIN tri b
+      ON b.doc_id = a.doc_id + 2000000 AND a.doc_id < 20
+    """,
+)
+def ngram_neardup_pairs(sf_dir: str):
+    """n-gram-Jaccard near-dup dedup as a first-class pipeline: MinHash
+    LSH candidate generation over docs with planted NEAR duplicates
+    (three appended tokens), then the exact trigram-Jaccard verify;
+    pairs with true j >= 0.5 survive.  The oracle computes the same
+    trigram-set Jaccard in DuckDB (list_transform lambda); the doubles
+    are identical (same integer ratio), so no rounding is applied —
+    ROUND would tie-break differently between Python and SQL on exact
+    binary halves like 0.90625.
+    """
+    from .stages.dedup import minhash_dedup_pairs, ngram_jaccard
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["doc_id"], 20))
+        return pa.table({
+            "doc_id": pc.add(sub["doc_id"], 2_000_000),
+            "text": pc.binary_join_element_wise(
+                sub["text"].cast(pa.string()), " zz qq ww", ""),
+        })
+
+    both = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+    cands = minhash_dedup_pairs(both, jaccard_threshold=0.35,
+                                concurrency=(1, 4)).materialize()
+    texts_ref = _candidate_texts_ref(both, cands)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(texts_ref)
+        if df.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        # score only the planted pair keys: the sf documents tables
+        # contain NATURAL near-duplicates (j ~ 0.95) whose full set an
+        # exact SQL oracle cannot enumerate cheaply; the restriction
+        # keeps the oracle exact while the candidate generation and
+        # true-Jaccard verify still run over the whole corpus
+        df = df[df["id_b"] - df["id_a"] == 2_000_000].copy()
+        df["jaccard"] = [ngram_jaccard(t[a], t[b], k=3)
+                         for a, b in zip(df["id_a"], df["id_b"])]
+        return df[df["jaccard"] >= 0.5][["id_a", "id_b", "jaccard"]]
+
+    out = cands.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@query(
     "embedding_neardup_pairs",
     """
     SELECT vec_id AS id_a, vec_id + 100000 AS id_b

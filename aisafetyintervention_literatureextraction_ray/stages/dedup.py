@@ -133,9 +133,7 @@ class MinHasher:
                  k_shingle: int = 3, num_perm: int = 64,
                  num_bands: int = 16, seed: int = 42) -> None:
         assert num_perm % num_bands == 0
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2"
         self.text_col, self.id_col = text_col, id_col
         self.k, self.num_perm, self.num_bands = k_shingle, num_perm, num_bands
         self.rows_per_band = num_perm // num_bands
@@ -151,13 +149,18 @@ class MinHasher:
         which numpy executes scalar (~35 ns each) — it dominated the
         extraction stage.  OPH is O(S): each shingle hash lands in bin
         ``h & (P-1)`` and the per-bin minimum is the signature slot;
-        empty bins are densified by circular rotation (deterministic).
-        P(sig_a[i] == sig_b[i]) ~ Jaccard(a, b) holds when bins are
-        well-populated; docs with FEWER than P shingles fall back to the
-        classic per-permutation computation (cheap there, and rotation
-        densification is badly biased for tiny shingle sets).  Docs of
-        very different sizes land on different paths, but their Jaccard
-        is bounded by the size ratio (< any useful threshold) anyway.
+        empty bins are densified by borrowing the nearest filled bin at
+        or before them (circular forward-fill — deterministic, and the
+        standard densification that keeps OPH a valid LSH).
+
+        ONE path for every document size.  A split scheme (classic
+        MinHash below P shingles, OPH above) produces incomparable
+        signatures for a near-dup pair whose sizes straddle the
+        boundary — e.g. 63 vs 66 shingles with true Jaccard 0.95
+        estimated as 0.0 (caught by the planted-near-dup oracle);
+        estimation accuracy for tiny shingle sets is worth less than
+        cross-size comparability, and candidates are exact-verified
+        downstream anyway.
         """
         n, p = len(texts), self.num_perm
         if not n:
@@ -166,32 +169,22 @@ class MinHasher:
                          for t in texts]
         lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
                            count=n)
-        sig = np.empty((n, p), dtype=np.uint64)
-
-        small = np.flatnonzero(lens < p)
-        for i in small:  # classic path: S < P, so P*S stays tiny
-            s = shingle_lists[i]
-            ph = self.a[:, None] * s[None, :] + self.b[:, None]  # wraparound
-            sig[i] = ph.min(axis=1)
-
-        big = np.flatnonzero(lens >= p)
-        if len(big):
-            big_lists = [shingle_lists[i] for i in big]
-            flat = np.concatenate(big_lists)
-            doc_idx = np.repeat(np.arange(len(big), dtype=np.int64),
-                                lens[big])
-            bins = (flat & np.uint64(p - 1)).astype(np.int64)
-            bsig = np.full(len(big) * p, np.uint64(0xFFFFFFFFFFFFFFFF),
-                           dtype=np.uint64)
-            np.minimum.at(bsig, doc_idx * p + bins, flat)
-            bsig = bsig.reshape(len(big), p)
-            empty = bsig == np.uint64(0xFFFFFFFFFFFFFFFF)
-            while empty.any():  # rotate-fill (few iterations: S >= P)
-                rolled = np.roll(bsig, 1, axis=1)
-                bsig[empty] = rolled[empty]
-                empty = bsig == np.uint64(0xFFFFFFFFFFFFFFFF)
-            sig[big] = bsig
-        return sig
+        flat = np.concatenate(shingle_lists)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        bins = (flat & np.uint64(p - 1)).astype(np.int64)
+        empty_slot = np.uint64(0xFFFFFFFFFFFFFFFF)
+        bsig = np.full(n * p, empty_slot, dtype=np.uint64)
+        np.minimum.at(bsig, doc_idx * p + bins, flat)
+        bsig = bsig.reshape(n, p)
+        filled = bsig != empty_slot
+        # circular forward-fill: each empty bin borrows the nearest
+        # filled bin at or before it (vectorized; equivalent to the
+        # iterated roll-fill but O(p) once)
+        idx = np.where(filled, np.arange(p, dtype=np.int64)[None, :], -1)
+        idx = np.maximum.accumulate(idx, axis=1)
+        last = idx[:, -1]  # rightmost filled bin (>= 0: S >= 1 always)
+        idx = np.where(idx < 0, last[:, None], idx)
+        return np.take_along_axis(bsig, idx, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
