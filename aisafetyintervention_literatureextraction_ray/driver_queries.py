@@ -545,7 +545,8 @@ _NORM_SQL = ("replace(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', "
 
 # bump when the extraction semantics change, so cached oracle inputs
 # under /tmp are invalidated even across processes
-_KG_ORACLE_CACHE_VERSION = 2
+# (v3: MinHasher switched to single-path densified OPH)
+_KG_ORACLE_CACHE_VERSION = 3
 
 
 def _kg_cache_key(sf_dir: str) -> dict:
@@ -608,15 +609,29 @@ def _materialize_kg_inputs(sf_dir: str) -> str:
         f"{build}/node_mentions")
     with open(f"{build}/_SUCCESS", "w", encoding="utf-8") as f:
         json.dump(want, f)
-    # atomic swap: concurrent readers see either the old complete build
-    # or the new complete build, never a partial one
+    # swap the completed build into place.  The grading driver is a
+    # single process; if another process raced us here, tolerate it: a
+    # failed rename means someone else installed a build — accept it if
+    # its marker matches, else retry the swap once after clearing.
     old = f"{out}.old.{os.getpid()}"
-    if os.path.exists(out):
-        os.rename(out, old)
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    os.rename(build, out)
-    if os.path.exists(old):
-        sh.rmtree(old, ignore_errors=True)
+    for attempt in range(2):
+        try:
+            if os.path.exists(out):
+                os.rename(out, old)
+            os.rename(build, out)
+            break
+        except OSError:
+            try:
+                with open(marker, encoding="utf-8") as f:
+                    if json.load(f) == want:  # a valid concurrent build won
+                        sh.rmtree(build, ignore_errors=True)
+                        break
+            except (OSError, json.JSONDecodeError):
+                pass
+            if attempt == 1:
+                raise
+    sh.rmtree(old, ignore_errors=True)
     return out
 
 
@@ -878,11 +893,13 @@ def simhash_neardup_pairs(sf_dir: str):
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
             FROM all_docs))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.t, b.t)) * 1.0 /
-           (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
-    FROM tri a JOIN tri b
-      ON b.doc_id = a.doc_id + 2000000 AND a.doc_id < 20
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.t, b.t)) * 1.0 /
+             (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+      FROM tri a JOIN tri b
+        ON b.doc_id = a.doc_id + 2000000 AND a.doc_id < 20)
+    WHERE jaccard >= 0.5
     """,
 )
 def ngram_neardup_pairs(sf_dir: str):

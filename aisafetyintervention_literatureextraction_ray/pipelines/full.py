@@ -87,9 +87,17 @@ def run_partitioned_extraction(
         finally:
             ctx.target_max_block_size = prev
 
+    from ..stages.dedup import SKETCH_VERSION
+
     out = Path(out_dir)
     manifest = Manifest(out)
     done = manifest.completed("extract") if resume else {}
+    # a resumed partition must carry the CURRENT sketch generation:
+    # mixing MinHash signature generations across partitions makes
+    # cross-partition near-dup estimates silently ~0 — re-extract any
+    # partition recorded under an older (or unrecorded) generation
+    done = {pid: row for pid, row in done.items()
+            if row.get("sketch_version") == SKETCH_VERSION}
     stats = {"partitions": num_partitions, "skipped": 0, "ran": 0, "rows": 0}
     lock = threading.Lock()
     # Dataset CREATION is serialized (Ray's path resolution lazily
@@ -119,7 +127,8 @@ def run_partitioned_extraction(
         with lock:
             manifest.mark("extract", pid, n_rows=len(ids),
                           checksum=order_free_checksum(ids),
-                          wall_time_s=time.time() - t0)
+                          wall_time_s=time.time() - t0,
+                          extra={"sketch_version": SKETCH_VERSION})
             stats["ran"] += 1
             stats["rows"] += len(ids)
 

@@ -146,13 +146,20 @@ class _EndpointResolver:
 
 
 def node_id_map(nodes: rd.Dataset) -> dict[str, str]:
-    """Collect the (small) canonical node key map for broadcast."""
+    """Collect the (small) canonical node key map for broadcast.
+
+    name_norm collisions across node types resolve to the MIN node_id —
+    deterministic regardless of block arrival order, and identical to
+    the shuffle path's rank-tag rule (``node_index_dataset``)."""
     tbl = pa.concat_tables(
         nodes.select_columns(["name_norm", "node_id"])
         .iter_batches(batch_format="pyarrow", batch_size=65536)
     )
-    return dict(zip(tbl.column("name_norm").to_pylist(),
-                    tbl.column("node_id").to_pylist()))
+    out: dict[str, str] = {}
+    for key, nid in sorted(zip(tbl.column("name_norm").to_pylist(),
+                               tbl.column("node_id").to_pylist())):
+        out.setdefault(key, nid)
+    return out
 
 
 def build_alias_index(nodes: rd.Dataset) -> dict[str, str]:
@@ -175,17 +182,18 @@ def build_alias_index(nodes: rd.Dataset) -> dict[str, str]:
     ids = tbl.column("node_id").to_pylist()
     aliases = tbl.column("aliases").to_pylist()
     index: dict[str, str] = {}
-    # alias entries first (min-id deterministic) ...
+    # canonical names first (min-id deterministic on collisions —
+    # identical to the shuffle path's rank-tag min aggregate) ...
+    for key, nid in sorted(zip(norms, ids)):
+        index.setdefault(key, nid)
+    # ... then aliases fill remaining keys (min-id deterministic)
     alias_pairs = []
     for nid, al in zip(ids, aliases):
         for a in al or []:
             alias_pairs.append((normalize_names(pa.array([a])).to_pylist()[0],
                                 nid))
-    for key, nid in sorted(alias_pairs, key=lambda kv: (kv[0], kv[1])):
+    for key, nid in sorted(alias_pairs):
         index.setdefault(key, nid)
-    # ... then canonical names override
-    for key, nid in zip(norms, ids):
-        index[key] = nid
     return index
 
 
@@ -235,6 +243,9 @@ def node_index_dataset(nodes: rd.Dataset) -> rd.Dataset:
         return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
 
     def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "tag": pa.array([], pa.string())})
         al = _arr(t.column("aliases"))
         parent = pc.list_parent_indices(al)
         alias_norm = _arr(normalize_names(al.flatten()))
@@ -242,7 +253,8 @@ def node_index_dataset(nodes: rd.Dataset) -> rd.Dataset:
         n_canon, n_alias = t.num_rows, len(alias_ids)
         key = pa.concat_arrays([_arr(t.column("name_norm")), alias_norm])
         ids = pa.concat_arrays([_arr(t.column("node_id")), alias_ids])
-        rank = pa.array(["0"] * n_canon + ["1"] * n_alias)
+        rank = pa.array(["0"] * n_canon + ["1"] * n_alias,
+                        type=pa.string())
         tag = pc.binary_join_element_wise(rank, ids, "")
         return pa.table({"key": key, "tag": tag})
 

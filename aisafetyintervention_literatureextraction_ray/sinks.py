@@ -70,8 +70,10 @@ def _write_text(ds: rd.Dataset, dest: str | Path, col: str = "stmt") -> None:
     import shutil
 
     dest = Path(dest)
-    if dest.exists():  # re-export replaces: stale shards must not mix in
+    if dest.is_dir():  # re-export replaces: stale shards must not mix in
         shutil.rmtree(dest)
+    elif dest.exists():  # a leftover FILE at the dest path
+        dest.unlink()
     dest.mkdir(parents=True, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
@@ -139,9 +141,12 @@ def export_graph_csv(graph_dir: str | Path, dest: str | Path) -> dict:
     nodes = rd.read_parquet(str(graph_dir / "nodes"))
     edges = rd.read_parquet(str(graph_dir / "edges"))
     for sub in ("nodes", "edges"):
-        if (Path(dest) / sub).exists():  # replace, never mix stale shards
-            shutil.rmtree(Path(dest) / sub)
-        (Path(dest) / sub).mkdir(parents=True, exist_ok=True)
+        p = Path(dest) / sub
+        if p.is_dir():  # replace, never mix stale shards
+            shutil.rmtree(p)
+        elif p.exists():
+            p.unlink()
+        p.mkdir(parents=True, exist_ok=True)
     nodes.map_batches(node_rows, batch_format="pyarrow").write_csv(
         str(dest / "nodes"))
     edges.map_batches(edge_rows, batch_format="pyarrow").write_csv(

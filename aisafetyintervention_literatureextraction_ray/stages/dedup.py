@@ -20,7 +20,10 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+# bump when signature semantics change: resumed extraction runs must
+# not mix signature generations across partitions (pairs from mixed
+# generations estimate ~0 even for true near-dups)
+SKETCH_VERSION = 2  # v2: single-path densified OPH for all doc sizes
 
 
 def content_hash(df: pd.DataFrame, col: str) -> pd.Series:
@@ -131,7 +134,7 @@ class MinHasher:
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  k_shingle: int = 3, num_perm: int = 64,
-                 num_bands: int = 16, seed: int = 42) -> None:
+                 num_bands: int = 16) -> None:
         assert num_perm % num_bands == 0
         assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2"
         self.text_col, self.id_col = text_col, id_col

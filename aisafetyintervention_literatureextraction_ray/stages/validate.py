@@ -41,7 +41,7 @@ def _row_valid(nodes, chains) -> bool:
     for chain in chains or []:
         if not chain["edges"]:  # rubric: chains are non-empty
             return False
-        for e in chain["edges"] or []:
+        for e in chain["edges"]:
             if e["edge_confidence"] is None or not (1 <= e["edge_confidence"] <= 5):
                 return False
             if e["source_node"] not in declared or e["target_node"] not in declared:
