@@ -1128,6 +1128,46 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
+@query(
+    "doc_split_stats",
+    """
+    WITH s AS (
+      SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                 THEN 'val'
+               ELSE 'test' END AS split,
+             n_chars
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    """,
+)
+def doc_split_stats(sf_dir: str):
+    """Deterministic train/val/test assignment (md5 first-hex-char
+    bucketing, functions/sample.py) + per-split stats; the oracle
+    computes the identical split in SQL."""
+    from .functions.sample import train_val_test_split
+
+    ds = train_val_test_split(
+        _pq(sf_dir, "documents", ["doc_id", "n_chars"]), "doc_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(["split", "n_chars"]),
+                               "split").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("split")
+        .aggregate(Sum("n_chars_count", alias_name="n_docs"),
+                   Sum("n_chars_sum", alias_name="sum_chars"))
+        .to_pandas()
+    )
+
+
 # ---------------------------------------------------------------- multimodal (rows-only)
 @query("media_feature_extraction")
 def media_feature_extraction(sf_dir: str):

@@ -1,0 +1,57 @@
+"""Deterministic sampling / dataset splitting (training-data ops).
+
+A training pipeline needs reproducible train/val/test assignment that
+is a pure function of the record id — stable across runs, machines and
+engines (the same split must be computable in SQL for audits).  The
+bucket is the first hex character of ``md5(str(id))``: md5 exists in
+every SQL engine, so assignment is oracle-checkable, and the Python
+side is the same C digest (~1 us/row; assignment cost is dwarfed by
+the IO it gates).  Granularity is 1/16 per hex character.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_HEX = "0123456789abcdef"
+
+
+def split_boundaries(weights: tuple[int, ...],
+                     names: tuple[str, ...]) -> list[tuple[str, str]]:
+    """weights in sixteenths -> [(name, last_hex_char_inclusive)]."""
+    assert sum(weights) == 16 and len(weights) == len(names)
+    out, acc = [], 0
+    for name, w in zip(names, weights):
+        acc += w
+        out.append((name, _HEX[acc - 1]))
+    return out
+
+
+def assign_split(batch: pa.Table, id_col: str,
+                 boundaries: list[tuple[str, str]],
+                 out_col: str = "split") -> pa.Table:
+    """Append the split-name column (md5 first-hex-char bucketing)."""
+    ids = batch.column(id_col).to_pylist()
+    chars = [hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids]
+    names = np.empty(len(chars), dtype=object)
+    for name, last in reversed(boundaries):
+        mask = np.array([c <= last for c in chars])
+        names[mask] = name
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(names, type=pa.string()))
+
+
+def train_val_test_split(ds: rd.Dataset, id_col: str,
+                         weights: tuple[int, int, int] = (12, 2, 2)
+                         ) -> rd.Dataset:
+    """Add a ``split`` column: train/val/test in ``weights`` sixteenths
+    (default 75/12.5/12.5).  Pure map stage — no shuffle, no state."""
+    bounds = split_boundaries(weights, ("train", "val", "test"))
+    return ds.map_batches(
+        lambda t: assign_split(t, id_col, bounds),
+        batch_format="pyarrow")

@@ -83,3 +83,28 @@ def test_feature_vectors_normalized():
     out = MediaFeatureExtractor()(media)
     for f in out.column("features").to_pylist():
         assert abs(np.linalg.norm(f) - 1.0) < 1e-4
+
+
+def test_train_val_test_split_deterministic():
+    """Split assignment is a pure function of the id, matches the md5
+    reference computation, and weights are approximately honored."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.sample import (
+        train_val_test_split,
+    )
+
+    df = pd.DataFrame({"doc_id": range(2000)})
+    out = train_val_test_split(rd.from_pandas(df), "doc_id").to_pandas()
+    out2 = train_val_test_split(rd.from_pandas(df), "doc_id").to_pandas()
+    m = out.set_index("doc_id")["split"]
+    assert m.equals(out2.set_index("doc_id")["split"].reindex(m.index))
+    for did, split in m.items():
+        c = hashlib.md5(str(did).encode()).hexdigest()[0]
+        exp = "train" if c <= "b" else ("val" if c <= "d" else "test")
+        assert split == exp
+    frac = m.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.75) < 0.05
