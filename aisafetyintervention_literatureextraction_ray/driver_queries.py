@@ -750,6 +750,32 @@ def ann_ivf_topk(sf_dir: str):
                     concurrency=(1, 4)).to_pandas()
 
 
+@query("ann_ivf_recall")
+def ann_ivf_recall(sf_dir: str):
+    """Self-scoring ANN entry (like kg_triples_pr): recall@10 of the
+    IVF path against brute force over the same queries — the quality
+    bar a rows-only approximate operator should publish."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import brute_force_topk, ivf_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    Q = np.stack(q["embedding"].to_pylist()[:4]).astype(np.float64)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    ivf = ivf_topk(ds, Q, k=10, n_centroids=16, nprobe=4,
+                   concurrency=(1, 4)).to_pandas()
+    bf = brute_force_topk(ds, Q, k=10, concurrency=(1, 4)).to_pandas()
+    hits = total = 0
+    for qi in sorted(bf["query_id"].unique()):
+        truth = set(bf[bf["query_id"] == qi]["vec_id"])
+        got = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        hits += len(truth & got)
+        total += len(truth)
+    return pd.DataFrame({"n_queries": [len(set(bf["query_id"]))],
+                         "k": [10],
+                         "recall_at_10": [round(hits / max(total, 1), 4)]})
+
+
 # ---------------------------------------------------------------- near-dup dedup family
 def _docs_with_planted_dups(sf_dir: str):
     """documents ∪ copies of the 20 lowest doc_ids (id + 1_000_000) —
