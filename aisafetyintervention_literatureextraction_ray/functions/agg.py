@@ -189,9 +189,18 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, *,
         lschema = lschema.base_schema
     if hasattr(rschema, "base_schema"):
         rschema = rschema.base_schema
+
+    def _pa_type(t):
+        # pandas-block datasets report numpy dtypes from Dataset.schema()
+        if isinstance(t, pa.DataType):
+            return t
+        if getattr(t, "kind", None) == "O":  # object -> string payload
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
     left_cols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
 
     def left_side(t: pa.Table) -> pa.Table:
         cols = {"__key": t.column(left_key)}

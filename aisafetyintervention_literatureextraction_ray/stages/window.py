@@ -88,9 +88,18 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
     from ..functions.agg import bucketed_apply
 
     lschema, rschema = left.schema(), right.schema()
+
+    def _pa_type(t):
+        # pandas-block datasets report numpy dtypes from Dataset.schema()
+        if isinstance(t, pa.DataType):
+            return t
+        if getattr(t, "kind", None) == "O":
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
     left_cols = [c for c in lschema.names]
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
 
     def left_side(t: pa.Table) -> pa.Table:
         cols = {"__key": t.column(by_left), "__ts": t.column(on_left)}

@@ -113,3 +113,27 @@ def test_build_edges_shuffle_matches_broadcast():
     assert list(broadcast.columns) == list(shuffle.columns)
     pd_testing = __import__("pandas").testing
     pd_testing.assert_frame_equal(broadcast, shuffle)
+
+
+def test_bucketed_join_left_keeps_unmatched():
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.agg import (
+        bucketed_join,
+    )
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "b", "c"], "v": [1, 2, 3]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"key": ["a", "c"], "w": [10.0, 30.0]}))
+    out = (bucketed_join(left, right, left_key="k", right_key="key",
+                         right_value_cols=["w"], how="left")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert out["w"].tolist()[0] == 10.0 and out["w"].tolist()[2] == 30.0
+    assert pd.isna(out["w"].tolist()[1])
+    inner = (bucketed_join(left, right, left_key="k", right_key="key",
+                           right_value_cols=["w"], how="inner")
+             .to_pandas())
+    assert set(inner["k"]) == {"a", "c"}
