@@ -204,6 +204,50 @@ def run_queries() -> dict:
     return out
 
 
+def host_calibration_sec(workers: int = 8) -> float:
+    """Fixed parallel CPU workload: ``workers`` threads each run a
+    constant matmul loop (numpy releases the GIL), so the wall time
+    reflects MULTI-CORE contention from co-tenants — the thing that
+    actually slows the pipeline on this shared host (measured drift up
+    to ~3x; see BASELINE.md).  Reported alongside the headline so
+    wall-clock comparisons across rounds can be normalized:
+    headline_normalized ~ value / (host_calibration_sec / baseline).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    def burn(seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((512, 512))
+        for _ in range(30):
+            a = np.tanh(a @ a.T / 512.0)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(burn, range(workers)))
+    return round(time.time() - t0, 3)
+
+
+def host_disk_mbps() -> float:
+    """Fsync'd sequential write throughput to the run-dir filesystem —
+    the pipeline's checkpoint writes bottleneck here first when the
+    shared host's storage is contended."""
+    import os
+
+    buf = os.urandom(32 * 1024 * 1024)
+    path = "/tmp/.graft_disk_probe"
+    t0 = time.time()
+    with open(path, "wb") as f:
+        for _ in range(4):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    dt = time.time() - t0
+    os.unlink(path)
+    return round(128 / dt, 1)
+
+
 def main() -> None:
     import ray
 
@@ -234,6 +278,8 @@ def main() -> None:
         "metric": "kg_full_pipeline_sec",
         "value": headline["sec"],
         "trials_sec": [h["sec"] for h in trials],
+        "host_calibration_sec": host_calibration_sec(),
+        "host_disk_mbps": host_disk_mbps(),
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
