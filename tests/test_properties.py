@@ -119,3 +119,61 @@ def test_head_entity_skew_correctness():
     assert got == by_name
     # the head keys really are hot
     assert by_name["rlhf"] > n * 0.5
+
+
+@given(st.lists(st.sampled_from(["x", "y", "z", "w copy", "long text value"]),
+                min_size=1, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_exact_dedup_partition_invariants(texts):
+    """exact_dedup keeps exactly one row per distinct value (the min-id
+    row) with exact duplicate counts, for any input distribution."""
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        exact_dedup,
+    )
+
+    df = pd.DataFrame({"doc_id": [f"d{i:04d}" for i in range(len(texts))],
+                       "text": texts})
+    out = exact_dedup(rd.from_pandas(df), "text", "doc_id",
+                      with_counts=True).to_pandas()
+    exp = (df.sort_values("doc_id").groupby("text", sort=False)
+           .agg(doc_id=("doc_id", "first"), n_copies=("doc_id", "size"))
+           .reset_index())
+    out = out.sort_values("text").reset_index(drop=True)
+    exp = exp.sort_values("text").reset_index(drop=True)
+    assert out[["text", "doc_id", "n_copies"]].equals(
+        exp[["text", "doc_id", "n_copies"]])
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(2, 6))
+@settings(max_examples=10, deadline=None)
+def test_pairs_from_signatures_finds_planted_dup(seed, n_dups):
+    """Any identical-signature group is always recovered as pairs by
+    the banding -> semi-join -> verify path (j == 1.0)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        pairs_from_signatures,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, p = 50, 32
+    sigs = rng.integers(0, 2**32, size=(n, p), dtype=np.uint64)
+    for i in range(1, n_dups):  # rows 0..n_dups-1 share one signature
+        sigs[i] = sigs[0]
+    rows = [{"doc_id": f"d{i:03d}",
+             "minhash_sig": [int(x) & 0xFFFFFFFF for x in s]}
+            for i, s in zip(range(n), sigs)]
+    out = pairs_from_signatures(rd.from_pandas(pd.DataFrame(rows)),
+                                jaccard_threshold=0.99,
+                                num_bands=8).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    expected = {(f"d{a:03d}", f"d{b:03d}")
+                for a in range(n_dups) for b in range(a + 1, n_dups)}
+    assert expected <= got
+    assert (out["jaccard"] == 1.0).all() or len(out) == 0 or \
+        out.set_index(["id_a", "id_b"]).loc[list(expected)]["jaccard"].eq(1.0).all()
