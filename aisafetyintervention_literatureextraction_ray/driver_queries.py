@@ -735,36 +735,42 @@ def knn_bruteforce(sf_dir: str):
     return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
 
 
+# the ONE shipped IVF configuration: ann_ivf_recall publishes the
+# recall of exactly this config, so both entries read it from here
+_IVF_CONFIG = {"k": 10, "n_centroids": 16, "nprobe": 4,
+               "concurrency": (1, 4)}
+
+
+def _ivf_queries(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return np.stack(q["embedding"].to_pylist()[:4]).astype(np.float64)
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate top-k (scale path; recall tested vs
-    brute force in tests/test_similarity.py)."""
-    import pyarrow.parquet as pq
-
+    brute force in tests/test_similarity.py and published by
+    ``ann_ivf_recall``)."""
     from .stages.similarity import ivf_topk
 
-    q = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    Q = np.stack(q["embedding"].to_pylist()[:4]).astype(np.float64)
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, Q, k=10, n_centroids=16, nprobe=4,
-                    concurrency=(1, 4)).to_pandas()
+    return ivf_topk(ds, _ivf_queries(sf_dir), **_IVF_CONFIG).to_pandas()
 
 
 @query("ann_ivf_recall")
 def ann_ivf_recall(sf_dir: str):
     """Self-scoring ANN entry (like kg_triples_pr): recall@10 of the
-    IVF path against brute force over the same queries — the quality
-    bar a rows-only approximate operator should publish."""
-    import pyarrow.parquet as pq
-
+    IVF path against brute force over the same queries and the SAME
+    configuration ``ann_ivf_topk`` ships (``_IVF_CONFIG``)."""
     from .stages.similarity import brute_force_topk, ivf_topk
 
-    q = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    Q = np.stack(q["embedding"].to_pylist()[:4]).astype(np.float64)
+    Q = _ivf_queries(sf_dir)
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    ivf = ivf_topk(ds, Q, k=10, n_centroids=16, nprobe=4,
-                   concurrency=(1, 4)).to_pandas()
-    bf = brute_force_topk(ds, Q, k=10, concurrency=(1, 4)).to_pandas()
+    ivf = ivf_topk(ds, Q, **_IVF_CONFIG).to_pandas()
+    bf = brute_force_topk(ds, Q, k=_IVF_CONFIG["k"],
+                          concurrency=_IVF_CONFIG["concurrency"]).to_pandas()
     hits = total = 0
     for qi in sorted(bf["query_id"].unique()):
         truth = set(bf[bf["query_id"] == qi]["vec_id"])
@@ -1181,14 +1187,16 @@ def doc_split_stats(sf_dir: str):
         _pq(sf_dir, "documents", ["doc_id", "n_chars"]), "doc_id")
 
     def partial(t: pa.Table) -> pa.Table:
+        # count the group key (never null), matching the oracle's
+        # COUNT(*) even if n_chars had nulls
         return pa.TableGroupBy(t.select(["split", "n_chars"]),
                                "split").aggregate(
-            [("n_chars", "sum"), ("n_chars", "count")])
+            [("n_chars", "sum"), ("split", "count")])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .groupby("split")
-        .aggregate(Sum("n_chars_count", alias_name="n_docs"),
+        .aggregate(Sum("split_count", alias_name="n_docs"),
                    Sum("n_chars_sum", alias_name="sum_chars"))
         .to_pandas()
     )

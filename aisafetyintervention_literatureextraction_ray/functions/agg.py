@@ -160,6 +160,22 @@ def bucketed_apply(ds: rd.Dataset, keys: list[str],
     )
 
 
+def pa_type_of(t) -> pa.DataType:
+    """Dataset.schema() type -> Arrow type.
+
+    Pandas-block datasets report numpy dtypes; object dtype is assumed
+    to be a STRING payload (the common case).  Object columns holding
+    lists/dicts cannot be inferred from a dtype — convert such inputs
+    to Arrow blocks upstream (``map_batches(..., batch_format=
+    "pyarrow")``) before joining, or the two join sides would disagree.
+    """
+    if isinstance(t, pa.DataType):
+        return t
+    if getattr(t, "kind", None) == "O":
+        return pa.string()
+    return pa.from_numpy_dtype(t)
+
+
 def bucketed_join(left: rd.Dataset, right: rd.Dataset, *,
                   left_key: str, right_key: str,
                   right_value_cols: list[str], how: str = "inner",
@@ -190,17 +206,9 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, *,
     if hasattr(rschema, "base_schema"):
         rschema = rschema.base_schema
 
-    def _pa_type(t):
-        # pandas-block datasets report numpy dtypes from Dataset.schema()
-        if isinstance(t, pa.DataType):
-            return t
-        if getattr(t, "kind", None) == "O":  # object -> string payload
-            return pa.string()
-        return pa.from_numpy_dtype(t)
-
     left_cols = list(lschema.names)
-    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    ltypes = {n: pa_type_of(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: pa_type_of(t) for n, t in zip(rschema.names, rschema.types)}
 
     def left_side(t: pa.Table) -> pa.Table:
         cols = {"__key": t.column(left_key)}

@@ -39,7 +39,8 @@ def assign_split(batch: pa.Table, id_col: str,
     chars = [hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids]
     names = np.empty(len(chars), dtype=object)
     for name, last in reversed(boundaries):
-        mask = np.array([c <= last for c in chars])
+        mask = np.fromiter((c <= last for c in chars), dtype=bool,
+                           count=len(chars))  # bool even when empty
         names[mask] = name
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])

@@ -87,19 +87,12 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
 
     from ..functions.agg import bucketed_apply
 
+    from ..functions.agg import pa_type_of
+
     lschema, rschema = left.schema(), right.schema()
-
-    def _pa_type(t):
-        # pandas-block datasets report numpy dtypes from Dataset.schema()
-        if isinstance(t, pa.DataType):
-            return t
-        if getattr(t, "kind", None) == "O":
-            return pa.string()
-        return pa.from_numpy_dtype(t)
-
     left_cols = [c for c in lschema.names]
-    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    ltypes = {n: pa_type_of(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: pa_type_of(t) for n, t in zip(rschema.names, rschema.types)}
 
     def left_side(t: pa.Table) -> pa.Table:
         cols = {"__key": t.column(by_left), "__ts": t.column(on_left)}

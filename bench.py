@@ -230,21 +230,29 @@ def host_calibration_sec(workers: int = 8) -> float:
 
 
 def host_disk_mbps() -> float:
-    """Fsync'd sequential write throughput to the run-dir filesystem —
-    the pipeline's checkpoint writes bottleneck here first when the
-    shared host's storage is contended."""
+    """Fsync'd sequential write throughput to the filesystem the bench
+    run dirs live on (``/tmp/kg_bench_*`` — same mount as the probe, a
+    real disk in this sandbox, 90-113 MB/s measured).  The pipeline's
+    checkpoint writes bottleneck here first when the shared host's
+    storage is contended.  Meaningless if /tmp is tmpfs on another
+    host — compare only on this one."""
     import os
 
     buf = os.urandom(32 * 1024 * 1024)
-    path = "/tmp/.graft_disk_probe"
+    path = f"/tmp/.graft_disk_probe.{os.getpid()}"
     t0 = time.time()
-    with open(path, "wb") as f:
-        for _ in range(4):
-            f.write(buf)
-        f.flush()
-        os.fsync(f.fileno())
-    dt = time.time() - t0
-    os.unlink(path)
+    try:
+        with open(path, "wb") as f:
+            for _ in range(4):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        dt = time.time() - t0
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
     return round(128 / dt, 1)
 
 
