@@ -320,6 +320,11 @@ def scaling() -> None:
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_QUERIES="0",
+                   # one trial per level: the scaling protocol compares
+                   # two same-session runs; median-of-3 would triple the
+                   # wall time (repeat the whole --scaling run instead)
+                   GRAFT_BENCH_TRIALS=os.environ.get(
+                       "GRAFT_SCALING_TRIALS", "1"),
                    GRAFT_BENCH_REPLICAS=os.environ.get(
                        "GRAFT_BENCH_REPLICAS", "192"),
                    GRAFT_BENCH_PARTITIONS=os.environ.get(
