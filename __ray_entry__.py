@@ -41,22 +41,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from aisafetyintervention_literatureextraction_ray import driver_queries
 
-    # The kg_* oracles read flat extraction products from a parquet
-    # path the corresponding queries materialize.  Materialize for the
+    # The kg_* / canon / ivf oracles read flat artifacts from parquet
+    # paths the corresponding queries materialize.  Materialize for the
     # driver's correctness sf here as well (GRAFT_ORACLE_SF_DIR
     # overrides; default = the driver's documented sf0.01), so the
     # oracles are valid regardless of whether the driver evaluates SQL
-    # before or after the Ray queries.  Best-effort: skip silently when
-    # Ray is not up or the testdata is absent.
-    try:
-        import os
+    # before or after the Ray queries.  Best-effort — but LOUD on
+    # failure: a silently skipped materialization turns into an opaque
+    # oracle error later (ADVICE r2).
+    import logging
+    import os
 
+    log = logging.getLogger(__name__)
+    try:
         import ray
 
         sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR",
                                 "/root/testdata/sf0.01")
-        if ray.is_initialized() and os.path.isdir(sf_dir):
+        if not ray.is_initialized():
+            log.warning(
+                "oracle_sql(): Ray is not initialized — skipping oracle "
+                "input materialization; kg_*/canon/ivf oracles will only "
+                "be valid after their queries run first")
+        elif not os.path.isdir(sf_dir):
+            log.warning("oracle_sql(): %s missing — skipping oracle "
+                        "input materialization", sf_dir)
+        else:
             driver_queries._materialize_kg_inputs(sf_dir)
+            driver_queries.ensure_canon_accepted(sf_dir)
+            driver_queries.materialize_ivf_oracle(sf_dir)
     except Exception:
-        pass
+        log.warning("oracle_sql(): oracle input materialization failed; "
+                    "dependent oracles may error", exc_info=True)
     return driver_queries.ORACLE_SQL

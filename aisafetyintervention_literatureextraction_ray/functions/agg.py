@@ -34,6 +34,17 @@ import ray.data as rd
 _COMBINE = {"sum": "sum", "count": "sum", "count_all": "sum",
             "min": "min", "max": "max", "one": "one"}
 
+# Arrow integer/bool types -> pandas nullable extension dtypes, used by
+# bucketed_join so null-padded union columns keep exact integer values
+# (a numpy conversion would widen int64+nulls to float64).
+_NULLABLE_DTYPES = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+    pa.bool_(): pd.BooleanDtype(),
+}
+
 
 def default_num_buckets() -> int:
     import ray
@@ -231,15 +242,27 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, *,
     both = left.map_batches(left_side, batch_format="pyarrow").union(
         right.map_batches(right_side, batch_format="pyarrow"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    # The union null-pads each side's columns, so a plain to_pandas
+    # would widen integer columns to float64 (ids above 2^53 would lose
+    # exactness and dtypes silently change).  Convert through pandas
+    # NULLABLE extension dtypes instead: nulls survive without widening
+    # and from_pandas restores the original Arrow integer types.
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas(types_mapper=_NULLABLE_DTYPES.get)
         lhs = df[df["__side"] == 0].drop(columns=["__side"]
                                          + right_value_cols)
         rhs = df[df["__side"] == 1][["__key"] + right_value_cols]
         out = lhs.merge(rhs, on="__key", how=how).drop(columns="__key")
-        return out.rename(columns={f"l_{c}": c for c in left_cols})
+        out = out.rename(columns={f"l_{c}": c for c in left_cols})
+        # drop the pandas schema-footer metadata: it makes block schemas
+        # unhashable, which triggers Ray Data's "Failed to hash the
+        # schemas" warning in WORKER processes (where the driver-side
+        # logging filter of __init__ can't reach, ADVICE r2)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return bucketed_apply(both, ["__key"], merge, num_buckets=num_buckets,
-                          exchange=exchange)
+                          batch_format="pyarrow", exchange=exchange)
 
 
 def bucketed_group_map(ds: rd.Dataset, keys: list[str],
@@ -299,7 +322,8 @@ def bucketed_group_map(ds: rd.Dataset, keys: list[str],
                     return fn(t.slice(0, 0))
             outs = [fn(t.slice(s_, e - s_)) for s_, e in zip(starts, ends)]
             outs = [o if isinstance(o, pa.Table) else
-                    pa.Table.from_pandas(o, preserve_index=False) for o in outs]
+                    pa.Table.from_pandas(o, preserve_index=False)
+                    .replace_schema_metadata(None) for o in outs]
             return pa.concat_tables([o for o in outs if o.num_rows > 0]) \
                 if any(o.num_rows for o in outs) else outs[0]
 

@@ -34,8 +34,16 @@ def candidate_pairs(
     n_bands: int = 8,
     planes_per_band: int = 6,
     encoder_concurrency: int | tuple[int, int] = (1, 4),
+    exchange: str = "shuffle",
 ) -> rd.Dataset:
-    """nodes -> deduped candidate pairs ``(id_a, id_b, distance)``."""
+    """nodes -> deduped candidate pairs ``(id_a, id_b, distance)``.
+
+    ``exchange`` defaults to ``"shuffle"``: this function is the
+    DISTRIBUTED canonicalization path — it only runs when the node table
+    exceeds ``canonicalize``'s ``driver_threshold``, i.e. exactly when
+    the bucket/pair data must never coalesce into one block (VERDICT r2
+    #1).  The small-table case is handled by ``candidate_pairs_local``.
+    """
     ds = nodes.map_batches(project_node_text, batch_format="pyarrow",
                            zero_copy_batch=True)
     ds = ds.map_batches(HashingEncoder, fn_constructor_kwargs={"dim": dim},
@@ -55,12 +63,14 @@ def candidate_pairs(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     pairs = bucketed_group_map(ds, ["bucket"], make_pairgen(k=k),
-                               batch_format="pyarrow", min_group_size=2)
+                               batch_format="pyarrow", min_group_size=2,
+                               exchange=exchange)
     # A4/A5: best distance per unordered pair (symmetric hits collapse);
     # two-stage arrow hash aggregate (functions/agg.py), NOT Ray's
     # sort-based groupby (orders of magnitude slower on many pairs).
     return hash_aggregate(pairs, ["id_a", "id_b"], [("distance", "min")],
-                          rename={"distance_min": "distance"})
+                          rename={"distance_min": "distance"},
+                          exchange=exchange)
 
 
 def accept_pairs(pairs: rd.Dataset, *, top_n: int | None = 30,

@@ -33,6 +33,7 @@ from .extraction import extract_pipeline, triples_from_extractions
 from .graph_build import (
     build_alias_index,
     build_edges_and_mentions,
+    build_edges_and_mentions_shuffle,
     build_nodes,
 )
 
@@ -158,8 +159,19 @@ def run_partitioned_extraction(
 def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None,
                     top_n: int | None = None,
                     threshold: float | None = 0.2,
-                    k: int = 40, dim: int | None = None) -> dict:
-    """extractions/* -> graph/nodes + graph/edges (+ optional near-dup merge)."""
+                    k: int = 40, dim: int | None = None,
+                    broadcast_node_limit: int = 2_000_000) -> dict:
+    """extractions/* -> graph/nodes + graph/edges (+ optional near-dup merge).
+
+    Endpoint resolution picks broadcast vs distributed-shuffle from the
+    MEASURED canonical-node count (VERDICT r2 #5): at or below
+    ``broadcast_node_limit`` the alias index ships once via ``ray.put``
+    (map-side lookup, no shuffle); above it the index becomes a dataset
+    and resolution runs as partitioned hash joins
+    (``build_edges_and_mentions_shuffle``), since a broadcast dict of
+    tens of millions of entries would be re-deserialized per worker and
+    strain the object store.
+    """
     out = Path(out_dir)
     manifest = Manifest(out)
     t0 = time.time()
@@ -173,10 +185,14 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
     # consumed three times (id map, canonicalization, write) — pin it
     # in the object store instead of recomputing the dedup per consumer.
     nodes = build_nodes(extr).materialize()
-    # J5: endpoint resolution goes through the shared alias index, so
-    # surface-form variants (aliases) link to their canonical node.
-    alias_index = build_alias_index(nodes)
-    edges, mentions = build_edges_and_mentions(triples, alias_index)
+    if nodes.count() <= broadcast_node_limit:
+        # J5: endpoint resolution goes through the shared alias index,
+        # so surface-form variants (aliases) link to their canonical
+        # node.
+        alias_index = build_alias_index(nodes)
+        edges, mentions = build_edges_and_mentions(triples, alias_index)
+    else:
+        edges, mentions = build_edges_and_mentions_shuffle(triples, nodes)
 
     n_merged = 0
     if canonicalize_mode:

@@ -270,20 +270,20 @@ def node_index_dataset(nodes: rd.Dataset) -> rd.Dataset:
         batch_format="pyarrow")
 
 
-def build_edges_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
-                        *, num_buckets: int | None = None) -> rd.Dataset:
+def resolve_endpoints_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
+                              *, num_buckets: int | None = None
+                              ) -> rd.Dataset:
     """Endpoint resolution as a DISTRIBUTED hash join (J1 scale path).
 
-    The broadcast path (``build_edges``) is correct while the canonical
-    node table fits the object store; at unbounded vocabulary the index
-    becomes a dataset (``node_index_dataset``) and resolution becomes
-    two partitioned joins on the normalized name — this function, built
-    on ``functions/agg.py::bucketed_join``.  Output is identical to the
-    broadcast path with the alias index (equivalence-tested).
+    The broadcast path (``_EndpointResolver``) is correct while the
+    canonical node table fits the object store; at unbounded vocabulary
+    the index becomes a dataset (``node_index_dataset``) and resolution
+    becomes two partitioned joins on the normalized name, built on
+    ``functions/agg.py::bucketed_join``.  Output: one row per resolved
+    triple with ``src_id``/``dst_id`` attached (unresolved endpoints
+    drop — inner-join semantics, same as the broadcast path's filter).
     """
-    import pyarrow.compute as pc
-
-    from ..functions.agg import bucketed_join, hash_aggregate
+    from ..functions.agg import bucketed_join
 
     idx = node_index_dataset(nodes).materialize()
 
@@ -310,12 +310,22 @@ def build_edges_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
                       right_value_cols=["src_id"], num_buckets=num_buckets,
                       left_schema=t2_schema,
                       right_schema=pa.schema([("key", s), ("src_id", s)]))
-    j = bucketed_join(j, dst_idx, left_key="obj_norm", right_key="key",
-                      right_value_cols=["dst_id"], num_buckets=num_buckets,
-                      left_schema=t2_schema.append(pa.field("src_id", s)),
-                      right_schema=pa.schema([("key", s), ("dst_id", s)]))
+    return bucketed_join(
+        j, dst_idx, left_key="obj_norm", right_key="key",
+        right_value_cols=["dst_id"], num_buckets=num_buckets,
+        left_schema=t2_schema.append(pa.field("src_id", s)),
+        right_schema=pa.schema([("key", s), ("dst_id", s)]))
+
+
+def build_edges_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
+                        *, num_buckets: int | None = None) -> rd.Dataset:
+    """Canonical edges via the fully distributed J1 scale path
+    (equivalence-tested against the broadcast ``build_edges``)."""
+    from ..functions.agg import hash_aggregate
+
     edges = hash_aggregate(
-        j, ["src_id", "pred", "dst_id"],
+        resolve_endpoints_shuffle(triples, nodes, num_buckets=num_buckets),
+        ["src_id", "pred", "dst_id"],
         [("subj", "min"), ("obj", "min"), ("description", "min"),
          ("confidence", "max"), ("doc_id", "count")],
         rename={"subj_min": "subj", "obj_min": "obj",
@@ -326,6 +336,47 @@ def build_edges_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
     return edges.map_batches(
         lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"
     )
+
+
+def build_edges_and_mentions_shuffle(triples: rd.Dataset, nodes: rd.Dataset,
+                                     *, num_buckets: int | None = None):
+    """The shuffle-path twin of ``build_edges_and_mentions``: one
+    distributed endpoint-resolution pass (partitioned hash joins), the
+    resolved rows pinned once and aggregated into BOTH canonical edges
+    and mention provenance.  Chosen automatically by ``run_graph_build``
+    when the canonical node table outgrows a broadcast."""
+    from ..functions.agg import hash_aggregate
+
+    resolved = resolve_endpoints_shuffle(
+        triples, nodes, num_buckets=num_buckets).materialize()
+
+    edges = hash_aggregate(
+        resolved, ["src_id", "pred", "dst_id"],
+        [("subj", "min"), ("obj", "min"), ("description", "min"),
+         ("confidence", "max"), ("doc_id", "count")],
+        rename={"subj_min": "subj", "obj_min": "obj",
+                "description_min": "description",
+                "confidence_max": "confidence",
+                "doc_id_count": "n_provenance"},
+        exchange="shuffle",
+    ).map_batches(lambda b: cast_batch(b, EDGES_SCHEMA),
+                  batch_format="pyarrow")
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"doc_id": t.column("doc_id"),
+                      "node_id": t.column("src_id")}),
+            pa.table({"doc_id": t.column("doc_id"),
+                      "node_id": t.column("dst_id")}),
+        ])
+
+    mentions = hash_aggregate(
+        resolved.map_batches(endpoints, batch_format="pyarrow"),
+        ["doc_id", "node_id"], [("node_id", "count")],
+        rename={"node_id_count": "n_mentions"},
+        exchange="shuffle",
+    ).add_column("pred", lambda df: "mentions")
+    return edges, mentions
 
 
 def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
@@ -368,6 +419,33 @@ def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
     return edges, mentions
 
 
+class _MentionResolver:
+    """Endpoint -> node_id resolution for mention provenance, as an
+    actor pool: the broadcast index is built ONCE per worker in
+    ``__init__`` (same pattern as ``_EndpointResolver``), not per batch
+    (VERDICT r2 #4)."""
+
+    def __init__(self, node_map_ref) -> None:
+        node_map: dict[str, str] = ray.get(node_map_ref)
+        self.index = pd.Index(list(node_map.keys()))
+        self.ids = np.asarray(list(node_map.values()), dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for col in ("subj", "obj"):
+            norm = normalize_names(batch.column(col)).to_pandas().to_numpy()
+            pos = self.index.get_indexer(norm)
+            node_id = np.where(pos >= 0, self.ids[np.clip(pos, 0, None)], None)
+            t = pa.table({
+                "doc_id": batch.column("doc_id"),
+                "node_id": pa.array(node_id, type=pa.string()),
+            })
+            parts.append(t.filter(pc.is_valid(t["node_id"])))
+        return pa.concat_tables(parts)
+
+
 def build_mentions(triples: rd.Dataset, node_map: dict[str, str]
                    ) -> rd.Dataset:
     """PAPER -[MENTIONS]-> node provenance edges.
@@ -386,27 +464,9 @@ def build_mentions(triples: rd.Dataset, node_map: dict[str, str]
     from ..functions.agg import hash_aggregate
 
     ref = ray.put(node_map)
-
-    def resolve(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = ray.get(ref)
-        index = pd.Index(list(m.keys()))
-        ids = np.asarray(list(m.values()), dtype=object)
-        parts = []
-        for col in ("subj", "obj"):
-            norm = normalize_names(batch.column(col)).to_pandas().to_numpy()
-            pos = index.get_indexer(norm)
-            node_id = np.where(pos >= 0, ids[np.clip(pos, 0, None)], None)
-            t = pa.table({
-                "doc_id": batch.column("doc_id"),
-                "node_id": pa.array(node_id, type=pa.string()),
-            })
-            parts.append(t.filter(pc.is_valid(t["node_id"])))
-        return pa.concat_tables(parts)
-
     mentions = triples.select_columns(["doc_id", "subj", "obj"]).map_batches(
-        resolve, batch_format="pyarrow")
+        _MentionResolver, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 8))
     out = hash_aggregate(mentions, ["doc_id", "node_id"],
                          [("node_id", "count")],
                          rename={"node_id_count": "n_mentions"})

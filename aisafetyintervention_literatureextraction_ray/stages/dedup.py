@@ -595,8 +595,49 @@ class SimHasher:
         })
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array (byte-view +
+    ``np.unpackbits`` — no per-row Python)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+    return bits.sum(axis=1, dtype=np.int64)
+
+
+def make_simhash_pair_verifier(id_col: str = "doc_id",
+                               max_hamming: int = 3,
+                               max_group: int = 256):
+    """Per-(band, band_key) group: all-pairs Hamming check, vectorized
+    popcount.  Groups above ``max_group`` are truncated (same policy as
+    ``make_minhash_pair_verifier``): a 16-bit band bucket that large
+    means near-identical boilerplate, and unbounded all-pairs on it goes
+    quadratic (VERDICT r2 #2)."""
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        n = len(g)
+        if n < 2:
+            empty = g[id_col].to_numpy()[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty,
+                                 "hamming": np.array([], dtype=np.int64)})
+        if n > max_group:
+            g = g.head(max_group)
+            n = max_group
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        ham = popcount64(hs[ia] ^ hs[ib])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": ham[keep]})
+
+    return verify
+
+
 def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", max_hamming: int = 3,
+                        max_group: int = 256,
                         concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
     """Near-dup pairs with Hamming distance <= ``max_hamming`` (any pair
     within distance 3 shares at least one identical 16-bit quarter, so
@@ -606,25 +647,13 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, text_col: str = "text",
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            empty = g[id_col].to_numpy()[:0]
-            return pd.DataFrame({"id_a": empty, "id_b": empty,
-                                 "hamming": np.array([], dtype=np.int64)})
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "hamming": ham[keep]})
-
     from ..functions.agg import bucketed_group_map, hash_aggregate
 
-    pairs = bucketed_group_map(sigs, ["band", "band_key"], verify,
-                               min_group_size=2, exchange="shuffle")
+    pairs = bucketed_group_map(
+        sigs, ["band", "band_key"],
+        make_simhash_pair_verifier(id_col=id_col, max_hamming=max_hamming,
+                                   max_group=max_group),
+        min_group_size=2, exchange="shuffle")
     return hash_aggregate(pairs, ["id_a", "id_b"], [("hamming", "min")],
                           rename={"hamming_min": "hamming"},
                           exchange="shuffle")

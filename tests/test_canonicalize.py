@@ -147,3 +147,36 @@ def test_text_projection_skips_empty():
     out = project_node_text(t).column("text").to_pylist()
     assert out[0] == "name=x; aliases=a1, a2; description=desc; concept_category=Finding"
     assert out[1] == "name=y"
+
+
+def test_canonicalize_distributed_branch_matches_local(nodes_ds):
+    """driver_threshold=0 forces the DISTRIBUTED candidate path (shuffle
+    exchanges, no repartition(1)); it must produce the same accepted
+    pairs, remap and surviving nodes as the driver-local fast path."""
+    from aisafetyintervention_literatureextraction_ray.pipelines.canonicalization import (
+        canonicalize,
+    )
+
+    def edges():
+        return rd.from_pandas(pd.DataFrame({
+            "src_id": ["n02", "n20"], "pred": ["causes", "causes"],
+            "dst_id": ["n03", "n04"],
+            "subj": ["x", "x"], "obj": ["y", "y"],
+            "description": ["d1", "d2"], "confidence": [2, 3],
+            "n_provenance": [1, 1],
+        }))
+
+    n_l, e_l, acc_l, remap_l = canonicalize(
+        nodes_ds, edges(), mode="exact", k=5, top_n=None, threshold=0.25,
+        driver_threshold=50_000)
+    n_d, e_d, acc_d, remap_d = canonicalize(
+        nodes_ds, edges(), mode="exact", k=5, top_n=None, threshold=0.25,
+        driver_threshold=0)
+    assert remap_l == remap_d
+    assert (set(zip(acc_l["id_a"], acc_l["id_b"]))
+            == set(zip(acc_d["id_a"], acc_d["id_b"])) == PLANTED)
+    assert set(n_l.to_pandas()["node_id"]) == set(n_d.to_pandas()["node_id"])
+    el = e_l.to_pandas().sort_values(["src_id", "pred", "dst_id"])
+    ed = e_d.to_pandas().sort_values(["src_id", "pred", "dst_id"])
+    assert el[["src_id", "pred", "dst_id", "confidence"]].to_numpy().tolist() \
+        == ed[["src_id", "pred", "dst_id", "confidence"]].to_numpy().tolist()

@@ -11,6 +11,7 @@ from aisafetyintervention_literatureextraction_ray.stages.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard,
+    popcount64,
     simhash_dedup_pairs,
 )
 
@@ -115,3 +116,30 @@ def test_pairs_from_signatures_distributed_join():
                                                "jaccard"] == 1.0
     flat = {x for p in got for x in p}
     assert "legacy_empty" not in flat and "ragged" not in flat
+
+
+def test_popcount64_matches_python():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.integers(0, 2**63, size=200, dtype=np.uint64),
+        np.array([0, 1, 2**63, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64),
+    ])
+    got = popcount64(x)
+    exp = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    assert (got == exp).all()
+    assert popcount64(np.empty(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_simhash_oversized_bucket_capped():
+    """A boilerplate bucket far above max_group must complete in bounded
+    work: the verifier truncates to the max_group lowest ids (same
+    policy as the MinHash verifier) instead of going quadratic."""
+    n, cap = 300, 64
+    texts = ["identical boilerplate text shared by every single row"] * n
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n), "text": texts}))
+    pairs = simhash_dedup_pairs(ds, max_hamming=2, max_group=cap,
+                                concurrency=(1, 2)).to_pandas()
+    # only pairs among the `cap` lowest doc_ids survive the truncation
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert int(pairs[["id_a", "id_b"]].to_numpy().max()) < cap
+    assert (pairs["hamming"] == 0).all()

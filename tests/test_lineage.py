@@ -123,3 +123,39 @@ def test_raw_response_persisted_per_partition(run_dir):
         # raw is the same structure the parsed columns hold
         assert [n["name"] for n in raw["nodes"]] == [
             n["name"] for n in t.column("nodes").to_pylist()[0]]
+
+
+def test_run_graph_build_shuffle_path_matches_broadcast(run_dir):
+    """broadcast_node_limit=0 forces run_graph_build through the fully
+    distributed endpoint-resolution path (node index as a dataset +
+    partitioned hash joins); graph outputs must match the broadcast
+    alias-index path exactly."""
+    from aisafetyintervention_literatureextraction_ray.pipelines.full import (
+        run_graph_build,
+    )
+
+    run_partitioned_extraction(make_part, P, run_dir, concurrency=(1, 2))
+
+    def snap():
+        out = {}
+        for t, keys in (("nodes", ["node_id"]),
+                        ("edges", ["src_id", "pred", "dst_id"]),
+                        ("mentions", ["doc_id", "node_id"])):
+            df = (pads.dataset(Path(run_dir) / "graph" / t).to_table()
+                  .to_pandas().sort_values(keys).reset_index(drop=True))
+            out[t] = df
+        return out
+
+    r_b = run_graph_build(run_dir)  # node count << default limit: broadcast
+    broadcast = snap()
+    r_s = run_graph_build(run_dir, broadcast_node_limit=0)  # forced shuffle
+    shuffle = snap()
+    assert r_b["n_nodes"] == r_s["n_nodes"]
+    assert r_b["n_edges"] == r_s["n_edges"]
+    for t in ("nodes", "edges", "mentions"):
+        b, s = broadcast[t], shuffle[t]
+        assert sorted(b.columns) == sorted(s.columns)
+        cols = sorted(b.columns)
+        bb = b[cols].astype(str).to_numpy().tolist()
+        ss = s[cols].astype(str).to_numpy().tolist()
+        assert sorted(map(tuple, bb)) == sorted(map(tuple, ss)), t
