@@ -266,7 +266,9 @@ def orders_by_segment(sf_dir: str):
 def exact_dedup_docs(sf_dir: str):
     """Exact text dedup via the real ``exact_dedup`` stage: content-hash
     partial (the full text is never a shuffle key), hash-bucket shuffle
-    exchange, per-group first (keep min id) + duplicate counts."""
+    exchange (measured faster than coalesce for payload-carrying rows —
+    see the stage docstring), per-group first (keep min id) +
+    duplicate counts."""
     from .stages.dedup import exact_dedup
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -438,6 +440,90 @@ def events_asof_orders(sf_dir: str):
     for c in ("event_id", "user_id"):
         out[c] = out[c].astype("int64")
     return out[["event_id", "user_id", "event_type", "last_order_price"]]
+
+
+@query(
+    "top_docs_per_source",
+    """
+    SELECT source, doc_id, n_chars, rank FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM documents) WHERE rank <= 3
+    """,
+)
+def top_docs_per_source(sf_dir: str):
+    """Grouped top-k (per-group form of O3): hash-bucket the group key,
+    one vectorized sort + head(k) + cumcount per bucket."""
+    from .functions.agg import grouped_topk
+
+    out = grouped_topk(
+        _pq(sf_dir, "documents", ["source", "doc_id", "n_chars"]),
+        ["source"], "n_chars", 3, ascending=False, tiebreak="doc_id",
+    ).to_pandas()
+    out = out[["source", "doc_id", "n_chars", "rank"]]
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
+@query(
+    "events_orders_range_join",
+    """
+    SELECT e.event_id, e.user_id,
+           COUNT(o.o_orderkey) AS n_orders_7d,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_cents_7d
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate > e.ts - INTERVAL 7 DAY
+     AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def events_orders_range_join(sf_dir: str):
+    """Trailing range (interval) join: per event, count + sum the same
+    user's orders in the 7 days up to the event (stages/window.py
+    ``range_join_agg``: co-grouped bucketed exchange + two searchsorted
+    calls per key slice; sums in exact integer cents so overlapping
+    windows stay order-independent and oracle-exact)."""
+    from .stages.window import range_join_agg
+
+    events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = range_join_agg(events, orders, by_left="user_id",
+                         by_right="o_custkey", on_left="ts",
+                         on_right="o_orderdate", value_col="o_totalprice",
+                         window="7D", count_col="n_orders_7d",
+                         sum_cents_col="sum_cents_7d").to_pandas()
+    # left ints ride a null-padded union exchange: cast back
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out[["event_id", "user_id", "n_orders_7d", "sum_cents_7d"]]
+
+
+@query(
+    "doc_chars_quantiles",
+    """
+    SELECT lang,
+           list_sort(list(n_chars))[
+             CAST(floor((COUNT(*) - 1) * 0.5) AS BIGINT) + 1] AS q50,
+           list_sort(list(n_chars))[
+             CAST(floor((COUNT(*) - 1) * 0.9) AS BIGINT) + 1] AS q90,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_chars_quantiles(sf_dir: str):
+    """Exact per-group quantiles (deterministic lower-index definition,
+    so the integer results match SQL exactly — no interpolation)."""
+    from .functions.agg import grouped_quantiles
+
+    out = grouped_quantiles(
+        _pq(sf_dir, "documents", ["lang", "n_chars"]),
+        ["lang"], "n_chars", [0.5, 0.9],
+    ).to_pandas()
+    return out[["lang", "q50", "q90", "n"]].sort_values("lang").reset_index(
+        drop=True)
 
 
 @query(

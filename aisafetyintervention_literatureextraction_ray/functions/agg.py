@@ -171,6 +171,80 @@ def bucketed_apply(ds: rd.Dataset, keys: list[str],
     )
 
 
+def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str,
+                 k: int, *, ascending: bool = False,
+                 tiebreak: str | None = None,
+                 rank_col: str = "rank",
+                 num_buckets: int | None = None,
+                 exchange: str = "shuffle") -> rd.Dataset:
+    """Top-``k`` rows per key group (the per-group form of O3's global
+    top-k): rows are hash-bucketed on ``keys`` and each bucket runs ONE
+    vectorized sort + ``groupby.head(k)`` + cumcount rank — no per-key
+    Python.  Deterministic total order via ``tiebreak`` (defaults to
+    the first key-independent column callers pass).
+
+    Scale contract: a bucket holds its keys' full row sets — the
+    standard keyed-shuffle assumption.  A per-block partial top-k
+    pre-filter would be a valid optimization but changes nothing
+    semantically, so it is left to callers with measured need.
+    """
+    tb = [tiebreak] if tiebreak else []
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out[rank_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values([*keys, order_col, *tb],
+                            ascending=[True] * len(keys) + [ascending]
+                            + [True] * len(tb),
+                            kind="stable")
+        g = df.groupby(keys, sort=False)
+        out = g.head(k).copy()
+        out[rank_col] = out.groupby(keys, sort=False).cumcount() + 1
+        return out
+
+    return bucketed_apply(ds, keys, topk, num_buckets=num_buckets,
+                          exchange=exchange)
+
+
+def grouped_quantiles(ds: rd.Dataset, keys: list[str], value_col: str,
+                      qs: list[float], *,
+                      num_buckets: int | None = None,
+                      exchange: str = "shuffle") -> rd.Dataset:
+    """Exact per-group quantiles with the deterministic lower-index
+    definition ``sorted(values)[floor((n-1) * q)]`` — chosen precisely
+    because an oracle can reproduce it exactly (no interpolation, no
+    float arithmetic on the values).  Output: one row per key group
+    with a ``q{NN}`` column per requested quantile.
+
+    Scale contract: one key group's values fit its bucket (keyed
+    shuffle); for heavy-hitter keys a t-digest sketch would replace
+    this — out of scope until a caller needs approximate quantiles.
+    """
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: [] for k in keys}
+        cols.update({f"q{int(q * 100):02d}": [] for q in qs})
+        cols["n"] = []
+        for kv, g in df.groupby(keys, sort=False):
+            vals = np.sort(g[value_col].to_numpy())
+            n = len(vals)
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for key, v in zip(keys, kv):
+                cols[key].append(v)
+            for q in qs:
+                cols[f"q{int(q * 100):02d}"].append(
+                    vals[int(np.floor((n - 1) * q))])
+            cols["n"].append(n)
+        out = pd.DataFrame(cols)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_apply(ds, keys, quant, num_buckets=num_buckets,
+                          exchange=exchange)
+
+
 def pa_type_of(t) -> pa.DataType:
     """Dataset.schema() type -> Arrow type.
 

@@ -94,7 +94,8 @@ def accept_pairs(pairs: rd.Dataset, *, top_n: int | None = 30,
 
 
 def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
-                 accepted: pd.DataFrame):
+                 accepted: pd.DataFrame, *,
+                 exchange: str = "coalesce"):
     """Union-find closure + broadcast remap + edge re-dedup (J3/J4).
 
     Loser nodes are dropped (keeper props win — reference ``DELETE a``
@@ -102,6 +103,10 @@ def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
     on ``(src_id, pred, dst_id)`` with property union.  Self-loops
     arising from merged endpoints are retained (parity with MERGE
     ``(b)-[r2]->(b)``, SURVEY.md §2.4 J4).
+
+    ``exchange`` governs the re-dedup reduce; ``canonicalize`` passes
+    ``"shuffle"`` whenever it took the distributed branch (the edge key
+    set there is unbounded, so the partials must never coalesce).
     """
     if accepted.empty:
         return nodes, edges, {}
@@ -141,6 +146,7 @@ def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
                 "description_min": "description",
                 "confidence_max": "confidence",
                 "n_provenance_sum": "n_provenance"},
+        exchange=exchange,
     )
     return nodes2, edges2, remap
 
@@ -213,5 +219,8 @@ def canonicalize(nodes: rd.Dataset, edges: rd.Dataset, *,
     else:
         pairs = candidate_pairs(nodes, mode=mode, k=k, **kwargs)
         accepted = accept_pairs(pairs, top_n=top_n, threshold=threshold)
-    nodes2, edges2, remap = apply_merges(nodes, edges, accepted)
+    # distributed branch => unbounded edge key set: shuffle the re-dedup
+    merge_exchange = "coalesce" if nodes_tbl is not None else "shuffle"
+    nodes2, edges2, remap = apply_merges(nodes, edges, accepted,
+                                         exchange=merge_exchange)
     return nodes2, edges2, accepted, remap

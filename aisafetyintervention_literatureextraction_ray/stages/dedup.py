@@ -45,9 +45,14 @@ def exact_dedup(ds: rd.Dataset, col: str, id_col: str, *,
     exact equality *within* the group.
 
     ``with_counts=True`` appends ``n_copies`` (total duplicate count per
-    kept row).  ``exchange`` defaults to ``"shuffle"``: the distinct-key
-    set of a corpus-wide dedup is unbounded and must never coalesce to a
-    single block.
+    kept row).  ``exchange`` defaults to ``"shuffle"``: besides being
+    the only scale-safe choice (the distinct-key set of a corpus-wide
+    dedup is unbounded), it is also MEASURED faster here whenever the
+    dedup column carries payloads — a coalesce moves every kept row's
+    full text into one block and single-threads the final group
+    (sf0.1 documents, 32 CPUs: shuffle 3.0-7.5 s vs coalesce 17.3 s;
+    an adaptive measured-size variant was tried and removed — its extra
+    materialize pass cost more than it ever saved).
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -130,6 +130,108 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
     return bucketed_apply(both, ["__key"], merge, exchange=exchange)
 
 
+def range_join_agg(left: rd.Dataset, right: rd.Dataset, *,
+                   by_left: str, by_right: str, on_left: str,
+                   on_right: str, value_col: str,
+                   window: pd.Timedelta | str,
+                   count_col: str = "n_in_window",
+                   sum_cents_col: str = "sum_cents_in_window",
+                   exchange: str = "shuffle") -> rd.Dataset:
+    """Trailing range (interval) join + aggregate: for each left row,
+    count and sum the right rows of the same ``by`` key with
+    ``on_left - window < on_right <= on_left``.
+
+    The operator Ray Data lacks (SURVEY.md 'custom operators': range
+    join), composed from the engine's co-grouped bucketed exchange: both
+    sides union-project onto one schema, hash on the ``by`` key, and
+    each bucket resolves every left row's window VECTORIZED with two
+    ``np.searchsorted`` calls over the time-sorted right side (windows
+    overlap, so sums come from exact int64 cent cumsums — prefix-sum
+    differences in integer arithmetic are order-exact, unlike float).
+    Output = left columns + count + cent sum (int64; divide by 100 for
+    currency).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.agg import bucketed_apply, pa_type_of
+
+    window = pd.Timedelta(window)
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    ltypes = {n: pa_type_of(t) for n, t in zip(lschema.names, lschema.types)}
+
+    def left_side(t: pa.Table) -> pa.Table:
+        cols = {"__key": t.column(by_left), "__ts": t.column(on_left)}
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        cols["__val"] = pa.nulls(t.num_rows, pa.float64())
+        cols["__side"] = pa.array([0] * t.num_rows, type=pa.int8())
+        return pa.table(cols)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        cols = {"__key": t.column(by_right).cast(ltypes[by_left]),
+                "__ts": t.column(on_right).cast(ltypes[on_left])}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, ltypes[c])
+        cols["__val"] = t.column(value_col).cast(pa.float64())
+        cols["__side"] = pa.array([1] * t.num_rows, type=pa.int8())
+        return pa.table(cols)
+
+    both = left.map_batches(left_side, batch_format="pyarrow").union(
+        right.map_batches(right_side, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0].drop(columns=["__side", "__val"])
+        rhs = (df[df["__side"] == 1][["__key", "__ts", "__val"]]
+               .sort_values(["__key", "__ts"], kind="stable"))
+        out = lhs.rename(columns={f"l_{c}": c for c in left_cols})
+        n = len(out)
+        counts = np.zeros(n, dtype=np.int64)
+        cents = np.zeros(n, dtype=np.int64)
+        if n and len(rhs):
+            # per-key slices of the time-sorted right side
+            rkeys = rhs["__key"].to_numpy()
+            rts = rhs["__ts"].to_numpy()
+            # exact integer cents: float sums would depend on order
+            rcents = np.round(rhs["__val"].to_numpy() * 100).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(rcents)])
+            rchange = np.flatnonzero(rkeys[1:] != rkeys[:-1]) + 1
+            rbounds = np.concatenate([[0], rchange, [len(rkeys)]])
+            rslice = {rkeys[rbounds[i]]: (rbounds[i], rbounds[i + 1])
+                      for i in range(len(rbounds) - 1)}
+            # sort the left side by (key, ts) so each key is ONE
+            # contiguous slice: total work is O((L + R) log) with one
+            # loop iteration per key, never a full-column mask per key
+            lkeys = lhs["__key"].to_numpy()
+            lts = lhs["__ts"].to_numpy()
+            lorder = np.lexsort((lts, lkeys))
+            lk_s, lt_s = lkeys[lorder], lts[lorder]
+            lchange = np.flatnonzero(lk_s[1:] != lk_s[:-1]) + 1
+            lbounds = np.concatenate([[0], lchange, [len(lk_s)]])
+            c_s = np.zeros(n, dtype=np.int64)
+            m_s = np.zeros(n, dtype=np.int64)
+            for i in range(len(lbounds) - 1):
+                a, b = lbounds[i], lbounds[i + 1]
+                se = rslice.get(lk_s[a])
+                if se is None:
+                    continue
+                s, e = se
+                ts = lt_s[a:b]
+                lo = np.searchsorted(rts[s:e], ts - window.to_timedelta64(),
+                                     side="right") + s
+                hi = np.searchsorted(rts[s:e], ts, side="right") + s
+                c_s[a:b] = hi - lo
+                m_s[a:b] = csum[hi] - csum[lo]
+            counts[lorder] = c_s
+            cents[lorder] = m_s
+        out[count_col] = counts
+        out[sum_cents_col] = cents
+        return out.drop(columns=["__key", "__ts"])
+
+    return bucketed_apply(both, ["__key"], merge, exchange=exchange)
+
+
 def sessionize(events: rd.Dataset, *, key_col: str = "user_id",
                ts_col: str = "ts", gap: pd.Timedelta | str = "30min",
                exchange: str = "shuffle") -> rd.Dataset:

@@ -143,3 +143,15 @@ def test_simhash_oversized_bucket_capped():
     assert len(pairs) == cap * (cap - 1) // 2
     assert int(pairs[["id_a", "id_b"]].to_numpy().max()) < cap
     assert (pairs["hamming"] == 0).all()
+
+
+def test_exact_dedup_exchange_is_physical_choice(ds):
+    """shuffle vs coalesce is a physical exchange choice only: the
+    dedup output must be identical either way."""
+
+    def run(**kw):
+        out = exact_dedup(ds, "text", "doc_id", with_counts=True, **kw)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True)[["doc_id", "n_copies"]])
+
+    assert run(exchange="coalesce").equals(run(exchange="shuffle"))

@@ -271,3 +271,67 @@ def test_validator_rubric_checks(tmp_path):
     assert len(good) == len(rows) - 2
     kept = set(good["doc_id"])
     assert rows[0]["doc_id"] not in kept and rows[1]["doc_id"] not in kept
+
+
+def test_range_join_agg_counts_and_exact_cents():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.window import (
+        range_join_agg,
+    )
+
+    left = rd.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [10, 10, 20, 30],
+        "ts": pd.to_datetime(["2024-01-10", "2024-01-20",
+                              "2024-01-10", "2024-01-10"]),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "o_custkey": [10, 10, 10, 20],
+        "o_orderdate": pd.to_datetime(["2024-01-05", "2024-01-09",
+                                       "2024-01-19", "2024-01-03"]),
+        "o_totalprice": [10.01, 20.02, 40.04, 5.55],
+    }))
+    out = range_join_agg(left, right, by_left="user_id",
+                         by_right="o_custkey", on_left="ts",
+                         on_right="o_orderdate", value_col="o_totalprice",
+                         window="7D").to_pandas().sort_values("event_id")
+    # event 1 (user 10 @ 01-10): orders 01-05 and 01-09 in (01-03, 01-10]
+    # event 2 (user 10 @ 01-20): order 01-19 only
+    # event 3 (user 20 @ 01-10): order 01-03 is outside the 7-day window
+    # event 4 (user 30): no orders for that user at all
+    assert out["n_in_window"].tolist() == [2, 1, 0, 0]
+    assert out["sum_cents_in_window"].tolist() == [3003, 4004, 0, 0]
+
+
+def test_grouped_topk_and_quantiles():
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.agg import (
+        grouped_quantiles,
+        grouped_topk,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "v": [10, 50, 30, 50, 20, 7, 9, 8],
+    })
+    ds = rd.from_pandas(df)
+    top = grouped_topk(ds, ["g"], "v", 2, ascending=False,
+                       tiebreak="id").to_pandas()
+    top = top.sort_values(["g", "rank"]).reset_index(drop=True)
+    # ties on v=50 break on the id tiebreak (2 before 4)
+    assert top[["g", "id", "rank"]].to_numpy().tolist() == [
+        ["a", 2, 1], ["a", 4, 2], ["b", 7, 1], ["b", 8, 2]]
+
+    q = grouped_quantiles(ds, ["g"], "v", [0.5, 0.9]).to_pandas()
+    q = q.sort_values("g").reset_index(drop=True)
+    # lower-index definition: sorted(a)=[10,20,30,50,50] -> q50 idx 2,
+    # q90 idx floor(3.6)=3; sorted(b)=[7,8,9] -> q50 idx 1, q90 idx 1
+    assert q["q50"].tolist() == [30, 8]
+    assert q["q90"].tolist() == [50, 8]
+    assert q["n"].tolist() == [5, 3]
