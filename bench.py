@@ -138,7 +138,15 @@ def run_headline(num_cpus: int) -> dict:
         run_full,
     )
 
-    out_dir = f"/tmp/kg_bench_{num_cpus}"
+    # GRAFT_BENCH_DIR=/dev/shm gives the storage-variance CONTROL: on a
+    # real N vs 4N cluster every node brings its own disk, so checkpoint
+    # bandwidth scales with the cluster; on this single host the shared
+    # disk is a FIXED resource whose co-tenant throughput swings 26-325
+    # MB/s minute to minute (measured), which starves only the hi-CPU
+    # leg. tmpfs models per-node-scaled storage; the default stays the
+    # real disk for protocol continuity with earlier rounds.
+    out_dir = (f"{os.environ.get('GRAFT_BENCH_DIR', '/tmp')}"
+               f"/kg_bench_{num_cpus}")
     shutil.rmtree(out_dir, ignore_errors=True)
     make_partition = make_partition_factory(SF_DIR, REPLICAS, PARTITIONS,
                                             num_cpus)
@@ -311,38 +319,56 @@ def scaling() -> None:
     oversubscribed against the harness itself; 28 leaves the harness
     off the measured budget, identically at both levels.
     """
+    import statistics
     import subprocess
 
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALING_CPUS", "7,28").split(","))
     assert hi == 4 * lo, "scaling levels must be N and 4N"
-    results = {}
-    for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_QUERIES="0",
-                   # one trial per level: the scaling protocol compares
-                   # two same-session runs; median-of-3 would triple the
-                   # wall time (repeat the whole --scaling run instead)
-                   GRAFT_BENCH_TRIALS=os.environ.get(
-                       "GRAFT_SCALING_TRIALS", "1"),
-                   GRAFT_BENCH_REPLICAS=os.environ.get(
-                       "GRAFT_BENCH_REPLICAS", "192"),
-                   GRAFT_BENCH_PARTITIONS=os.environ.get(
-                       "GRAFT_BENCH_PARTITIONS", "2"))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    thr_lo = results[lo]["triples_per_sec"]
-    thr_hi = results[hi]["triples_per_sec"]
+    # GRAFT_SCALING_REPEATS > 1 ALTERNATES the two legs (lo hi lo hi …)
+    # and pairs per-leg MEDIANS: on a shared host whose co-tenant load
+    # swings within minutes, pairing one lo leg with one hi leg taken
+    # minutes apart measures the co-tenants, not the engine; medians of
+    # interleaved legs cancel leg-independent noise.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(max(1, repeats)):
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_QUERIES="0",
+                       # one trial per leg; repetition comes from the
+                       # alternating outer loop
+                       GRAFT_BENCH_TRIALS=os.environ.get(
+                           "GRAFT_SCALING_TRIALS", "1"),
+                       GRAFT_BENCH_REPLICAS=os.environ.get(
+                           "GRAFT_BENCH_REPLICAS", "192"),
+                       GRAFT_BENCH_PARTITIONS=os.environ.get(
+                           "GRAFT_BENCH_PARTITIONS", "2"))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True,
+                                 check=True).stdout
+            runs[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+    thr_lo = statistics.median(r["triples_per_sec"] for r in runs[lo])
+    thr_hi = statistics.median(r["triples_per_sec"] for r in runs[hi])
     print(json.dumps({
         "cpus": [lo, hi],
-        f"sec_{lo}": results[lo]["value"],
-        f"sec_{hi}": results[hi]["value"],
+        f"sec_{lo}": runs[lo][-1]["value"],
+        f"sec_{hi}": runs[hi][-1]["value"],
         f"thr_{lo}": thr_lo,
         f"thr_{hi}": thr_hi,
-        "n_docs": results[hi]["n_docs"],
-        "n_triples": results[hi]["n_triples"],
+        "thr_samples": {str(n): [r["triples_per_sec"] for r in runs[n]]
+                        for n in (lo, hi)},
+        "n_docs": runs[hi][-1]["n_docs"],
+        "n_triples": runs[hi][-1]["n_triples"],
         "scaling_efficiency": round((thr_hi / thr_lo) / 4, 3),
+        # per-level host probes from the child runs: a depressed hi-CPU
+        # number with a depressed disk probe is storage contention, not
+        # a scaling property (the hi-CPU run demands ~4x the checkpoint
+        # write bandwidth per second)
+        "host_probes": {str(n): [
+            {"calibration_sec": r.get("host_calibration_sec"),
+             "disk_mbps": r.get("host_disk_mbps")} for r in runs[n]]
+            for n in (lo, hi)},
     }))
 
 
