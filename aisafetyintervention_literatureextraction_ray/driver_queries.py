@@ -1424,6 +1424,26 @@ def doc_split_stats(sf_dir: str):
     )
 
 
+@query(
+    "doc_stratified_sample",
+    """
+    SELECT lang, doc_id FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '2fff'
+    """,
+)
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic hash sampling (~18.75% via md5 prefix <= '2fff'),
+    stratum-independent by construction; oracle = the identical
+    predicate in SQL."""
+    from .functions.sample import stratified_sample
+
+    out = stratified_sample(
+        _pq(sf_dir, "documents", ["lang", "doc_id"]), "doc_id",
+    ).to_pandas()
+    return out[["lang", "doc_id"]].sort_values("doc_id").reset_index(
+        drop=True)
+
+
 # ---------------------------------------------------------------- multimodal
 @query(
     "media_feature_extraction",

@@ -56,3 +56,29 @@ def train_val_test_split(ds: rd.Dataset, id_col: str,
     return ds.map_batches(
         lambda t: assign_split(t, id_col, bounds),
         batch_format="pyarrow")
+
+
+def stratified_sample(ds: rd.Dataset, id_col: str, *,
+                      hex_digits: int = 4,
+                      threshold: str = "2fff") -> rd.Dataset:
+    """Deterministic hash sample: keep rows whose
+    ``md5(str(id))[:hex_digits] <= threshold`` — a pure per-row filter
+    (no shuffle, no driver state) whose keep-rate is
+    ``(int(threshold, 16) + 1) / 16**hex_digits`` within EVERY stratum
+    simultaneously, because md5 is independent of any grouping column.
+    The same predicate is one line of SQL, so the sample is
+    audit-reproducible outside the engine (the training-data
+    requirement that rules out seeded RNG sampling, whose stream
+    depends on row order and partitioning).
+    """
+    assert len(threshold) == hex_digits
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[:hex_digits]
+             <= threshold for i in ids),
+            dtype=bool, count=len(ids))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

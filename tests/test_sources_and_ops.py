@@ -335,3 +335,29 @@ def test_grouped_topk_and_quantiles():
     assert q["q50"].tolist() == [30, 8]
     assert q["q90"].tolist() == [50, 8]
     assert q["n"].tolist() == [5, 3]
+
+
+def test_stratified_sample_deterministic_and_unbiased():
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.sample import (
+        stratified_sample,
+    )
+
+    df = pd.DataFrame({"id": range(4000),
+                       "g": ["a" if i % 2 else "b" for i in range(4000)]})
+    ds = rd.from_pandas(df)
+    s1 = stratified_sample(ds, "id").to_pandas().sort_values("id")
+    s2 = stratified_sample(ds, "id").to_pandas().sort_values("id")
+    assert s1["id"].tolist() == s2["id"].tolist()      # pure function of id
+    # keep-rate ~ 0x3000/0x10000 = 18.75% overall AND per stratum
+    for frame, n in ((s1, 4000),
+                     (s1[s1.g == "a"], 2000), (s1[s1.g == "b"], 2000)):
+        assert 0.14 < len(frame) / n < 0.24
+    # membership matches the documented predicate exactly
+    exp = [i for i in df["id"]
+           if hashlib.md5(str(i).encode()).hexdigest()[:4] <= "2fff"]
+    assert s1["id"].tolist() == exp
