@@ -70,6 +70,7 @@ def sliding_window(events: rd.Dataset, key_col: str, ts_col: str,
 def asof_join(left: rd.Dataset, right: rd.Dataset, *,
               by_left: str, by_right: str, on_left: str, on_right: str,
               right_value_cols: list[str],
+              right_reduce: dict[str, str] | None = None,
               exchange: str = "shuffle") -> rd.Dataset:
     """Backward inclusive as-of join: each left row gets the right row
     with the largest ``on_right <= on_left`` within its ``by`` key
@@ -82,6 +83,14 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
     assumption is only that one KEY's rows fit a bucket's share of the
     heap, the standard keyed-shuffle contract.  Output = left columns +
     ``right_value_cols`` (null where no right row precedes).
+
+    ``right_reduce={col: fn}`` deduplicates the right side per
+    ``(by, on)`` INSIDE the bucket (C groupby) before the merge.
+    Callers that need e.g. "max value per (key, timestamp)" should pass
+    this (plus an optional per-block partial upstream) instead of a
+    standalone keyed aggregate: a separate exchange for a nearly-unique
+    key set reduces nothing and pays a full extra shuffle (measured
+    4.9 s of a 5 s query at sf0.1).
     """
     import pyarrow as pa
 
@@ -120,8 +129,11 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
         lhs = (df[df["__side"] == 0]
                .drop(columns=["__side"] + right_value_cols)
                .sort_values("__ts", kind="stable"))
-        rhs = (df[df["__side"] == 1][["__key", "__ts"] + right_value_cols]
-               .sort_values("__ts", kind="stable"))
+        rhs = df[df["__side"] == 1][["__key", "__ts"] + right_value_cols]
+        if right_reduce:
+            rhs = rhs.groupby(["__key", "__ts"], as_index=False,
+                              sort=False).agg(right_reduce)
+        rhs = rhs.sort_values("__ts", kind="stable")
         out = pd.merge_asof(lhs, rhs, on="__ts", by="__key",
                             direction="backward")
         out = out.drop(columns=["__key", "__ts"])

@@ -361,3 +361,34 @@ def test_stratified_sample_deterministic_and_unbiased():
     exp = [i for i in df["id"]
            if hashlib.md5(str(i).encode()).hexdigest()[:4] <= "2fff"]
     assert s1["id"].tolist() == exp
+
+
+def test_asof_right_reduce_matches_prereduced():
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.window import (
+        asof_join,
+    )
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "ts": pd.to_datetime(
+            ["2024-01-05", "2024-01-10", "2024-01-05"]),
+    }))
+    # duplicate (key, ts) rows on the right: reduce must pick the max
+    right_df = pd.DataFrame({
+        "rk": [1, 1, 1, 2],
+        "rts": pd.to_datetime(["2024-01-02", "2024-01-02",
+                               "2024-01-08", "2024-01-06"]),
+        "v": [5.0, 9.0, 3.0, 7.0],
+    })
+    got = asof_join(left, rd.from_pandas(right_df), by_left="k",
+                    by_right="rk", on_left="ts", on_right="rts",
+                    right_value_cols=["v"],
+                    right_reduce={"v": "max"}).to_pandas()
+    got = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    # k=1 @01-05 -> max(5, 9)=9; k=1 @01-10 -> 3 (01-08 row);
+    # k=2 @01-05 -> no order at-or-before -> null
+    assert got["v"].tolist()[0] == 9.0
+    assert got["v"].tolist()[1] == 3.0
+    assert pd.isna(got["v"].tolist()[2])
