@@ -68,8 +68,18 @@ def _silence_schema_hash_noise() -> None:
         def filter(self, record: logging.LogRecord) -> bool:
             return "Failed to hash the schemas" not in record.getMessage()
 
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Drop())
+    logger = logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow")
+    if not any(type(f).__name__ == "_Drop" for f in logger.filters):
+        logger.addFilter(_Drop())
+
+    # Coverage note: this import-time install reaches every worker that
+    # deserializes a UDF referencing this package (cloudpickle imports
+    # the module), i.e. all hot-path workers.  Pure read/shuffle tasks
+    # can still log one line.  ``runtime_env={"worker_process_setup_
+    # hook": ...}`` would cover those too, but it HANGS ray.init in
+    # this sandbox (local mode, no runtime-env agent) — measured, not
+    # assumed — so the session owners deliberately don't pass it.
 
 
 _shim_fsspec_http()

@@ -1763,3 +1763,139 @@ def kg_edges_shuffle(sf_dir: str):
     nodes = build_nodes(extr)
     triples = rd.read_parquet(f"{out}/triples")
     return build_edges_shuffle(triples, nodes).to_pandas()
+
+
+# ---------------------------------------------------------------- window functions
+@query(
+    "orders_running_total",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)           AS order_seq,
+           CAST(SUM(cents)  OVER w AS BIGINT)            AS running_cents,
+           CAST(COALESCE(LAG(cents) OVER w, -1) AS BIGINT) AS prev_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def orders_running_total(sf_dir: str):
+    """SQL window-function family (ROW_NUMBER / SUM OVER / LAG) as a
+    keyed-shuffle + single vectorized ordered pass per bucket
+    (functions/agg.py grouped_running).  Money is summed in integer
+    cents so the running sum is exact and order-independent of float
+    ulps on both sides; (o_orderdate, o_orderkey) is a total order
+    within each customer, making LAG deterministic.
+    """
+    from .functions.agg import grouped_running
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return t.drop_columns(["o_totalprice"]).append_column("cents", cents)
+
+    out = grouped_running(
+        ds.map_batches(to_cents, batch_format="pyarrow", batch_size=65536,
+                       zero_copy_batch=True),
+        ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        cum_cols=["cents"], lag_cols=["cents"], seq_col="order_seq",
+        lag_fill=-1).to_pandas()
+    out = out.rename(columns={"cents_running": "running_cents",
+                              "cents_prev": "prev_cents"})
+    for c in ("order_seq", "running_cents", "prev_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["o_orderkey", "o_custkey", "order_seq", "running_cents",
+                "prev_cents"]]
+
+
+# ---------------------------------------------------------------- pivot
+@query(
+    "events_hourly_type_pivot",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def events_hourly_type_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): the label column becomes one
+    count column per known label (functions/agg.py pivot_counts).
+    The label set is part of the events data contract (TESTDATA.md);
+    a pivot's output schema must be named up front.
+    """
+    from .functions.agg import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_of(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": hour, "event_type": t["event_type"]})
+
+    hours = ds.map_batches(hour_of, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True)
+    return pivot_counts(hours, ["hour"], "event_type", types).to_pandas()
+
+
+# ---------------------------------------------------------------- corpus top terms
+@query(
+    "doc_top_terms",
+    """
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term ORDER BY n DESC, term ASC LIMIT 50
+    """,
+)
+def doc_top_terms(sf_dir: str):
+    """Corpus top-50 terms: tokenize -> per-block histogram combiner ->
+    keyed sum -> global deterministic top-k.  The per-block
+    ``term_count_partial`` collapses stopword skew before the exchange
+    (one row per distinct term per block), so the shuffle moves
+    histograms, never tokens."""
+    from .functions.agg import hash_aggregate
+    from .functions.text import term_count_partial
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(term_count_partial, batch_format="pyarrow",
+                              batch_size=256, zero_copy_batch=True)
+    counts = hash_aggregate(partials, ["term"], [("n", "sum")],
+                            rename={"n_sum": "n"}, exchange="shuffle")
+    return (counts.sort(key=["n", "term"], descending=[True, False])
+            .limit(50).to_pandas())
+
+
+# ---------------------------------------------------------------- cardinality sketch
+@query("approx_distinct_users")
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT DISTINCT (functions/sketch.py)
+    self-scored against the exact distinct count computed by a
+    per-block unique partial + keyed-shuffle dedup.  Rows-only by
+    design: the sketch's SipHash register layout is not
+    SQL-expressible; the ``rel_err`` column IS the check (tests bound
+    it at the HLL p=12 theoretical error)."""
+    from .functions.agg import bucketed_apply
+    from .functions.sketch import hll_distinct
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+    approx = hll_distinct(ds, "user_id", p=12)
+
+    uniq = ds.map_batches(
+        lambda t: pa.table({"user_id": pc.unique(t["user_id"])}),
+        batch_format="pyarrow", batch_size=65536, zero_copy_batch=True)
+    exact = bucketed_apply(uniq, ["user_id"],
+                           lambda df: df.drop_duplicates()).count()
+    return pd.DataFrame({
+        "approx_distinct": [approx], "exact_distinct": [exact],
+        "rel_err": [round(abs(approx - exact) / max(exact, 1), 4)]})

@@ -28,6 +28,7 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # partial-aggregate function -> how partials combine in the final stage
@@ -243,6 +244,92 @@ def grouped_quantiles(ds: rd.Dataset, keys: list[str], value_col: str,
 
     return bucketed_apply(ds, keys, quant, num_buckets=num_buckets,
                           exchange=exchange)
+
+
+def grouped_running(ds: rd.Dataset, keys: list[str],
+                    order_cols: list[str], *,
+                    cum_cols: list[str] | None = None,
+                    lag_cols: list[str] | None = None,
+                    seq_col: str = "seq",
+                    lag_fill: int | float | None = None,
+                    num_buckets: int | None = None,
+                    exchange: str = "shuffle") -> rd.Dataset:
+    """Per-key ordered window analytics: row number (``seq_col``),
+    running sums (``{c}_running``) and one-row lag (``{c}_prev``) —
+    the SQL ``ROW_NUMBER() / SUM() OVER / LAG() OVER (PARTITION BY
+    keys ORDER BY order_cols)`` family (reference merge.py holds whole
+    tables in memory for its ordered passes; here each key's rows are
+    co-located by the keyed shuffle and processed by ONE vectorized
+    pandas groupby per bucket, no per-key Python).
+
+    ``order_cols`` must be a total order within each key (pass a
+    unique id as the last column) or the result is nondeterministic.
+    ``lag_fill`` replaces the leading-null lag value so integer
+    columns stay integers through the exchange.
+
+    Scale contract: one key's rows fit a bucket's share of the heap —
+    the standard keyed-shuffle assumption (same as grouped_topk).
+    """
+    cum_cols = cum_cols or []
+    lag_cols = lag_cols or []
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out[seq_col] = pd.Series([], dtype="int64")
+            for c in cum_cols:
+                out[f"{c}_running"] = pd.Series([], dtype=df.dtypes.get(c))
+            for c in lag_cols:
+                out[f"{c}_prev"] = pd.Series([], dtype=df.dtypes.get(c))
+            return out
+        df = df.sort_values([*keys, *order_cols], kind="stable")
+        g = df.groupby(keys, sort=False)
+        df[seq_col] = g.cumcount() + 1
+        for c in cum_cols:
+            df[f"{c}_running"] = g[c].cumsum()
+        for c in lag_cols:
+            prev = g[c].shift(1)
+            if lag_fill is not None:
+                prev = prev.fillna(lag_fill).astype(df[c].dtype)
+            df[f"{c}_prev"] = prev
+        return df
+
+    return bucketed_apply(ds, keys, run, num_buckets=num_buckets,
+                          exchange=exchange)
+
+
+def pivot_counts(ds: rd.Dataset, keys: list[str], pivot_col: str,
+                 values: list[str], *,
+                 num_buckets: int | None = None,
+                 exchange: str = "shuffle") -> rd.Dataset:
+    """Pivot a low-cardinality label column into one count column per
+    label (conditional aggregation): output has ``keys`` + one int64
+    column per entry of ``values`` holding the per-key occurrence
+    count (0 where absent).  Labels outside ``values`` are dropped —
+    the caller names the schema up front, as a pivot must.
+
+    Two-stage like hash_aggregate: a vectorized per-block partial
+    (one ``pc.equal`` + cast per label, then a C groupby) collapses
+    each block to one row per key, so the exchange moves partials,
+    never raw events.
+    """
+    out_names = list(keys) + list(values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t[pivot_col]
+        cols = {k: t[k] for k in keys}
+        for v in values:
+            cols[v] = pc.cast(pc.equal(lab, v), pa.int64())
+        flat = pa.table(cols)
+        out = pa.TableGroupBy(flat, keys).aggregate(
+            [(v, "sum") for v in values])
+        return out.rename_columns(out_names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    return hash_aggregate(partials, keys, [(v, "sum") for v in values],
+                          rename={f"{v}_sum": v for v in values},
+                          num_buckets=num_buckets, exchange=exchange)
 
 
 def pa_type_of(t) -> pa.DataType:

@@ -128,3 +128,25 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fingerprint") -> pa.Table:
     fp = fingerprint64(batch.column(text_col).to_pylist())
     return set_column(batch, out_col, pa.array(fp, type=pa.uint64()))
+
+
+def term_count_partial(t: pa.Table, text_col: str = "text",
+                       pattern: str = "[^a-z]+") -> pa.Table:
+    """Per-block term histogram for corpus top-terms: lowercase, split
+    on the RE2 ``pattern``, flatten, drop empties, count.  Collapses a
+    block of documents to one (term, n) row per distinct term BEFORE
+    any exchange, so the downstream keyed sum moves histograms, not
+    tokens — the combiner pattern that keeps stopword skew off the
+    shuffle.  Mirrors DuckDB
+    ``unnest(string_split_regex(lower(text), pattern))`` exactly (both
+    engines are RE2; '[a-z]' is ASCII-only either way).
+    """
+    toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                  pattern=pattern)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat)
+    return pa.table({"term": vc.field("values"),
+                     "n": pc.cast(vc.field("counts"), pa.int64())})

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk", "minhash_neardup_pairs", "simhash_neardup_pairs",
     "embedding_neardup_pairs", "resume_antijoin", "lang_id_distribution",
     "doc_quality_scores", "media_feature_extraction", "pdf_ingest",
+    "orders_running_total", "events_hourly_type_pivot", "doc_top_terms",
+    "approx_distinct_users",
 ]
 
 

@@ -392,3 +392,77 @@ def test_asof_right_reduce_matches_prereduced():
     assert got["v"].tolist()[0] == 9.0
     assert got["v"].tolist()[1] == 3.0
     assert pd.isna(got["v"].tolist()[2])
+
+
+def test_grouped_running_matches_pandas_window():
+    from aisafetyintervention_literatureextraction_ray.functions.agg import (
+        grouped_running,
+    )
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "d": [3, 1, 2, 5, 4, 9],
+        "id": [10, 11, 12, 13, 14, 15],
+        "v": [100, 10, 20, 7, 5, 1],
+    })
+    got = grouped_running(rd.from_pandas(df), ["k"], ["d", "id"],
+                          cum_cols=["v"], lag_cols=["v"], seq_col="seq",
+                          lag_fill=-1).to_pandas()
+    got = got.sort_values(["k", "d"]).reset_index(drop=True)
+    # k=1 ordered by d: v = 10(d1), 20(d2), 100(d3)
+    assert got.loc[got["k"] == 1, "v_running"].tolist() == [10, 30, 130]
+    assert got.loc[got["k"] == 1, "v_prev"].tolist() == [-1, 10, 20]
+    assert got.loc[got["k"] == 1, "seq"].tolist() == [1, 2, 3]
+    assert got.loc[got["k"] == 2, "v_running"].tolist() == [5, 12]
+    assert got.loc[got["k"] == 3, "seq"].tolist() == [1]
+    # lag_fill keeps the column integer through the exchange
+    assert got["v_prev"].dtype == np.int64
+
+
+def test_pivot_counts_zero_fill_and_drop():
+    from aisafetyintervention_literatureextraction_ray.functions.agg import (
+        pivot_counts,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"],
+        "lab": ["x", "x", "y", "y", "zzz"],  # zzz not in values -> dropped
+    })
+    got = (pivot_counts(rd.from_pandas(df), ["g"], "lab", ["x", "y", "w"])
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got.columns.tolist() == ["g", "x", "y", "w"]
+    assert got.loc[0].tolist() == ["a", 2, 1, 0]
+    assert got.loc[1].tolist() == ["b", 0, 1, 0]
+
+
+def test_hll_error_bound_and_merge():
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        hll_distinct, hll_estimate, hll_merge, hll_partial,
+    )
+
+    n = 5000
+    vals = np.arange(n, dtype=np.int64) * 131 + 17
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est - n) / n < 0.05  # p=12 std err ~1.6%
+
+    # merge is exactly the same sketch as a single pass (associative max)
+    a, b = vals[:3000], vals[2000:]  # overlapping halves
+    assert np.array_equal(hll_partial(vals),
+                          hll_merge(hll_partial(a), hll_partial(b)))
+
+    # end-to-end over a Dataset with duplicates across blocks
+    df = pd.DataFrame({"u": np.concatenate([vals, vals[:2500]])})
+    got = hll_distinct(rd.from_pandas(df), "u", p=12, batch_size=500)
+    assert abs(got - n) / n < 0.05
+
+
+def test_term_count_partial_edge_cases():
+    from aisafetyintervention_literatureextraction_ray.functions.text import (
+        term_count_partial,
+    )
+
+    t = pa.table({"text": ["The cat, the hat!", "dog dog", None, "", "42 ab"]})
+    got = (term_count_partial(t).to_pandas()
+           .sort_values("term").reset_index(drop=True))
+    assert dict(zip(got["term"], got["n"])) == {
+        "ab": 1, "cat": 1, "dog": 2, "hat": 1, "the": 2}
