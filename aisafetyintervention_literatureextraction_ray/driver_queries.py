@@ -1899,3 +1899,270 @@ def approx_distinct_users(sf_dir: str):
     return pd.DataFrame({
         "approx_distinct": [approx], "exact_distinct": [exact],
         "rel_err": [round(abs(approx - exact) / max(exact, 1), 4)]})
+
+
+# ---------------------------------------------------------------- PII redaction
+def _pii_sql() -> str:
+    """Chained-CTE mirror of functions/text.py::redact_pii: each rule
+    counts matches on the text AS THE PREVIOUS RULES LEFT IT, then
+    redacts — identical RE2 patterns on both engines."""
+    from .functions.text import PII_RULES
+
+    (_, email_re, email_tok), (_, ssn_re, ssn_tok), (_, phone_re, phone_tok) \
+        = PII_RULES
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com call 415-555-0199'
+                               || ' id 123-45-6789'
+                          ELSE '' END AS t
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             length(regexp_extract_all(t, '{email_re}')) AS n_email,
+             regexp_replace(t, '{email_re}', '{email_tok}', 'g') AS t
+      FROM aug),
+    s2 AS (
+      SELECT doc_id, n_email,
+             length(regexp_extract_all(t, '{ssn_re}')) AS n_ssn,
+             regexp_replace(t, '{ssn_re}', '{ssn_tok}', 'g') AS t
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, n_email, n_ssn,
+             length(regexp_extract_all(t, '{phone_re}')) AS n_phone,
+             regexp_replace(t, '{phone_re}', '{phone_tok}', 'g') AS t
+      FROM s2)
+    SELECT doc_id, n_email, n_ssn, n_phone, t AS text_redacted FROM s3
+    """
+
+
+@query("pii_redaction", None)
+def pii_redaction(sf_dir: str):
+    """PII scrub over documents (emails / SSN-like ids / phones ->
+    typed tokens + per-doc match counts).  The synthetic corpus carries
+    no PII, so a deterministic fixture plants one of each on every
+    doc_id % 7 == 0 row — in BOTH engines (same string expression), so
+    the oracle checks the actual redaction, not a no-op."""
+    from .functions.text import redact_pii
+
+    def plant_and_redact(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = pa.array(did % 7 == 0)
+        tail = pc.binary_join_element_wise(
+            " contact user", pc.cast(t.column("doc_id"), pa.string()),
+            "@example.com call 415-555-0199 id 123-45-6789", "")
+        aug = pc.if_else(
+            mask,
+            pc.binary_join_element_wise(t.column("text"), tail, ""),
+            t.column("text"))
+        t = t.drop_columns(["text"]).append_column("text", aug)
+        return redact_pii(t).drop_columns(["text"])
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(plant_and_redact, batch_format="pyarrow",
+                     batch_size=4096)
+        .to_pandas()
+    )
+
+
+ORACLE_SQL["pii_redaction"] = _pii_sql()
+
+
+# ---------------------------------------------------------------- repetition quality
+@query(
+    "doc_repetition_stats",
+    """
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    flat AS (SELECT doc_id, unnest(ws) AS word,
+                    unnest(range(len(ws))) AS pos FROM w),
+    base AS (SELECT doc_id, COUNT(*) AS n_words,
+                    COUNT(DISTINCT word) AS n_distinct
+             FROM flat GROUP BY doc_id),
+    wc AS (SELECT doc_id, MAX(c) AS top_w FROM (
+             SELECT doc_id, word, COUNT(*) AS c
+             FROM flat GROUP BY doc_id, word) GROUP BY doc_id),
+    bg AS (SELECT doc_id, word || ' ' || lead(word) OVER (
+             PARTITION BY doc_id ORDER BY pos) AS b FROM flat),
+    bc AS (SELECT doc_id, MAX(c) AS top_b FROM (
+             SELECT doc_id, b, COUNT(*) AS c FROM bg
+             WHERE b IS NOT NULL GROUP BY doc_id, b) GROUP BY doc_id)
+    SELECT base.doc_id, n_words,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6)
+             AS distinct_word_ratio,
+           ROUND(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_ratio,
+           ROUND(CAST(top_b AS DOUBLE) / NULLIF(n_words - 1, 0), 6)
+             AS top_bigram_ratio
+    FROM base JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+    """,
+)
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition features per doc (text.py::
+    repetition_stats): distinct-word / top-word / top-bigram ratios.
+    Stateless map_batches; the oracle recomputes the same single-space
+    tokenization with str_split + window lead() bigrams."""
+    from .functions.text import repetition_stats
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(repetition_stats, batch_format="pyarrow",
+                     batch_size=4096)
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------- bloom anti-join
+@query(
+    "bloom_resume_antijoin",
+    """
+    SELECT doc_id, source FROM documents WHERE doc_id % 10 >= 3
+    """,
+)
+def bloom_resume_antijoin(sf_dir: str):
+    """J2 at 100-TB scale: Bloom-prefiltered resume anti-join.
+
+    The exact manifest broadcast of ``resume_antijoin`` stops working
+    when the done-set is billions of keys; a Bloom filter at ~10
+    bits/key ships instead, and only the ~1% Bloom-POSITIVE rows get
+    the exact membership check (here a broadcast set; at scale a
+    partitioned semi-join over the survivors).  Composition is exact —
+    false positives are re-checked, negatives are provably absent — so
+    the oracle is the plain anti-join."""
+    import pyarrow.parquet as pq
+
+    from .functions.sketch import bloom_build, bloom_contains
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    done = np.asarray(ids[ids % 10 < 3])
+    words, m_bits, k = bloom_build(done)
+    bloom_ref = ray.put((words, m_bits, k))
+    exact_ref = ray.put(done)
+
+    def anti(t: pa.Table) -> pa.Table:
+        w, m, kk = ray.get(bloom_ref)
+        keys = t.column("doc_id").to_numpy(zero_copy_only=False)
+        maybe = bloom_contains(w, m, kk, keys)
+        keep = ~maybe
+        if maybe.any():  # exact check ONLY on bloom positives
+            hit = np.isin(keys[maybe], ray.get(exact_ref))
+            keep[np.flatnonzero(maybe)[~hit]] = True
+        return t.filter(pa.array(keep))
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------- semantic dedup
+_SEMDEDUP_DIR = "/tmp/graft_semdedup_oracle/current"
+_SEMDEDUP = {"threshold": 0.45, "n_centroids": 8, "round": 4}
+_SEMDEDUP_SEED = 42
+_SEMDEDUP_SAMPLE = 2048
+
+
+def _semdedup_embeddings(sf_dir: str) -> rd.Dataset:
+    """embeddings ∪ exact copies of the 20 lowest vec_ids (+1_000_000)
+    — the same planted-dup fixture the text near-dup family uses, so
+    the operator provably recovers known duplicates."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], 20))
+        return pa.table({"vec_id": pc.add(sub["vec_id"], 1_000_000),
+                         "embedding": sub["embedding"]})
+
+    return ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+
+
+def _semdedup_cache_key(sf_dir: str) -> dict:
+    import os
+
+    emb = f"{sf_dir}/embeddings.parquet"
+    return {"sf_dir": sf_dir, "version": 2, "seed": _SEMDEDUP_SEED,
+            "sample": _SEMDEDUP_SAMPLE, "config": _SEMDEDUP,
+            "emb_mtime": os.path.getmtime(emb) if os.path.exists(emb) else 0}
+
+
+def materialize_semdedup_oracle(sf_dir: str) -> np.ndarray:
+    """Persist the cluster assignments of the planted-dup embedding
+    fixture so the SemDeDup oracle is EXACT SQL: DuckDB recomputes the
+    intra-cluster cosine pairs from (vec_id, centroid) + the embedding
+    table and must match rows+schema+hash.  Returns the centroids so
+    the query reuses the identical quantizer."""
+    import json
+    import os
+    import shutil as sh
+
+    from .stages.similarity import ivf_assignments, ivf_train
+
+    aug = _semdedup_embeddings(sf_dir)
+    C = ivf_train(aug, n_centroids=_SEMDEDUP["n_centroids"],
+                  seed=_SEMDEDUP_SEED, sample_size=_SEMDEDUP_SAMPLE)
+    out = _SEMDEDUP_DIR
+    marker = f"{out}/_SUCCESS"
+    want = _semdedup_cache_key(sf_dir)
+    if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as f:
+                if json.load(f) == want:
+                    return C
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    build = f"{out}.build.{os.getpid()}"
+    if os.path.exists(build):
+        sh.rmtree(build)
+    ivf_assignments(aug, C).write_parquet(f"{build}/assign")
+    with open(f"{build}/_SUCCESS", "w", encoding="utf-8") as f:
+        json.dump(want, f)
+    old = f"{out}.old.{os.getpid()}"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    sh.rmtree(old, ignore_errors=True)
+    if os.path.exists(out):
+        os.rename(out, old)
+    os.rename(build, out)
+    sh.rmtree(old, ignore_errors=True)
+    return C
+
+
+@query(
+    "semantic_dedup_pairs",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 20),
+    a AS (SELECT * FROM read_parquet('{_SEMDEDUP_DIR}/assign/*.parquet')),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                          CAST(ey.embedding AS DOUBLE[])),
+                   {_SEMDEDUP["round"]}) AS cos
+      FROM a x JOIN a y ON x.centroid = y.centroid AND x.vec_id < y.vec_id
+      JOIN emb ex ON ex.vec_id = x.vec_id
+      JOIN emb ey ON ey.vec_id = y.vec_id)
+    SELECT id_a, id_b, cos FROM p WHERE cos >= {_SEMDEDUP["threshold"]}
+    """,
+)
+def semantic_dedup_pairs_q(sf_dir: str):
+    """SemDeDup-style cluster-then-dedup (stages/similarity.py::
+    semantic_dedup_pairs) over the planted-dup embedding fixture: the
+    20 exact copies MUST come back at cos=1.0, plus the natural
+    high-cosine tail of the corpus.  The quantizer itself is seeded
+    k-means (not SQL-expressible); its OUTPUT — cluster assignments —
+    is materialized as data, making the oracle exact SQL (same pattern
+    as ann_ivf_topk)."""
+    from .stages.similarity import semantic_dedup_pairs
+
+    C = materialize_semdedup_oracle(sf_dir)
+    aug = _semdedup_embeddings(sf_dir)
+    out = semantic_dedup_pairs(
+        aug, cosine_threshold=_SEMDEDUP["threshold"],
+        round_decimals=_SEMDEDUP["round"], centroids=C).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -71,6 +71,63 @@ def hll_estimate(reg: np.ndarray) -> float:
     return float(est)
 
 
+# ---------------------------------------------------------------- Bloom filter
+# Broadcast membership prefilter (Bloom 1970).  The resume/anti-join
+# story at 100 TB: the "already processed" key set can be billions of
+# rows — too big to broadcast exactly — but a Bloom filter at ~10
+# bits/key (<2 GB for 1e9 keys, p_fp ~1%) ships once via ray.put and
+# filters every batch with pure numpy bit math.  Bloom positives are
+# the ONLY rows that need an exact check (here a broadcast exact set;
+# at scale a partitioned semi-join over the ~1% survivors), so the
+# composed operator stays EXACT while the all-to-all join shrinks 100x.
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    deterministic across processes, unlike builtin hash."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing h1 + i*h2
+    (Kirsch & Mitzenmacher 2006 — k independent hashes from two)."""
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits))
+
+
+def bloom_build(keys: np.ndarray, *, bits_per_key: int = 10,
+                k: int = 7) -> tuple[np.ndarray, int, int]:
+    """Build a packed uint64 Bloom filter over integer keys.
+    Returns (words, m_bits, k) — words is what you ``ray.put``."""
+    keys = np.asarray(keys).astype(np.uint64)
+    m_bits = max(64, int(len(keys) * bits_per_key))
+    pos = _bloom_positions(keys, m_bits, k).reshape(-1)
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    return words, m_bits, k
+
+
+def bloom_contains(words: np.ndarray, m_bits: int, k: int,
+                   keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership test: True = maybe present (needs the
+    exact check), False = DEFINITELY absent."""
+    keys = np.asarray(keys).astype(np.uint64)
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(keys, m_bits, k)
+    bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+           >> (pos & np.uint64(63))) & np.uint64(1)
+    return bit.all(axis=1)
+
+
 def hll_distinct(ds: rd.Dataset, col: str, *, p: int = 12,
                  batch_size: int = 65536) -> int:
     """Approximate COUNT(DISTINCT col) over a Dataset.

@@ -130,6 +130,90 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     return set_column(batch, out_col, pa.array(fp, type=pa.uint64()))
 
 
+# PII rules applied IN ORDER to progressively-redacted text: emails are
+# scrubbed before the digit-run rules so a numeric local-part can never be
+# double-counted as an SSN/phone.  RE2 patterns — identical semantics in
+# pyarrow (count_substring_regex / replace_substring_regex) and DuckDB
+# (regexp_extract_all / regexp_replace 'g'), both RE2-based.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text_redacted") -> pa.Table:
+    """Scrub emails / SSN-like ids / phone numbers from ``text_col``,
+    emitting ``n_email`` / ``n_ssn`` / ``n_phone`` match counts and the
+    redacted text.  Fully vectorized (two RE2 kernels per rule); counts
+    are taken on the text AS EACH RULE SEES IT (rule order above), which
+    the SQL oracle mirrors with a chained CTE."""
+    text = batch.column(text_col)
+    for name, pat, repl in PII_RULES:
+        n = pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+        batch = set_column(batch, f"n_{name}", n)
+        text = pc.replace_substring_regex(text, pattern=pat, replacement=repl)
+    return set_column(batch, out_col, text)
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality features per document (Rae et al.
+    2021, 'Scaling Language Models' — the repetition-filter family):
+    word count, distinct-word ratio, top-word fraction and top-bigram
+    fraction.  Tokenization is a plain single-space split, mirroring
+    DuckDB ``str_split(text, ' ')`` exactly (empty text -> one empty
+    token on both sides).
+
+    Per-batch and per-doc independent, so it runs as a stateless
+    ``map_batches`` stage; the heavy lifting is two C hash-groupbys over
+    the exploded (doc, word) frame — no Python row loops."""
+    import pandas as pd
+
+    words = pc.split_pattern(batch.column(text_col), pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    n_words = n_words.astype(np.int64)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    flat = words.flatten()
+    wv = flat.to_pandas().to_numpy()
+
+    per = pd.DataFrame({"d": parent, "w": wv}).groupby(
+        ["d", "w"], sort=False).size()
+    g = per.groupby(level=0)
+    n = len(batch)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_w = np.zeros(n, dtype=np.int64)
+    n_distinct[g.size().index] = g.size().to_numpy()
+    top_w[g.max().index] = g.max().to_numpy()
+
+    # bigrams: adjacent flat positions belonging to the same doc
+    same = parent[1:] == parent[:-1]
+    top_b = np.full(n, np.nan)
+    if same.any():
+        bg = pd.Series(wv[:-1][same]).str.cat(
+            pd.Series(wv[1:][same]), sep=" ")
+        bper = pd.DataFrame({"d": parent[:-1][same], "b": bg.to_numpy()}
+                            ).groupby(["d", "b"], sort=False).size()
+        bmax = bper.groupby(level=0).max()
+        top_b[bmax.index] = bmax.to_numpy()
+
+    safe = n_words.astype(np.float64)
+    bigram_den = np.where(n_words > 1, (n_words - 1).astype(np.float64), np.nan)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words),
+        "distinct_word_ratio": pa.array(np.round(n_distinct / safe, 6)),
+        "top_word_ratio": pa.array(np.round(top_w / safe, 6)),
+        # from_pandas=True maps NaN (docs with <2 words) to Arrow null,
+        # matching the oracle's LEFT JOIN NULL
+        "top_bigram_ratio": pa.array(np.round(top_b / bigram_den, 6),
+                                     from_pandas=True),
+    })
+
+
 def term_count_partial(t: pa.Table, text_col: str = "text",
                        pattern: str = "[^a-z]+") -> pa.Table:
     """Per-block term histogram for corpus top-terms: lowercase, split

@@ -199,6 +199,63 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10, *,
         _final_topk(k, id_col), batch_format="pandas")
 
 
+def semantic_dedup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         cosine_threshold: float = 0.45,
+                         n_centroids: int = 8, seed: int = 42,
+                         sample_size: int = 2048,
+                         centroids: np.ndarray | None = None,
+                         round_decimals: int = 4,
+                         exchange: str = "shuffle") -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then emit
+    intra-cluster pairs with cosine >= threshold — the cluster pass
+    turns a quadratic corpus-wide all-pairs into per-cluster all-pairs.
+
+    Scale contract: cluster count must grow with the corpus
+    (n_centroids ~ N / target_cluster_size) so the per-cluster group
+    stays bounded; the cluster exchange is the bucketed shuffle
+    (``exchange="shuffle"`` default — never coalesce at scale).
+
+    Oracle note: the threshold is applied to the ROUNDED cosine
+    (``round_decimals``), so a DuckDB oracle recomputing cosine from
+    materialized assignments selects identical rows."""
+    from ..functions.agg import bucketed_group_map
+    from .encode import vectors_to_arrow
+
+    C = centroids if centroids is not None else ivf_train(
+        ds, n_centroids=n_centroids, seed=seed, sample_size=sample_size,
+        emb_col=emb_col)
+    c_ref = ray.put(np.asarray(C, dtype=np.float64))
+
+    def assign_keep(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        X = _normalize(embeddings_to_numpy(t.column(emb_col))
+                       .astype(np.float64))
+        a = np.argmax(X @ Cm.T, axis=1).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "centroid": pa.array(a),
+                         emb_col: vectors_to_arrow(X)})
+
+    ds2 = ds.select_columns([id_col, emb_col]).map_batches(
+        assign_keep, batch_format="pyarrow", batch_size=4096)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        X = np.stack(g[emb_col].to_numpy())  # already normalized
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round((X @ X.T)[iu, ju], round_decimals)
+        keep = cos >= cosine_threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b),
+                             "cos": cos[keep]})
+
+    return bucketed_group_map(ds2, ["centroid"], pairs,
+                              batch_format="pandas", min_group_size=2,
+                              exchange=exchange)
+
+
 def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             cosine_threshold: float = 0.95,

@@ -87,3 +87,27 @@ def test_embedding_neardup_lsh_finds_planted(data):
                                     n_bands=8, planes_per_band=6).to_pandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
     assert (0, 1) in got and (2, 3) in got
+
+
+def test_semantic_dedup_recovers_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 16))
+    ids = np.arange(200, dtype=np.int64)
+    # plant: 5 exact copies of vectors 0..4 under ids 1000..1004
+    Xa = np.vstack([X, X[:5]])
+    ida = np.concatenate([ids, np.arange(1000, 1005, dtype=np.int64)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ida, "embedding": [list(map(float, r)) for r in Xa]}))
+    out = semantic_dedup_pairs(ds, cosine_threshold=0.999,
+                               n_centroids=4).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert {(i, 1000 + i) for i in range(5)} <= got
+    assert (out["cos"] >= 0.999).all()

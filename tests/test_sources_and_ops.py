@@ -466,3 +466,23 @@ def test_term_count_partial_edge_cases():
            .sort_values("term").reset_index(drop=True))
     assert dict(zip(got["term"], got["n"])) == {
         "ab": 1, "cat": 1, "dog": 2, "hat": 1, "the": 2}
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        bloom_build, bloom_contains,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=5000, replace=False)
+    words, m, k = bloom_build(members)
+    # zero false negatives — the exactness guarantee the anti-join needs
+    assert bloom_contains(words, m, k, members).all()
+    # false-positive rate near theory (~1% at 10 bits/key, k=7)
+    probe = rng.choice(np.setdiff1d(np.arange(20_000_000), members),
+                       size=20000, replace=False)
+    fp = bloom_contains(words, m, k, probe).mean()
+    assert fp < 0.03
+    assert bloom_contains(words, m, k, np.array([], dtype=np.int64)).size == 0

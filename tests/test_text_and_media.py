@@ -108,3 +108,48 @@ def test_train_val_test_split_deterministic():
         assert split == exp
     frac = m.value_counts(normalize=True)
     assert abs(frac["train"] - 0.75) < 0.05
+
+
+def test_redact_pii_counts_and_tokens():
+    from aisafetyintervention_literatureextraction_ray.functions.text import redact_pii
+
+    t = pa.table({"text": [
+        "mail me at jane.doe+x@sub.example.org today",
+        "ssn 123-45-6789 then phone 415-555-0199",
+        # numeric local-part: must count as EMAIL only (rule order)
+        "123-45-6789@example.com",
+        "clean text",
+        "",
+    ]})
+    out = redact_pii(t)
+    assert out["n_email"].to_pylist() == [1, 0, 1, 0, 0]
+    assert out["n_ssn"].to_pylist() == [0, 1, 0, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0, 0, 0]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail me at <EMAIL> today"
+    assert red[1] == "ssn <ID> then phone <PHONE>"
+    assert red[2] == "<EMAIL>"
+    assert red[3] == "clean text"
+
+
+def test_repetition_stats_known_values():
+    from aisafetyintervention_literatureextraction_ray.functions.text import (
+        repetition_stats,
+    )
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a a b", "solo", ""]})
+    out = repetition_stats(t)
+    assert out["n_words"].to_pylist() == [3, 1, 1]
+    assert out["distinct_word_ratio"].to_pylist()[0] == round(2 / 3, 6)
+    assert out["top_word_ratio"].to_pylist()[0] == round(2 / 3, 6)
+    # "a a" appears once over 2 bigrams
+    assert out["top_bigram_ratio"].to_pylist()[0] == 0.5
+    # <2 words -> bigram ratio is null (not NaN)
+    assert out["top_bigram_ratio"].to_pylist()[1] is None
+    assert out["top_bigram_ratio"].to_pylist()[2] is None
+    # doc boundaries don't bleed into bigrams: 2-doc batch where the
+    # last word of doc 1 + first word of doc 2 would form a repeat
+    t2 = pa.table({"doc_id": [1, 2], "text": ["x y", "y x"]})
+    o2 = repetition_stats(t2)
+    assert o2["top_bigram_ratio"].to_pylist() == [1.0, 1.0]
