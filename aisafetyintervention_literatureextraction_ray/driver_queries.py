@@ -2166,3 +2166,106 @@ def semantic_dedup_pairs_q(sf_dir: str):
         aug, cosine_threshold=_SEMDEDUP["threshold"],
         round_decimals=_SEMDEDUP["round"], centroids=C).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- decontamination
+@query(
+    "doc_decontaminate",
+    r"""
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    tri AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(w) - 1, 1)),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+            FROM d),
+    bench AS (SELECT DISTINCT unnest(t) AS g FROM tri
+              WHERE doc_id % 17 = 0),
+    flat AS (SELECT doc_id, unnest(t) AS g FROM tri
+             WHERE doc_id % 17 <> 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hits
+             FROM flat JOIN bench USING (g) GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           h.n_hits IS NOT NULL AS contaminated
+    FROM (SELECT doc_id FROM d WHERE doc_id % 17 <> 0) t
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (functions/text.py::
+    contamination_report): docs with doc_id % 17 == 0 play the held-out
+    benchmark suite; every other doc reports how many of its distinct
+    word trigrams appear in the benchmark's gram set.  The benchmark
+    gram set is built distributed (per-batch distinct partials), then
+    broadcast ONCE via ray.put — at 100 TB the corpus is huge but the
+    benchmark side stays MBs, so this is a broadcast semi-join, never a
+    shuffle.  The oracle rebuilds both gram sets with the identical
+    trim + \\s+ + 3-gram lambda in DuckDB."""
+    from .functions.text import contamination_report, word_ngrams
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(did % 17 == 0))
+        _, g = word_ngrams(sub.column("text"))
+        return pa.table({"g": pa.array(pd.unique(g), type=pa.string())})
+
+    gset: set = set()
+    for b in ds.map_batches(bench_partial, batch_format="pyarrow",
+                            batch_size=4096).iter_batches(
+                                batch_format="pyarrow"):
+        gset.update(b.column("g").to_pylist())
+    bench_ref = ray.put(pd.Index(sorted(gset)))
+
+    def report(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return contamination_report(
+            t.filter(pa.array(did % 17 != 0)), ray.get(bench_ref))
+
+    out = (ds.map_batches(report, batch_format="pyarrow",
+                          batch_size=4096).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- chunking
+_CHUNK = {"chunk_words": 64, "overlap": 16}
+
+
+@query(
+    "doc_chunks",
+    rf"""
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    s AS (SELECT doc_id, w,
+                 unnest(range(1, len(w) + 1,
+                              {_CHUNK["chunk_words"] - _CHUNK["overlap"]}))
+                   AS s
+          FROM d)
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK["chunk_words"] - _CHUNK["overlap"]}
+                AS BIGINT) AS chunk_id,
+           array_to_string(
+             list_slice(w, s, least(s + {_CHUNK["chunk_words"] - 1},
+                                    len(w))), ' ') AS chunk_text,
+           least(s + {_CHUNK["chunk_words"] - 1}, len(w)) - s + 1
+             AS n_words
+    FROM s
+    """,
+)
+def doc_chunks(sf_dir: str):
+    """Overlapping fixed-size word-window chunking (functions/text.py::
+    chunk_texts), the RAG-prep flat_map: one input doc -> ceil(n/step)
+    chunk rows.  Stateless map_batches, output row count ~1.3x input.
+    The oracle regenerates chunks with DuckDB range() starts +
+    list_slice + array_to_string on the identical tokenization."""
+    from .functions.text import chunk_texts
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda t: chunk_texts(t, **_CHUNK),
+                     batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )

@@ -214,6 +214,106 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+def word_ngrams(texts: pa.Array | pa.ChunkedArray, n: int = 3
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token word n-grams, flat: returns ``(parent_idx,
+    grams)`` where ``parent_idx[i]`` is the row the gram came from.
+    Tokenization mirrors DuckDB ``regexp_split_to_array(trim(text),
+    '\\s+')`` exactly (space-only trim, regex split, empty text -> one
+    empty token), so SQL oracles can rebuild identical gram sets.
+    Vectorized: one regex split kernel + shifted-array equality +
+    pandas ``str.cat`` joins — no Python row loop."""
+    import pandas as pd
+
+    words = pc.split_pattern_regex(
+        pc.utf8_trim(texts, characters=" "), pattern=r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wv = words.flatten().to_pandas().to_numpy()
+    if len(wv) < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    stop = len(wv) - n + 1
+    ok = parent[:stop] == parent[n - 1:]
+    s = pd.Series(wv[:stop][ok])
+    for j in range(1, n):
+        s = s.str.cat(pd.Series(wv[j:stop + j][ok]), sep=" ")
+    return parent[:stop][ok].astype(np.int64), s.to_numpy()
+
+
+def contamination_report(batch: pa.Table, bench_grams, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3) -> pa.Table:
+    """Benchmark decontamination check (the n-gram-overlap filter of
+    GPT-3 appendix C / PaLM §6 lineage, sized down to trigrams for the
+    short synthetic docs): per document, count DISTINCT word n-grams
+    that appear in the broadcast benchmark gram set and flag overlap.
+    ``bench_grams`` is any pandas-``isin``-able container (a pd.Index)
+    shipped once via ``ray.put`` — benchmark suites are MBs against a
+    100-TB corpus, the canonical broadcast-small-side case."""
+    import pandas as pd
+
+    parent, grams = word_ngrams(batch.column(text_col), n=n)
+    hits = np.zeros(len(batch), dtype=np.int64)
+    if len(grams):
+        dd = pd.DataFrame({"d": parent, "g": grams}).drop_duplicates()
+        m = dd["g"].isin(bench_grams)
+        if m.any():
+            h = dd[m.to_numpy()].groupby("d").size()
+            hits[h.index] = h.to_numpy()
+    return pa.table({id_col: batch.column(id_col),
+                     "n_hits": pa.array(hits),
+                     "contaminated": pa.array(hits > 0)})
+
+
+def chunk_texts(batch: pa.Table, *, chunk_words: int = 64,
+                overlap: int = 16, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Split each document into overlapping fixed-size word windows —
+    the RAG / context-window chunking primitive.  Chunk k of a doc
+    covers words ``[k*step, k*step + chunk_words)`` (step = chunk_words
+    - overlap) for every ``k*step < n_words``; the tail chunk is
+    short.  Emits one row per chunk: (id, chunk_id, chunk_text,
+    n_words).
+
+    Flat-array construction (offsets + take + ``binary_join``): the
+    overlap duplication happens once in a numpy gather, never in a
+    Python loop, and output rows stay a single Arrow table so the
+    stage composes as a stateless ``map_batches`` (Ray's flat_map
+    without per-row overhead)."""
+    step = chunk_words - overlap
+    if step <= 0:
+        raise ValueError("overlap must be < chunk_words")
+    words = pc.split_pattern_regex(
+        pc.utf8_trim(batch.column(text_col), characters=" "),
+        pattern=r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = words.flatten()
+
+    counts = (lens - 1) // step + 1  # lens >= 1 always (split of "")
+    doc_pos = np.repeat(np.arange(len(lens)), counts)
+    cstart = np.concatenate([[0], np.cumsum(counts)])
+    k = np.arange(counts.sum()) - np.repeat(cstart[:-1], counts)
+    starts = k * step
+    clens = np.minimum(chunk_words, lens[doc_pos] - starts)
+
+    cum = np.concatenate([[0], np.cumsum(clens)])
+    intra = np.arange(clens.sum()) - np.repeat(cum[:-1], clens)
+    idx = np.repeat(offs[doc_pos] + starts, clens) + intra
+    vals = flat.take(pa.array(idx))
+    la = pa.ListArray.from_arrays(pa.array(cum, type=pa.int32()), vals)
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(doc_pos)),
+        "chunk_id": pa.array(k),
+        "chunk_text": pc.binary_join(la, " "),
+        "n_words": pa.array(clens),
+    })
+
+
 def term_count_partial(t: pa.Table, text_col: str = "text",
                        pattern: str = "[^a-z]+") -> pa.Table:
     """Per-block term histogram for corpus top-terms: lowercase, split

@@ -39,7 +39,9 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs", "resume_antijoin", "lang_id_distribution",
     "doc_quality_scores", "media_feature_extraction", "pdf_ingest",
     "orders_running_total", "events_hourly_type_pivot", "doc_top_terms",
-    "approx_distinct_users",
+    "approx_distinct_users", "pii_redaction", "doc_repetition_stats",
+    "bloom_resume_antijoin", "semantic_dedup_pairs", "doc_decontaminate",
+    "doc_chunks",
 ]
 
 

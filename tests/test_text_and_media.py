@@ -153,3 +153,39 @@ def test_repetition_stats_known_values():
     t2 = pa.table({"doc_id": [1, 2], "text": ["x y", "y x"]})
     o2 = repetition_stats(t2)
     assert o2["top_bigram_ratio"].to_pylist() == [1.0, 1.0]
+
+
+def test_chunk_texts_known_values():
+    from aisafetyintervention_literatureextraction_ray.functions.text import chunk_texts
+
+    words = " ".join(f"w{i}" for i in range(10))
+    t = pa.table({"doc_id": [1, 2], "text": [words, ""]})
+    out = chunk_texts(t, chunk_words=4, overlap=1)
+    rows = list(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                    out["chunk_text"].to_pylist(), out["n_words"].to_pylist()))
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+        (2, 0, "", 1),  # empty text -> one empty token, DuckDB parity
+    ]
+
+
+def test_contamination_report_flags_overlap():
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.text import (
+        contamination_report, word_ngrams,
+    )
+
+    _, bench = word_ngrams(pa.array(["the quick brown fox jumps"]))
+    t = pa.table({
+        "doc_id": [10, 11, 12],
+        "text": ["a quick brown fox ran",      # shares 'quick brown fox'
+                 "totally clean document here",
+                 "to be"],                      # < 3 words: no grams
+    })
+    out = contamination_report(t, pd.Index(bench))
+    assert out["n_hits"].to_pylist() == [1, 0, 0]
+    assert out["contaminated"].to_pylist() == [True, False, False]
