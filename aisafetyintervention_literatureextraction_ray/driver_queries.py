@@ -864,7 +864,7 @@ def _ivf_cache_key(sf_dir: str) -> dict:
     import os
 
     emb = f"{sf_dir}/embeddings.parquet"
-    return {"sf_dir": sf_dir, "version": 1, "seed": _IVF_SEED,
+    return {"sf_dir": sf_dir, "version": 2, "seed": _IVF_SEED,
             "sample": _IVF_SAMPLE,
             "config": {k: v for k, v in _IVF_CONFIG.items()
                        if k != "concurrency"},
@@ -889,9 +889,6 @@ def materialize_ivf_oracle(sf_dir: str) -> np.ndarray:
     from .stages.similarity import _normalize, ivf_assignments, ivf_train
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    C = ivf_train(ds, n_centroids=_IVF_CONFIG["n_centroids"],
-                  seed=_IVF_SEED, sample_size=_IVF_SAMPLE)
-    qids, Q = _ivf_queries(sf_dir)
     out = _IVF_ORACLE_DIR
     marker = f"{out}/_SUCCESS"
     want = _ivf_cache_key(sf_dir)
@@ -899,13 +896,22 @@ def materialize_ivf_oracle(sf_dir: str) -> np.ndarray:
         try:
             with open(marker, encoding="utf-8") as f:
                 if json.load(f) == want:
-                    return C
+                    # Return the PERSISTED quantizer, not a retrain: the
+                    # cached assignments/probes were built with exactly
+                    # these centroids, and k-means retraining in a new
+                    # session is not guaranteed bit-identical.
+                    return np.load(f"{out}/centroids.npy")
         except (OSError, json.JSONDecodeError):
             pass
 
+    C = ivf_train(ds, n_centroids=_IVF_CONFIG["n_centroids"],
+                  seed=_IVF_SEED, sample_size=_IVF_SAMPLE)
+    qids, Q = _ivf_queries(sf_dir)
     build = f"{out}.build.{os.getpid()}"
     if os.path.exists(build):
         sh.rmtree(build)
+    os.makedirs(build, exist_ok=True)
+    np.save(f"{build}/centroids.npy", C)
     ivf_assignments(ds, C).write_parquet(f"{build}/assign")
     probe = np.argsort(-(_normalize(Q) @ C.T), axis=1)[:, :_IVF_CONFIG["nprobe"]]
     nq, npb = probe.shape
@@ -2083,7 +2089,7 @@ def _semdedup_cache_key(sf_dir: str) -> dict:
     import os
 
     emb = f"{sf_dir}/embeddings.parquet"
-    return {"sf_dir": sf_dir, "version": 2, "seed": _SEMDEDUP_SEED,
+    return {"sf_dir": sf_dir, "version": 3, "seed": _SEMDEDUP_SEED,
             "sample": _SEMDEDUP_SAMPLE, "config": _SEMDEDUP,
             "emb_mtime": os.path.getmtime(emb) if os.path.exists(emb) else 0}
 
@@ -2100,9 +2106,6 @@ def materialize_semdedup_oracle(sf_dir: str) -> np.ndarray:
 
     from .stages.similarity import ivf_assignments, ivf_train
 
-    aug = _semdedup_embeddings(sf_dir)
-    C = ivf_train(aug, n_centroids=_SEMDEDUP["n_centroids"],
-                  seed=_SEMDEDUP_SEED, sample_size=_SEMDEDUP_SAMPLE)
     out = _SEMDEDUP_DIR
     marker = f"{out}/_SUCCESS"
     want = _semdedup_cache_key(sf_dir)
@@ -2110,13 +2113,21 @@ def materialize_semdedup_oracle(sf_dir: str) -> np.ndarray:
         try:
             with open(marker, encoding="utf-8") as f:
                 if json.load(f) == want:
-                    return C
+                    # Persisted quantizer, not a retrain (see
+                    # materialize_ivf_oracle): the cached assignments
+                    # are only valid against these exact centroids.
+                    return np.load(f"{out}/centroids.npy")
         except (OSError, json.JSONDecodeError):
             pass
 
+    aug = _semdedup_embeddings(sf_dir)
+    C = ivf_train(aug, n_centroids=_SEMDEDUP["n_centroids"],
+                  seed=_SEMDEDUP_SEED, sample_size=_SEMDEDUP_SAMPLE)
     build = f"{out}.build.{os.getpid()}"
     if os.path.exists(build):
         sh.rmtree(build)
+    os.makedirs(build, exist_ok=True)
+    np.save(f"{build}/centroids.npy", C)
     ivf_assignments(aug, C).write_parquet(f"{build}/assign")
     with open(f"{build}/_SUCCESS", "w", encoding="utf-8") as f:
         json.dump(want, f)

@@ -118,6 +118,13 @@ def ivf_train(ds: rd.Dataset, *, n_centroids: int = 16, seed: int = 42,
         sample = ds.random_sample(sample_size / n, seed=seed).to_pandas()
         if sample.empty:  # pathological tiny fraction: fall back
             sample = ds.limit(sample_size).to_pandas()
+    # Block arrival order into to_pandas() is NOT deterministic across
+    # sessions (Ray streams blocks as tasks finish), and k-means init
+    # indexes into the sample by position — sort on the non-embedding
+    # columns (the id) so the trained centroids are session-stable.
+    key_cols = [c for c in sample.columns if c != emb_col]
+    if key_cols:
+        sample = sample.sort_values(key_cols, kind="mergesort")
     return train_centroids(np.stack(sample[emb_col].to_numpy()),
                            n_centroids, seed)
 
