@@ -464,12 +464,16 @@ def events_asof_orders(sf_dir: str):
 )
 def top_docs_per_source(sf_dir: str):
     """Grouped top-k (per-group form of O3): hash-bucket the group key,
-    one vectorized sort + head(k) + cumcount per bucket."""
+    one vectorized sort + head(k) + cumcount per bucket.  Runs the
+    SALTED path (north-rule head-entity skew mitigation): a salted
+    local-top-k pre-stage bounds every key's shuffle contribution at
+    k * num_salts rows, equivalence-tested vs the unsalted path."""
     from .functions.agg import grouped_topk
 
     out = grouped_topk(
         _pq(sf_dir, "documents", ["source", "doc_id", "n_chars"]),
         ["source"], "n_chars", 3, ascending=False, tiebreak="doc_id",
+        num_salts=8,
     ).to_pandas()
     out = out[["source", "doc_id", "n_chars", "rank"]]
     return out.sort_values(["source", "rank"]).reset_index(drop=True)

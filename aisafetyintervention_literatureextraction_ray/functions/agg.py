@@ -172,12 +172,62 @@ def bucketed_apply(ds: rd.Dataset, keys: list[str],
     )
 
 
+def salted_prefilter(ds: rd.Dataset, keys: list[str], order_col: str,
+                     k: int, *, ascending: bool = False,
+                     tiebreak: str | None = None,
+                     num_salts: int = 16,
+                     num_buckets: int | None = None) -> rd.Dataset:
+    """Stage 1 of the salted top-k: split every key group across
+    ``num_salts`` deterministic sub-groups and keep only each
+    sub-group's local top-``k``.
+
+    This is the head-entity skew mitigation of SURVEY.md §4.2 / the
+    north rule: a hot key (an entity like "RLHF" appearing in a large
+    fraction of documents) no longer lands as one giant group in one
+    shuffle bucket — its rows spread over ``num_salts`` (key, salt)
+    groups, each of which collapses to at most ``k`` rows before the
+    second, unsalted exchange.  Per-key output is bounded by
+    ``k * num_salts`` regardless of input skew.
+
+    The salt is a deterministic hash of the ``tiebreak`` column (falls
+    back to ``order_col``), never ``random`` — reruns produce identical
+    blocks, which the resume/lineage layer relies on.  Top-k is
+    mergeable, so salting is lossless: every true global top-k row is
+    its own (key, salt) sub-group's local top-k.
+    """
+    salt_src = tiebreak or order_col
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column(salt_src).to_pandas(), index=False).to_numpy()
+        salt = (h % np.uint64(num_salts)).astype(np.int64)
+        return t.append_column("__salt", pa.array(salt, type=pa.int64()))
+
+    tb = [tiebreak] if tiebreak else []
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.copy()
+        df = df.sort_values([*keys, "__salt", order_col, *tb],
+                            ascending=[True] * (len(keys) + 1) + [ascending]
+                            + [True] * len(tb),
+                            kind="stable")
+        return df.groupby([*keys, "__salt"], sort=False).head(k)
+
+    pruned = bucketed_apply(
+        ds.map_batches(add_salt, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [*keys, "__salt"], local_topk, num_buckets=num_buckets)
+    return pruned.drop_columns(["__salt"])
+
+
 def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str,
                  k: int, *, ascending: bool = False,
                  tiebreak: str | None = None,
                  rank_col: str = "rank",
                  num_buckets: int | None = None,
-                 exchange: str = "shuffle") -> rd.Dataset:
+                 exchange: str = "shuffle",
+                 num_salts: int | None = None) -> rd.Dataset:
     """Top-``k`` rows per key group (the per-group form of O3's global
     top-k): rows are hash-bucketed on ``keys`` and each bucket runs ONE
     vectorized sort + ``groupby.head(k)`` + cumcount rank — no per-key
@@ -185,10 +235,20 @@ def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str,
     the first key-independent column callers pass).
 
     Scale contract: a bucket holds its keys' full row sets — the
-    standard keyed-shuffle assumption.  A per-block partial top-k
-    pre-filter would be a valid optimization but changes nothing
-    semantically, so it is left to callers with measured need.
+    standard keyed-shuffle assumption.  For skewed keys pass
+    ``num_salts``: a salted pre-stage (``salted_prefilter``) caps every
+    key's contribution to the final exchange at ``k * num_salts`` rows,
+    so a head entity holding 50% of the corpus costs the same shuffle
+    volume as a cold key.  The salted path requires a ``tiebreak`` that
+    makes the total order unique, otherwise rows tied exactly at the
+    ``k`` boundary could differ between the salted and unsalted paths
+    (both orders would be valid top-k sets; determinism is what's lost).
     """
+    if num_salts is not None:
+        ds = salted_prefilter(ds, keys, order_col, k, ascending=ascending,
+                              tiebreak=tiebreak, num_salts=num_salts,
+                              num_buckets=num_buckets)
+
     tb = [tiebreak] if tiebreak else []
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:

@@ -337,6 +337,49 @@ def test_grouped_topk_and_quantiles():
     assert q["n"].tolist() == [5, 3]
 
 
+def test_salted_topk_matches_unsalted_and_bounds_hot_keys():
+    """North-rule skew mitigation: a head key holding ~90% of rows must
+    (a) produce the identical top-k as the unsalted path and (b) reach
+    the final exchange with at most k * num_salts rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.agg import (
+        grouped_topk,
+        salted_prefilter,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        # planted Zipf head: 'rlhf' owns 90% of the rows
+        "entity": np.where(rng.random(n) < 0.9, "rlhf",
+                           rng.choice(["sft", "dpo", "cai"], n)),
+        "id": np.arange(n),
+        "score": rng.integers(0, 10**6, n),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+
+    plain = grouped_topk(ds, ["entity"], "score", 5, ascending=False,
+                         tiebreak="id").to_pandas()
+    salted = grouped_topk(ds, ["entity"], "score", 5, ascending=False,
+                          tiebreak="id", num_salts=16).to_pandas()
+    cols = ["entity", "id", "score", "rank"]
+    lhs = plain[cols].sort_values(["entity", "rank"]).reset_index(drop=True)
+    rhs = salted[cols].sort_values(["entity", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
+
+    # the pre-stage bound: every key's surviving row count <= k * salts
+    pruned = salted_prefilter(ds, ["entity"], "score", 5, ascending=False,
+                              tiebreak="id", num_salts=16).to_pandas()
+    per_key = pruned.groupby("entity").size()
+    assert per_key["rlhf"] <= 5 * 16
+    assert (per_key <= 5 * 16).all()
+    # and it is a strict prune on the hot key (3600 rows -> <= 80)
+    assert per_key["rlhf"] < (df["entity"] == "rlhf").sum()
+
+
 def test_stratified_sample_deterministic_and_unbiased():
     import hashlib
 
