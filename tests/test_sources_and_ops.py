@@ -529,3 +529,28 @@ def test_bloom_filter_no_false_negatives():
     fp = bloom_contains(words, m, k, probe).mean()
     assert fp < 0.03
     assert bloom_contains(words, m, k, np.array([], dtype=np.int64)).size == 0
+
+
+def test_pack_documents_boundary_semantics():
+    """A doc straddling a pack boundary belongs to the pack of its
+    FIRST token; packs are per-key; blank docs cost 0 tokens."""
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.pack import (
+        pack_documents,
+    )
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "a", "b", "b"],
+        "doc_id": [1, 2, 3, 1, 2],
+        # token counts: 3, 4 (straddles cap=5 at start=3), 2, 0 (blank), 6
+        "text": ["w w w", "x x x x", "y y", "   ", "z z z z z z"],
+    })
+    out = pack_documents(rd.from_pandas(df).repartition(3), 5).to_pandas()
+    out = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [3, 4, 2, 0, 6]
+    # a/doc2 starts at offset 3 -> pack 0 even though it ends in pack 1;
+    # a/doc3 starts at 7 -> pack 1; b restarts at 0
+    assert out["pack_id"].tolist() == [0, 0, 1, 0, 0]
+    assert out["offset_in_pack"].tolist() == [0, 3, 2, 0, 0]
