@@ -2335,3 +2335,80 @@ def doc_pack_stats(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out[["source", "pack_id", "n_docs", "pack_tokens"]]
             .sort_values(["source", "pack_id"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- connected components
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM all_docs a JOIN all_docs b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT doc_id, doc_id + 1 FROM documents
+      WHERE doc_id < 19 AND doc_id % 2 = 0
+    ),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    walk(n, m) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e)
+      UNION
+      SELECT w.n, e.d FROM walk w JOIN e ON e.s = w.m
+    )
+    SELECT CAST(n AS BIGINT) AS node_id,
+           CAST(MIN(m) AS BIGINT) AS component_id
+    FROM walk GROUP BY n
+    """,
+)
+def dedup_components(sf_dir: str):
+    """Distributed connected components (functions/graph.py) over a
+    dedup-cluster graph: exact-content duplicate pairs (the planted
+    clones) UNION planted doc_id bridges, so components span FOUR nodes
+    through two hops — the closure is genuinely transitive, not a
+    clique collapse.  Min-label propagation: per iteration one
+    partitioned hash join + one keyed min-aggregate, convergence by a
+    distributed changed-count.  The oracle closes the same pair graph
+    with a recursive CTE."""
+    from .functions.agg import bucketed_apply
+    from .functions.graph import connected_components
+
+    docs = _docs_with_planted_dups(sf_dir)
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("text").to_pandas(), index=False).to_numpy()
+        return t.append_column("__h", pa.array(h.astype("int64")))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # equality verified on the full text (hash is only the shuffle
+        # key — collision-safe, same policy as stages/dedup.exact_dedup)
+        m = df.merge(df, on="text")[["doc_id_x", "doc_id_y"]]
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
+
+    exact_pairs = bucketed_apply(
+        docs.map_batches(with_hash, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["__h"], pairs_in_bucket)
+
+    def bridges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        keep = pc.and_(pc.less(ids, 19),
+                       pc.equal(pc.bit_wise_and(ids, 1), 0))
+        sub = pc.filter(ids, keep)
+        return pa.table({"id_a": sub, "id_b": pc.add(sub, 1)})
+
+    bridge_pairs = _pq(sf_dir, "documents", ["doc_id"]).map_batches(
+        bridges, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = connected_components(
+        exact_pairs.union(bridge_pairs)).to_pandas()
+    for c in ("node_id", "component_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)

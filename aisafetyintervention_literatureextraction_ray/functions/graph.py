@@ -1,0 +1,167 @@
+"""Connected components (dedup-cluster / merge closure at any scale).
+
+The merge closure of canonicalization (SURVEY.md §2.4 J3 — reference
+``merge.py`` holds all accepted pairs in one process and union-finds
+them) is a connected-components problem: near-duplicate / alias pairs
+form a graph and every component collapses onto one canonical survivor,
+labeled with the minimum node id in the component.
+
+Two paths, same results (equivalence-tested):
+
+* **driver path** (pair count at or below ``driver_threshold``,
+  MEASURED with ``Dataset.count()``): the two skinny id columns come to
+  the driver and a union-find closes them — 2M pairs is ~32 MB of ids;
+  texts/payloads never travel.  Same policy as
+  ``pipelines/canonicalization.py::canonicalize``'s local fast path.
+* **distributed path** (above the threshold, or forced with
+  ``driver_threshold=0``): iterative min-label propagation on the
+  engine's own exchange primitives — per iteration one partitioned
+  hash join (edge.src -> label) + one keyed min-aggregate, both
+  bucketed shuffles, never driver-side.  Labels decrease monotonically
+  to the component minimum, so the iteration count is the graph
+  diameter (dedup/alias graphs are near-cliques — 2-4 iterations in
+  practice); ``max_iters`` bounds pathological chains.  Convergence is
+  detected cheaply with a per-block label-multiset signature (no
+  shuffle); only a signature MATCH triggers the exact distributed
+  old-vs-new comparison, so the join price is paid once, at the end —
+  a signature collision cannot terminate the loop early.
+
+Label ids may be int or string; ``min`` is the Arrow kernel either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .agg import bucketed_join, hash_aggregate
+
+
+def _labels_sig(labels: rd.Dataset) -> int:
+    """Order-independent multiset signature of (node_id, component_id)
+    rows: per-block vectorized hash + wrapping sum, reduced with
+    ``Dataset.sum`` — one cheap pass over materialized blocks."""
+
+    def sig(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"n": t.column("node_id").to_pandas(),
+                          "c": t.column("component_id").to_pandas()}),
+            index=False).to_numpy()
+        s = int(np.bitwise_xor.reduce(h)) ^ (len(h) * 0x9E3779B97F4A7C15)
+        return pa.table({"sig": pa.array([s & 0x7FFFFFFFFFFFFFFF],
+                                         type=pa.int64())})
+
+    out = labels.map_batches(sig, batch_format="pyarrow").sum("sig")
+    return int(out or 0)
+
+
+def connected_components(pairs: rd.Dataset, *,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iters: int = 50,
+                         num_buckets: int | None = None,
+                         driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """Label every node of the undirected pair graph with the MINIMUM
+    node id reachable from it.
+
+    Input: a dataset with two id columns (one row per edge).  Output:
+    ``(node_id, component_id)`` — one row per distinct endpoint;
+    singleton nodes never appear in ``pairs`` and so are their own
+    implicit components (callers left-join and coalesce).
+    """
+    skinny = pairs.select_columns([id_a, id_b])
+
+    if driver_threshold:
+        n_pairs = skinny.count()
+        if n_pairs <= driver_threshold:
+            return _components_driver(skinny, id_a, id_b)
+    return _components_distributed(skinny, id_a, id_b,
+                                   max_iters=max_iters,
+                                   num_buckets=num_buckets)
+
+
+def _components_driver(skinny: rd.Dataset, id_a: str, id_b: str
+                       ) -> rd.Dataset:
+    from ..stages.canonicalize import union_find
+
+    df = skinny.to_pandas()
+    remap = union_find(list(zip(df[id_a], df[id_b])))
+    nodes = pd.unique(pd.concat([df[id_a], df[id_b]], ignore_index=True))
+    out = pd.DataFrame({
+        "node_id": nodes,
+        "component_id": [remap.get(x, x) for x in nodes],
+    }).sort_values("node_id").reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
+                            max_iters: int,
+                            num_buckets: int | None) -> rd.Dataset:
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(id_a)
+        b = t.column(id_b)
+        return pa.table({
+            "src": pa.chunked_array([a, b]).combine_chunks(),
+            "dst": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    edges = skinny.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    # init: every endpoint labeled with itself (sym puts both endpoints
+    # in ``src``), deduped by the keyed min-aggregate
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": t["src"], "component_id": t["src"]})
+
+    labels = hash_aggregate(
+        edges.map_batches(self_label, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node_id"], [("component_id", "min")],
+        rename={"component_id_min": "component_id"},
+        num_buckets=num_buckets, exchange="shuffle").materialize()
+    prev_sig = _labels_sig(labels)
+
+    for _ in range(max_iters):
+        # candidate label for ``dst``: its neighbor's current label
+        prop = bucketed_join(
+            edges, labels, left_key="src", right_key="node_id",
+            right_value_cols=["component_id"],
+            num_buckets=num_buckets)
+
+        def from_neighbor(t: pa.Table) -> pa.Table:
+            return pa.table({"node_id": t["dst"],
+                             "component_id": t["component_id"]})
+
+        cand = prop.map_batches(from_neighbor, batch_format="pyarrow",
+                                zero_copy_batch=True).union(labels)
+        new_labels = hash_aggregate(
+            cand, ["node_id"], [("component_id", "min")],
+            rename={"component_id_min": "component_id"},
+            num_buckets=num_buckets, exchange="shuffle").materialize()
+
+        new_sig = _labels_sig(new_labels)
+        if new_sig == prev_sig and _changed_count(new_labels, labels,
+                                                  num_buckets) == 0:
+            return new_labels
+        labels, prev_sig = new_labels, new_sig
+
+    return labels
+
+
+def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,
+                   num_buckets: int | None) -> int:
+    def prev_name(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node_id", "prev"])
+
+    return bucketed_join(
+        new_labels,
+        old_labels.map_batches(prev_name, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        left_key="node_id", right_key="node_id",
+        right_value_cols=["prev"], num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t["component_id"], t["prev"])),
+        batch_format="pyarrow",
+    ).count()

@@ -554,3 +554,39 @@ def test_pack_documents_boundary_semantics():
     # a/doc3 starts at 7 -> pack 1; b restarts at 0
     assert out["pack_id"].tolist() == [0, 0, 1, 0, 0]
     assert out["offset_in_pack"].tolist() == [0, 3, 2, 0, 0]
+
+
+def test_connected_components_paths_agree():
+    """Distributed min-label propagation == driver union-find on a
+    graph with a 6-node chain (diameter 5 — multiple propagation
+    rounds), a clique, a pair, and string ids on a second graph."""
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        connected_components,
+    )
+
+    pairs = pd.DataFrame({
+        "id_a": [5, 4, 3, 2, 1, 10, 10, 11, 20],
+        "id_b": [6, 5, 4, 3, 2, 11, 12, 12, 21],
+    })
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+            10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    ds = rd.from_pandas(pairs).repartition(3)
+    drv = connected_components(ds).to_pandas()
+    assert dict(zip(drv["node_id"], drv["component_id"])) == want
+    # distributed path: a diameter-3 chain forces multi-round label
+    # propagation (kept short — each round is a real shuffle)
+    chain = rd.from_pandas(pd.DataFrame({
+        "id_a": [3, 2, 1, 10], "id_b": [4, 3, 2, 11]})).repartition(2)
+    dist = connected_components(chain, driver_threshold=0,
+                                num_buckets=4).to_pandas()
+    assert dict(zip(dist["node_id"], dist["component_id"])) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    sp = rd.from_pandas(pd.DataFrame({"id_a": ["b", "c"],
+                                      "id_b": ["a", "b"]}))
+    out = connected_components(sp).to_pandas()
+    assert dict(zip(out["node_id"], out["component_id"])) == {
+        "a": "a", "b": "a", "c": "a"}
