@@ -2412,3 +2412,62 @@ def dedup_components(sf_dir: str):
     for c in ("node_id", "component_id"):
         out[c] = out[c].astype("int64")
     return out.sort_values("node_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- BM25 retrieval
+_BM25_TERMS = ("merge", "window", "hash")
+
+@query(
+    "bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS lt,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+             END AS dl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, CAST(dl AS DOUBLE) AS dl,
+             CAST(length(regexp_extract_all(lt, '\\b{_BM25_TERMS[0]}\\b'))
+                  AS DOUBLE) AS tf0,
+             CAST(length(regexp_extract_all(lt, '\\b{_BM25_TERMS[1]}\\b'))
+                  AS DOUBLE) AS tf1,
+             CAST(length(regexp_extract_all(lt, '\\b{_BM25_TERMS[2]}\\b'))
+                  AS DOUBLE) AS tf2
+      FROM d),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM tf),
+    s AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (g.n - g.df0 + 0.5) / (g.df0 + 0.5))
+               * tf0 * (1.2 + 1.0)
+               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl))
+             + ln(1.0 + (g.n - g.df1 + 0.5) / (g.df1 + 0.5))
+               * tf1 * (1.2 + 1.0)
+               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl))
+             + ln(1.0 + (g.n - g.df2 + 0.5) / (g.df2 + 0.5))
+               * tf2 * (1.2 + 1.0)
+               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl))
+               AS raw
+      FROM tf, g)
+    SELECT doc_id, ROUND(raw, 6) AS bm25
+    FROM s ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(sf_dir: str):
+    """BM25 top-10 for a fixed 3-term query (functions/rank.py): one
+    streaming stats pass (per-block partials -> a handful of broadcast
+    scalars), one vectorized scoring pass, global sort+limit.  The
+    oracle evaluates the identical IEEE expression tree in DuckDB
+    (shared RE2 word-boundary term counts); scores round to 6 decimals
+    before the sort so tie order cannot diverge."""
+    from .functions.rank import bm25_topk
+
+    out = bm25_topk(_pq(sf_dir, "documents", ["doc_id", "text"]),
+                    list(_BM25_TERMS), k=10).to_pandas()
+    return out.reset_index(drop=True)

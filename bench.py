@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "orders_running_total", "events_hourly_type_pivot", "doc_top_terms",
     "approx_distinct_users", "pii_redaction", "doc_repetition_stats",
     "bloom_resume_antijoin", "semantic_dedup_pairs", "doc_decontaminate",
-    "doc_chunks", "doc_pack_stats", "dedup_components",
+    "doc_chunks", "doc_pack_stats", "dedup_components", "bm25_search",
 ]
 
 

@@ -590,3 +590,28 @@ def test_connected_components_paths_agree():
     out = connected_components(sp).to_pandas()
     assert dict(zip(out["node_id"], out["component_id"])) == {
         "a": "a", "b": "a", "c": "a"}
+
+
+def test_bm25_topk_ranking_sanity():
+    """A doc saturated with the query terms outranks one without; blank
+    docs score 0; k caps the output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.rank import (
+        bm25_topk,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["merge window hash merge", "merge of the sort run",
+                 "no relevant terms here", "   "],
+    })
+    out = bm25_topk(rd.from_pandas(df), ["merge", "window", "hash"],
+                    k=3).to_pandas()
+    assert out["doc_id"].tolist()[0] == 1
+    assert len(out) == 3
+    assert out["bm25"].is_monotonic_decreasing
+    scores = dict(zip(out["doc_id"], out["bm25"]))
+    assert scores[1] > scores[2] > 0.0
+    assert scores.get(3, 0.0) == 0.0 or 3 not in scores
