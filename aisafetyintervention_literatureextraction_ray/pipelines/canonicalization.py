@@ -151,6 +151,89 @@ def apply_merges(nodes: rd.Dataset, edges: rd.Dataset,
     return nodes2, edges2, remap
 
 
+def apply_merges_distributed(nodes: rd.Dataset, edges: rd.Dataset,
+                             accepted: rd.Dataset, *,
+                             num_buckets: int | None = None):
+    """J3/J4 with NO driver-side closure and NO broadcast remap: the
+    scale form of ``apply_merges`` for when the accepted-pair list is
+    itself a dataset too large to union-find in one process.
+
+    * closure: ``functions/graph.py::connected_components`` (min-label
+      propagation — per iteration one partitioned hash join + one keyed
+      min-aggregate);
+    * loser drop: left-join nodes against the label table — a node with
+      a label different from itself is a loser;
+    * rewire: two left-joins (src_id, dst_id) against the label table
+      with null-coalesce, then the same keyed re-dedup reduce as
+      ``apply_merges`` (shuffle — the edge key set is unbounded here by
+      assumption).
+
+    Semantics are identical to ``apply_merges`` (equivalence-tested):
+    keeper props win, self-loops retained, closure order-independent.
+    Returns ``(nodes2, edges2, labels)`` with ``labels`` the
+    ``(node_id, component_id)`` dataset instead of a driver dict.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import bucketed_join
+    from ..functions.graph import connected_components
+
+    labels = connected_components(accepted, driver_threshold=0,
+                                  num_buckets=num_buckets).materialize()
+
+    # force Arrow blocks so bucketed_join's union-schema projection sees
+    # true types (pandas blocks report list columns as object dtype —
+    # agg.py::pa_type_of caveat)
+    nodes = nodes.map_batches(lambda t: t, batch_format="pyarrow")
+    edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
+
+    def _comp(t: pa.Table, like: str):
+        # an all-null merge side arrives as null-typed; cast to the key
+        comp = t["component_id"]
+        if pa.types.is_null(comp.type):
+            comp = comp.cast(t[like].type)
+        return comp
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        comp = _comp(t, "node_id")
+        return t.filter(
+            pc.or_kleene(pc.is_null(comp), pc.equal(comp, t["node_id"]))
+        ).drop_columns(["component_id"])
+
+    nodes2 = bucketed_join(
+        nodes, labels, left_key="node_id", right_key="node_id",
+        right_value_cols=["component_id"], how="left",
+        num_buckets=num_buckets,
+    ).map_batches(keep_winners, batch_format="pyarrow")
+
+    def rewire_col(ds: rd.Dataset, col: str) -> rd.Dataset:
+        joined = bucketed_join(ds, labels, left_key=col,
+                               right_key="node_id",
+                               right_value_cols=["component_id"],
+                               how="left", num_buckets=num_buckets)
+
+        def coalesce(t: pa.Table) -> pa.Table:
+            new = pc.coalesce(_comp(t, col), t[col])
+            i = t.schema.get_field_index(col)
+            return t.drop_columns(["component_id"]).set_column(
+                i, col, new)
+
+        return joined.map_batches(coalesce, batch_format="pyarrow")
+
+    rewired = rewire_col(rewire_col(edges, "src_id"), "dst_id")
+    edges2 = hash_aggregate(
+        rewired, ["src_id", "pred", "dst_id"],
+        [("subj", "min"), ("obj", "min"), ("description", "min"),
+         ("confidence", "max"), ("n_provenance", "sum")],
+        rename={"subj_min": "subj", "obj_min": "obj",
+                "description_min": "description",
+                "confidence_max": "confidence",
+                "n_provenance_sum": "n_provenance"},
+        exchange="shuffle",
+    )
+    return nodes2, edges2, labels
+
+
 def candidate_pairs_local(nodes_tbl: pa.Table, *, mode: str = "exact",
                           k: int = 40, dim: int | None = None,
                           n_bands: int = 8, planes_per_band: int = 6
@@ -190,14 +273,38 @@ def candidate_pairs_local(nodes_tbl: pa.Table, *, mode: str = "exact",
 def canonicalize(nodes: rd.Dataset, edges: rd.Dataset, *,
                  mode: str = "exact", k: int = 40, top_n: int | None = 30,
                  threshold: float | None = None,
-                 driver_threshold: int = 50_000, **kwargs):
+                 driver_threshold: int = 50_000,
+                 closure: str = "driver", **kwargs):
     """Full canonicalization (merge.py ``run()`` analogue, merge.py:111-116).
 
     Node tables at or below ``driver_threshold`` rows take the local
     fast path (same kernels, driver-side) — a tiny table spread over a
     dozen distributed stages is pure scheduling overhead.  Above it, the
     shuffle-based path runs.
+
+    ``closure="distributed"`` (threshold mode only) keeps the accepted
+    pairs a DATASET end-to-end: distributed connected-components closure
+    + join-based loser-drop/rewire (``apply_merges_distributed``) — no
+    driver union-find, no broadcast remap.  The path for pair lists too
+    large for one process; equivalence-tested against the driver
+    closure.  Returns the accepted-pair Dataset in place of the
+    DataFrame and the label Dataset in place of the remap dict.
     """
+    if closure == "distributed":
+        if threshold is None:
+            raise ValueError("closure='distributed' requires threshold "
+                             "mode (a global top-n is driver-sized by "
+                             "definition)")
+        import pyarrow.compute as pc
+
+        pairs = candidate_pairs(nodes, mode=mode, k=k, **kwargs)
+        accepted_ds = pairs.map_batches(
+            lambda t: t.filter(pc.less_equal(t["distance"], threshold)),
+            batch_format="pyarrow")
+        nodes2, edges2, labels = apply_merges_distributed(nodes, edges,
+                                                          accepted_ds)
+        return nodes2, edges2, accepted_ds, labels
+
     nodes_tbl = None
     if driver_threshold:
         head = pa.concat_tables(

@@ -180,3 +180,76 @@ def test_canonicalize_distributed_branch_matches_local(nodes_ds):
     ed = e_d.to_pandas().sort_values(["src_id", "pred", "dst_id"])
     assert el[["src_id", "pred", "dst_id", "confidence"]].to_numpy().tolist() \
         == ed[["src_id", "pred", "dst_id", "confidence"]].to_numpy().tolist()
+
+
+def test_apply_merges_distributed_matches_broadcast(nodes_ds):
+    """The no-driver-closure / no-broadcast-remap path (distributed CC
+    labels + join-based rewire) produces the identical node and edge
+    tables as apply_merges on the same accepted pairs."""
+    from aisafetyintervention_literatureextraction_ray.pipelines.canonicalization import (
+        apply_merges_distributed,
+    )
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src_id": ["n02", "n20", "n01"],
+        "pred": ["causes", "causes", "causes"],
+        "dst_id": ["n03", "n04", "n04"],
+        "subj": ["x", "x", "x"], "obj": ["y", "y", "y"],
+        "description": ["d1", "d2", "d3"],
+        "confidence": [2, 3, 4], "n_provenance": [1, 1, 1],
+    }))
+    accepted = pd.DataFrame({"id_a": ["n01", "n03"], "id_b": ["n02", "n04"],
+                             "distance": [0.1, 0.1]})
+    nodes_b, edges_b, _ = apply_merges(nodes_ds, edges, accepted)
+    nodes_d, edges_d, labels = apply_merges_distributed(
+        nodes_ds, edges, rd.from_pandas(accepted), num_buckets=4)
+
+    nb = nodes_b.to_pandas().sort_values("node_id").reset_index(drop=True)
+    nd = (nodes_d.to_pandas()[nb.columns]
+          .sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(nb, nd)
+
+    key = ["src_id", "pred", "dst_id"]
+    eb = edges_b.to_pandas().sort_values(key).reset_index(drop=True)
+    ed = (edges_d.to_pandas()[eb.columns]
+          .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eb, ed)
+
+    lab = labels.to_pandas()
+    assert dict(zip(lab["node_id"], lab["component_id"])) == {
+        "n01": "n01", "n02": "n01", "n03": "n03", "n04": "n03"}
+
+
+def test_canonicalize_distributed_closure_end_to_end(nodes_ds):
+    """closure='distributed' (dataset-valued accepted pairs, CC-label
+    closure, join rewire) matches the driver closure on the same
+    threshold run — the fully driver-free canonicalization path."""
+    from aisafetyintervention_literatureextraction_ray.pipelines.canonicalization import (
+        canonicalize,
+    )
+
+    def edges():
+        return rd.from_pandas(pd.DataFrame({
+            "src_id": ["n02", "n20"], "pred": ["causes", "causes"],
+            "dst_id": ["n03", "n04"],
+            "subj": ["x", "x"], "obj": ["y", "y"],
+            "description": ["d1", "d2"], "confidence": [2, 3],
+            "n_provenance": [1, 1],
+        }))
+
+    n_l, e_l, acc_l, _ = canonicalize(
+        nodes_ds, edges(), mode="exact", k=5, top_n=None, threshold=0.25,
+        driver_threshold=50_000)
+    n_d, e_d, acc_ds, labels = canonicalize(
+        nodes_ds, edges(), mode="exact", k=5, top_n=None, threshold=0.25,
+        driver_threshold=0, closure="distributed")
+
+    acc_d = acc_ds.to_pandas()
+    assert (set(zip(acc_l["id_a"], acc_l["id_b"]))
+            == set(zip(acc_d["id_a"], acc_d["id_b"])) == PLANTED)
+    assert set(n_l.to_pandas()["node_id"]) == set(n_d.to_pandas()["node_id"])
+    key = ["src_id", "pred", "dst_id"]
+    el = e_l.to_pandas().sort_values(key).reset_index(drop=True)
+    ed = e_d.to_pandas().sort_values(key).reset_index(drop=True)
+    assert el[key + ["confidence", "n_provenance"]].to_numpy().tolist() \
+        == ed[key + ["confidence", "n_provenance"]].to_numpy().tolist()
