@@ -2471,3 +2471,52 @@ def bm25_search(sf_dir: str):
     out = bm25_topk(_pq(sf_dir, "documents", ["doc_id", "text"]),
                     list(_BM25_TERMS), k=10).to_pandas()
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- mixture sampling
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def _mix_pred_sql() -> str:
+    """The mixture predicate as SQL — generated from the same rate dict
+    the engine uses, comparing the md5 hex prefix lexicographically
+    (equivalent to the integer compare for fixed-width lowercase hex)."""
+    import numpy as np
+
+    def thr(rate: float) -> str:
+        v = int(np.floor(rate * 16 ** 8))
+        return "TRUE" if v >= 16 ** 8 else (
+            f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{v:08x}'")
+
+    whens = "\n      ".join(
+        f"WHEN source = '{g}' THEN {thr(r)}" for g, r in _MIX_RATES.items())
+    return f"CASE {whens} ELSE {thr(_MIX_DEFAULT)} END"
+
+
+@query(
+    "doc_mixture_sample",
+    f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE {_mix_pred_sql()}
+    GROUP BY source
+    """,
+)
+def doc_mixture_sample(sf_dir: str):
+    """Weighted mixture sampling (functions/sample.py::mixture_sample):
+    per-source keep rates via the deterministic md5-prefix predicate —
+    the pretraining-mixture-weights op.  Pure per-row filter (no
+    shuffle, no RNG); the oracle evaluates the identical predicate
+    generated from the same rate table."""
+    from .functions.agg import hash_aggregate
+    from .functions.sample import mixture_sample
+
+    kept = mixture_sample(
+        _pq(sf_dir, "documents", ["source", "doc_id"]),
+        "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT)
+    out = hash_aggregate(kept, ["source"], [("doc_id", "count")],
+                         rename={"doc_id_count": "n_kept"},
+                         exchange="shuffle").to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

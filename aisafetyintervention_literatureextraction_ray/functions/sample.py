@@ -82,3 +82,37 @@ def stratified_sample(ds: rd.Dataset, id_col: str, *,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sample(ds: rd.Dataset, id_col: str, group_col: str,
+                   rates: dict[str, float], *,
+                   default_rate: float = 0.0,
+                   hex_digits: int = 8) -> rd.Dataset:
+    """Weighted mixture sampling: keep each row with ITS GROUP's rate —
+    the pretraining-mixture op (e.g. wiki x2.0 is expressed upstream as
+    two epochs; here a rate in [0, 1] downsamples each source to its
+    mixture weight).
+
+    Same determinism contract as ``stratified_sample``: keep iff
+    ``int(md5(str(id))[:hex_digits], 16) < floor(rate * 16**hex_digits)``
+    — a pure per-row predicate, reproducible in SQL, independent of row
+    order, partitioning and engine.  The rate lookup is a vectorized
+    broadcast map (the rate table is tiny by construction); unknown
+    groups fall back to ``default_rate``.
+    """
+    scale = 16 ** hex_digits
+    thresholds = {g: int(np.floor(r * scale)) for g, r in rates.items()}
+    default_thr = int(np.floor(default_rate * scale))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:hex_digits], 16)
+             for i in ids),
+            dtype=np.int64, count=len(ids))
+        groups = batch.column(group_col).to_pylist()
+        thr = np.fromiter((thresholds.get(g, default_thr) for g in groups),
+                          dtype=np.int64, count=len(groups))
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
