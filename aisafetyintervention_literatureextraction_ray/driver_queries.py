@@ -2368,34 +2368,21 @@ def doc_pack_stats(sf_dir: str):
 )
 def dedup_components(sf_dir: str):
     """Distributed connected components (functions/graph.py) over a
-    dedup-cluster graph: exact-content duplicate pairs (the planted
-    clones) UNION planted doc_id bridges, so components span FOUR nodes
-    through two hops — the closure is genuinely transitive, not a
-    clique collapse.  Min-label propagation: per iteration one
-    partitioned hash join + one keyed min-aggregate, convergence by a
-    distributed changed-count.  The oracle closes the same pair graph
-    with a recursive CTE."""
-    from .functions.agg import bucketed_apply
+    dedup-cluster graph: exact-content duplicate STAR edges (the planted
+    clones — stages/dedup.py::exact_dup_pairs, whose skinny-hash
+    semi-join means full text only shuffles for docs that HAVE a dup)
+    UNION planted doc_id bridges, so components span FOUR nodes through
+    two hops — the closure is genuinely transitive, not a clique
+    collapse.  Min-label propagation: per iteration one partitioned
+    hash join + one keyed min-aggregate, convergence by a distributed
+    changed-count.  The oracle closes the ALL-PAIRS form of the same
+    graph with a recursive CTE (star vs all-pairs edge sets have
+    identical components)."""
     from .functions.graph import connected_components
+    from .stages.dedup import exact_dup_pairs
 
     docs = _docs_with_planted_dups(sf_dir)
-
-    def with_hash(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t.column("text").to_pandas(), index=False).to_numpy()
-        return t.append_column("__h", pa.array(h.astype("int64")))
-
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # equality verified on the full text (hash is only the shuffle
-        # key — collision-safe, same policy as stages/dedup.exact_dedup)
-        m = df.merge(df, on="text")[["doc_id_x", "doc_id_y"]]
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return m.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
-
-    exact_pairs = bucketed_apply(
-        docs.map_batches(with_hash, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        ["__h"], pairs_in_bucket)
+    exact_pairs = exact_dup_pairs(docs)
 
     def bridges(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id")

@@ -670,3 +670,86 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     sa = {" ".join(ta[i: i + k]) for i in range(max(0, len(ta) - k + 1))} or {text_a}
     sb = {" ".join(tb[i: i + k]) for i in range(max(0, len(tb) - k + 1))} or {text_b}
     return len(sa & sb) / len(sa | sb) if sa | sb else 1.0
+
+
+def exact_dup_pairs(ds: rd.Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    num_buckets: int | None = None,
+                    broadcast_limit: int = 250_000) -> rd.Dataset:
+    """Exact-duplicate STAR edges ``(id_a=min id of the content group,
+    id_b=other id)`` — the closure-ready form of exact dedup pairs.
+
+    Star, not all-pairs: an identical-content group of n docs emits
+    n - 1 edges instead of n(n-1)/2, and its connected component is the
+    same — a boilerplate corpus with a million-copy document stays
+    LINEAR where an all-pairs emit would be quadratic.
+
+    Two phases so full text only ever shuffles for docs that actually
+    have a duplicate (usually a tiny fraction of the corpus):
+
+    1. skinny pass: content-hash counts (``hash_aggregate`` partials —
+       one row per hash per block) -> the duplicated-hash set;
+    2. semi-join filter on the MEASURED dup-hash count — below
+       ``broadcast_limit`` the hash set ships once via ``ray.put`` and
+       filters map-side (``pc.is_in``); above it a partitioned hash
+       join (``bucketed_join``) does the same without any driver
+       gather — then per-hash-bucket star emit, grouped on the exact
+       text (hash collisions can never pair distinct texts).
+    """
+    import ray
+
+    from ..functions.agg import bucketed_apply, bucketed_join, hash_aggregate
+
+    pc_ = pa.compute
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        h = content_hash(t.select([text_col]).to_pandas(), text_col)
+        # uint64 -> int64 bit view (values >= 2^63 must not overflow)
+        return t.append_column(
+            "__h", pa.array(h.to_numpy().view(np.int64), type=pa.int64()))
+
+    def hash_ones(t: pa.Table) -> pa.Table:
+        return pa.table({"__h": with_hash(t)["__h"],
+                         "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    dup_h = hash_aggregate(
+        ds.map_batches(hash_ones, batch_format="pyarrow", batch_size=4096,
+                       zero_copy_batch=True),
+        ["__h"], [("n", "sum")], rename={"n_sum": "n"},
+        num_buckets=num_buckets, exchange="shuffle",
+    ).map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["n"], 2)).select(["__h"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    hashed = ds.map_batches(with_hash, batch_format="pyarrow",
+                            batch_size=4096, zero_copy_batch=True)
+    if dup_h.count() <= broadcast_limit:
+        hs_ref = ray.put(pa.concat_tables(
+            dup_h.iter_batches(batch_format="pyarrow"))["__h"]
+            .combine_chunks())
+
+        def semi(t: pa.Table) -> pa.Table:
+            return t.filter(pc_.is_in(t["__h"], value_set=ray.get(hs_ref)))
+
+        cand = hashed.map_batches(semi, batch_format="pyarrow")
+    else:
+        marked = dup_h.map_batches(
+            lambda t: t.append_column(
+                "__dup", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+        cand = bucketed_join(hashed, marked, left_key="__h",
+                             right_key="__h", right_value_cols=["__dup"],
+                             num_buckets=num_buckets).map_batches(
+            lambda t: t.drop_columns(["__dup"]), batch_format="pyarrow")
+
+    def star(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id_a": df[id_col], "id_b": df[id_col]})
+        df = df.sort_values([text_col, id_col], kind="stable")
+        hub = df.groupby(text_col, sort=False)[id_col].transform("first")
+        mask = (hub != df[id_col]).to_numpy()
+        return pd.DataFrame({"id_a": hub.to_numpy()[mask],
+                             "id_b": df[id_col].to_numpy()[mask]})
+
+    return bucketed_apply(cand, ["__h"], star, num_buckets=num_buckets)

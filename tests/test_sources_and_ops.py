@@ -615,3 +615,27 @@ def test_bm25_topk_ranking_sanity():
     scores = dict(zip(out["doc_id"], out["bm25"]))
     assert scores[1] > scores[2] > 0.0
     assert scores.get(3, 0.0) == 0.0 or 3 not in scores
+
+
+def test_exact_dup_pairs_star_and_branches():
+    """Star edges per content group (n-1, hub = min id), no edges for
+    unique texts; broadcast and join semi-filter branches agree."""
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        exact_dup_pairs,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["same", "same", "same", "uniq a", "uniq b", "other dup"],
+    })
+    df = pd.concat([df, pd.DataFrame({"doc_id": [7], "text": ["other dup"]})],
+                   ignore_index=True)
+    ds = rd.from_pandas(df).repartition(3)
+    want = {(1, 2), (1, 3), (6, 7)}
+    bc = exact_dup_pairs(ds).to_pandas()
+    assert set(zip(bc["id_a"], bc["id_b"])) == want
+    jn = exact_dup_pairs(ds, broadcast_limit=0).to_pandas()
+    assert set(zip(jn["id_a"], jn["id_b"])) == want
