@@ -73,6 +73,24 @@ def _silence_schema_hash_noise() -> None:
     if not any(type(f).__name__ == "_Drop" for f in logger.filters):
         logger.addFilter(_Drop())
 
+    class _DropEmptySchemaDivergence(logging.Filter):
+        """Drop ONLY the empty-new-schema variant of the executor's
+        schema-divergence warning: a 0-row bucket from a per-bucket
+        merge/group map legitimately yields a column-less block
+        ("new schema: .") and the executor unifies on; a REAL schema
+        divergence (non-empty differing schema) still logs."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("different schema" in msg
+                        and "new schema: ." in msg)
+
+    exec_logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(type(f).__name__ == "_DropEmptySchemaDivergence"
+               for f in exec_logger.filters):
+        exec_logger.addFilter(_DropEmptySchemaDivergence())
+
     # Coverage note: this import-time install reaches every worker that
     # deserializes a UDF referencing this package (cloudpickle imports
     # the module), i.e. all hot-path workers.  Pure read/shuffle tasks

@@ -2507,3 +2507,37 @@ def doc_mixture_sample(sf_dir: str):
                          exchange="shuffle").to_pandas()
     out["n_kept"] = out["n_kept"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- training-order shuffle
+@query(
+    "doc_shuffle_head",
+    """
+    SELECT doc_id, pos FROM (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS pos
+      FROM documents)
+    WHERE pos <= 100
+    """,
+)
+def doc_shuffle_head(sf_dir: str):
+    """Deterministic corpus shuffle for training order (functions/
+    sample.py::shuffle_order_key): a distributed sort on md5(doc_id) is
+    the permutation — seedless, partition-independent, replayable in
+    SQL.  The query emits the first 100 docs of the shuffled order with
+    their positions; the oracle replays the same ORDER BY."""
+    from .functions.sample import shuffle_order_key
+
+    out = (
+        _pq(sf_dir, "documents", ["doc_id"])
+        .map_batches(lambda t: shuffle_order_key(t, "doc_id"),
+                     batch_format="pyarrow", batch_size=4096)
+        .sort(["__shuffle_key", "doc_id"])
+        .limit(100)
+        .to_pandas()
+    )
+    out = out.drop(columns="__shuffle_key").reset_index(drop=True)
+    out["pos"] = (out.index + 1).astype("int64")
+    return out

@@ -116,3 +116,16 @@ def mixture_sample(ds: rd.Dataset, id_col: str, group_col: str,
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def shuffle_order_key(batch: pa.Table, id_col: str,
+                      out_col: str = "__shuffle_key") -> pa.Table:
+    """Deterministic global shuffle key: ``md5(str(id))`` — the
+    training-order shuffle for dataloader prep.  Sorting the corpus by
+    this key is a seedless, engine-independent permutation (same
+    audit-reproducibility contract as ``stratified_sample``: one line
+    of SQL replays it); a distributed ``Dataset.sort`` on the key IS
+    the shuffle — no RNG state, no driver pass."""
+    ids = batch.column(id_col).to_pylist()
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    return batch.append_column(out_col, pa.array(keys, type=pa.string()))
