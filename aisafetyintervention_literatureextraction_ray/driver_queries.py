@@ -103,20 +103,24 @@ def pricing_summary(sf_dir: str):
     """,
 )
 def top_revenue_parts(sf_dir: str):
-    """Global top-k over a grouped aggregate (SURVEY.md §2.6 O3)."""
+    """Global top-k over a grouped aggregate (SURVEY.md §2.6 O3).
+    The aggregate is the engine's two-stage hash_aggregate (shuffle
+    exchange — ~20k distinct parts), not Ray's sort-based groupby
+    (measured slower here and ~100x slower at high key counts,
+    functions/agg.py module docstring)."""
+    from .functions.agg import hash_aggregate
+
     ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        t = pa.table({"partkey": t["l_partkey"], "rev": rev})
-        return pa.TableGroupBy(t, "partkey").aggregate([("rev", "sum")])
+        return pa.table({"partkey": t["l_partkey"], "rev": rev})
 
-    agg = (
+    agg = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536,
-                       zero_copy_batch=True)
-        .groupby("partkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
-    )
+                       zero_copy_batch=True),
+        ["partkey"], [("rev", "sum")], rename={"rev_sum": "revenue"},
+        exchange="shuffle")
     # round BEFORE the sort+limit so the ordering key matches the
     # oracle's ORDER BY ROUND(revenue, 2) across the top-k boundary
     agg = agg.map_batches(
