@@ -2545,3 +2545,48 @@ def doc_shuffle_head(sf_dir: str):
     out = out.drop(columns="__shuffle_key").reset_index(drop=True)
     out["pos"] = (out.index + 1).astype("int64")
     return out
+
+
+# ---------------------------------------------------------------- BPE-ish token budget
+@query(
+    "doc_bpe_token_stats",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(regexp_extract_all(
+                text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))
+                AS BIGINT) AS bpe_tokens,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+               END) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def doc_bpe_token_stats(sf_dir: str):
+    """Token budgets under BOTH counters the brief names — whitespace
+    words and a BPE-ish pre-tokenizer regex (functions/text.py::
+    bpe_token_counts) — aggregated per source.  Same RE2 pattern runs
+    in the DuckDB oracle, so counts match exactly."""
+    from .functions.agg import hash_aggregate
+    from .functions.text import bpe_token_counts, token_counts
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "bpe": pc.cast(bpe_token_counts(t["text"]), pa.int64()),
+            "ws": pc.cast(token_counts(t["text"]), pa.int64()),
+        })
+
+    out = hash_aggregate(
+        _pq(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096,
+                     zero_copy_batch=True),
+        ["source"], [("one", "sum"), ("bpe", "sum"), ("ws", "sum")],
+        rename={"one_sum": "n_docs", "bpe_sum": "bpe_tokens",
+                "ws_sum": "ws_tokens"},
+        exchange="shuffle").to_pandas()
+    for c in ("n_docs", "bpe_tokens", "ws_tokens"):
+        out[c] = out[c].astype("int64")
+    return (out[["source", "n_docs", "bpe_tokens", "ws_tokens"]]
+            .sort_values("source").reset_index(drop=True))

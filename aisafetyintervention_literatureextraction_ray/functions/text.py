@@ -39,6 +39,22 @@ def add_token_count(batch: pa.Table, text_col: str = "text",
     return set_column(batch, out_col, token_counts(batch.column(text_col)))
 
 
+# GPT-2-style pre-tokenizer classes, lookahead-free so the SAME pattern
+# runs under RE2 in both this engine and DuckDB: a token is an optional
+# leading space + (letter run | digit run | punctuation run), or a
+# whitespace run (BPE treats residual whitespace as tokens too).
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """BPE-ish subword-budget token count (the brief's second counter):
+    counts GPT-2-pre-tokenizer-style pieces instead of whitespace
+    words, so numbers, punctuation and casing cost what a real BPE
+    vocabulary would charge for them.  One vectorized RE2 kernel;
+    DuckDB parity via ``length(regexp_extract_all(text, <same re>))``."""
+    return pc.count_substring_regex(text, pattern=BPE_TOKEN_RE)
+
+
 def detect_language(batch: pa.Table, text_col: str = "text",
                     out_col: str = "lang_detected") -> pa.Table:
     """Stopword-marker language ID (n-gram heuristic).

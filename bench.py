@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "approx_distinct_users", "pii_redaction", "doc_repetition_stats",
     "bloom_resume_antijoin", "semantic_dedup_pairs", "doc_decontaminate",
     "doc_chunks", "doc_pack_stats", "dedup_components", "bm25_search",
-    "doc_mixture_sample", "doc_shuffle_head",
+    "doc_mixture_sample", "doc_shuffle_head", "doc_bpe_token_stats",
 ]
 
 

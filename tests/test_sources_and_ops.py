@@ -639,3 +639,25 @@ def test_exact_dup_pairs_star_and_branches():
     assert set(zip(bc["id_a"], bc["id_b"])) == want
     jn = exact_dup_pairs(ds, broadcast_limit=0).to_pandas()
     assert set(zip(jn["id_a"], jn["id_b"])) == want
+
+
+def test_bpe_token_counts_vs_whitespace():
+    """BPE-ish pieces split punctuation/digits off words; whitespace
+    runs count as pieces; blank text counts 0 words but its spaces are
+    BPE pieces."""
+    import pyarrow as pa
+
+    from aisafetyintervention_literatureextraction_ray.functions.text import (
+        bpe_token_counts,
+        token_counts,
+    )
+
+    texts = pa.array(["don't stop", "a1b2", "x  y", ""])
+    bpe = bpe_token_counts(texts).to_pylist()
+    ws = token_counts(texts).to_pylist()
+    # "don't stop" -> don | ' | t | _stop = 4 pieces, 2 words
+    # "a1b2" -> a|1|b|2 = 4 pieces, 1 word
+    # "x  y" -> x | ' ' (run collapses into ' y'? no: ' ?' prefers
+    #   attaching ONE space to y, the extra space is a \s+ run) = 3
+    assert bpe == [4, 4, 3, 0]
+    assert ws == [2, 1, 2, 0]
