@@ -177,3 +177,67 @@ def test_pairs_from_signatures_finds_planted_dup(seed, n_dups):
     assert expected <= got
     assert out.set_index(["id_a", "id_b"]).loc[list(expected)][
         "jaccard"].eq(1.0).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_connected_components_driver_matches_bfs(pairs):
+    """CC (driver path) == plain BFS closure, for arbitrary pair lists
+    (self-loops and duplicates included)."""
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        connected_components,
+    )
+
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    got = connected_components(rd.from_pandas(df)).to_pandas()
+    got_map = dict(zip(got["node_id"], got["component_id"]))
+
+    # reference: BFS from every node over the undirected adjacency
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        seen, stack = {start}, [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want[start] = min(seen)
+    assert got_map == want
+
+
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.integers(0, 50)),
+                min_size=1, max_size=30, unique=True),
+       st.integers(1, 20))
+@settings(max_examples=40, deadline=None)
+def test_pack_documents_matches_pandas_reference(rows, capacity):
+    """pack_id/offset == the pandas cumsum reference for arbitrary
+    (source, token-length) corpora and capacities."""
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.pack import (
+        pack_documents,
+    )
+
+    df = pd.DataFrame(rows, columns=["source", "doc_id"])
+    # text with doc_id % 7 tokens (0..6, includes blanks)
+    df["text"] = [" ".join(["w"] * (d % 7)) for d in df["doc_id"]]
+    got = (pack_documents(rd.from_pandas(df).repartition(2), capacity)
+           .to_pandas().sort_values(["source", "doc_id"])
+           .reset_index(drop=True))
+
+    ref = df.copy()
+    ref["n_tokens"] = ref["doc_id"] % 7
+    ref = ref.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    start = (ref.groupby("source")["n_tokens"].cumsum() - ref["n_tokens"])
+    assert got["n_tokens"].tolist() == ref["n_tokens"].tolist()
+    assert got["pack_id"].tolist() == (start // capacity).tolist()
+    assert got["offset_in_pack"].tolist() == (start % capacity).tolist()
