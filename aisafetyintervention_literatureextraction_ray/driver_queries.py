@@ -2293,52 +2293,63 @@ def doc_chunks(sf_dir: str):
 # ---------------------------------------------------------------- sequence packing
 _PACK_CAPACITY = 1024
 
+_PACK_SHARD = 200  # docs per storage shard (the scale-safe pack key)
+
+
 @query(
     "doc_pack_stats",
     f"""
     WITH t AS (
       SELECT source, doc_id,
+             CAST(doc_id // {_PACK_SHARD} AS BIGINT) AS shard,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE length(regexp_split_to_array(trim(text), '\\s+'))
              END AS n_tokens
       FROM documents),
     r AS (
-      SELECT source, doc_id, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      SELECT source, shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) - n_tokens
                AS start
       FROM t)
-    SELECT source,
+    SELECT source, shard,
            CAST(start // {_PACK_CAPACITY} AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT)       AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT)  AS pack_tokens
-    FROM r GROUP BY source, pack_id
+    FROM r GROUP BY source, shard, pack_id
     """,
 )
 def doc_pack_stats(sf_dir: str):
     """Concat-and-chunk sequence packing (functions/pack.py): each doc
     is assigned to the fixed-capacity token pack containing its first
-    token, per source, ordered by doc_id.  Keyed shuffle + one
+    token, within its COMPOSITE (source, shard) partition — the
+    scale-safe key (a source-only key would co-locate 1/n_sources of
+    the corpus in one bucket at 10^12 docs).  Keyed shuffle + one
     vectorized running pass per bucket (grouped_running), then a
-    two-stage hash aggregate over (source, pack_id).  The oracle
-    reproduces the assignment with a SUM() OVER window on the identical
-    whitespace tokenization."""
+    two-stage hash aggregate.  The oracle reproduces the assignment
+    with a SUM() OVER window on the identical tokenization."""
     from .functions.agg import hash_aggregate
     from .functions.pack import pack_documents
 
-    packed = pack_documents(
-        _pq(sf_dir, "documents", ["source", "doc_id", "text"]),
-        _PACK_CAPACITY)
+    def with_shard(t: pa.Table) -> pa.Table:
+        shard = pc.divide(pc.cast(t["doc_id"], pa.int64()), _PACK_SHARD)
+        return t.append_column("shard", shard)
+
+    docs = _pq(sf_dir, "documents", ["source", "doc_id", "text"]).map_batches(
+        with_shard, batch_format="pyarrow", batch_size=4096,
+        zero_copy_batch=True)
+    packed = pack_documents(docs, _PACK_CAPACITY, key=["source", "shard"])
     out = hash_aggregate(
-        packed, ["source", "pack_id"],
+        packed, ["source", "shard", "pack_id"],
         [("n_tokens", "count"), ("n_tokens", "sum")],
         rename={"n_tokens_count": "n_docs", "n_tokens_sum": "pack_tokens"},
         exchange="shuffle",
     ).to_pandas()
-    for c in ("pack_id", "n_docs", "pack_tokens"):
+    for c in ("shard", "pack_id", "n_docs", "pack_tokens"):
         out[c] = out[c].astype("int64")
-    return (out[["source", "pack_id", "n_docs", "pack_tokens"]]
-            .sort_values(["source", "pack_id"]).reset_index(drop=True))
+    return (out[["source", "shard", "pack_id", "n_docs", "pack_tokens"]]
+            .sort_values(["source", "shard", "pack_id"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------- connected components

@@ -38,18 +38,27 @@ from .text import add_token_count
 
 
 def pack_documents(ds: rd.Dataset, capacity: int, *,
-                   key: str = "source", order_col: str = "doc_id",
+                   key: str | list[str] = "source",
+                   order_col: str = "doc_id",
                    text_col: str = "text",
                    num_buckets: int | None = None) -> rd.Dataset:
     """Assign every document to a fixed-``capacity`` token pack within
     its ``key`` partition.
 
-    Output columns: ``key``, ``order_col``, ``n_tokens``, ``pack_id``
-    (0-based within the key), ``offset_in_pack`` (token offset of the
-    document's first token inside its pack).
+    ``key`` may be a list — at corpus scale pass a COMPOSITE key like
+    ``["source", "shard"]`` (the ``grouped_running`` contract is that
+    one key's rows fit a bucket's heap share; a 20-source corpus keyed
+    on source alone would put 1/20th of 10^12 docs in one bucket).
+    Packs resetting at shard boundaries is the intended semantics: a
+    shard is a storage file, and training-order packing is per file.
+
+    Output columns: ``key`` column(s), ``order_col``, ``n_tokens``,
+    ``pack_id`` (0-based within the key), ``offset_in_pack`` (token
+    offset of the document's first token inside its pack).
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    keys = [key] if isinstance(key, str) else list(key)
 
     def tokens_only(t: pa.Table) -> pa.Table:
         return add_token_count(t, text_col=text_col).drop_columns([text_col])
@@ -57,7 +66,7 @@ def pack_documents(ds: rd.Dataset, capacity: int, *,
     counted = ds.map_batches(tokens_only, batch_format="pyarrow",
                              batch_size=4096, zero_copy_batch=True)
 
-    running = grouped_running(counted, [key], [order_col],
+    running = grouped_running(counted, keys, [order_col],
                               cum_cols=["n_tokens"], seq_col="__seq",
                               num_buckets=num_buckets)
 
@@ -68,13 +77,14 @@ def pack_documents(ds: rd.Dataset, capacity: int, *,
                             pc.cast(t["n_tokens"], pa.int64()))
         pack_id = pc.divide(start, cap)  # int64 // int64 floors for >= 0
         offset = pc.subtract(start, pc.multiply(pack_id, cap))
-        return pa.table({
-            key: t[key],
+        cols = {k: t[k] for k in keys}
+        cols.update({
             order_col: t[order_col],
             "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
             "pack_id": pack_id,
             "offset_in_pack": offset,
         })
+        return pa.table(cols)
 
     return running.map_batches(assign, batch_format="pyarrow",
                                zero_copy_batch=True)
