@@ -245,6 +245,12 @@ def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str,
     (both orders would be valid top-k sets; determinism is what's lost).
     """
     if num_salts is not None:
+        if tiebreak is None:
+            raise ValueError(
+                "grouped_topk(num_salts=...) requires a tiebreak column "
+                "that makes the total order unique — without one, rows "
+                "tied at the k boundary can differ between the salted "
+                "and unsalted paths")
         ds = salted_prefilter(ds, keys, order_col, k, ascending=ascending,
                               tiebreak=tiebreak, num_salts=num_salts,
                               num_buckets=num_buckets)

@@ -73,10 +73,19 @@ def connected_components(pairs: rd.Dataset, *,
     """
     skinny = pairs.select_columns([id_a, id_b])
 
-    if driver_threshold:
-        n_pairs = skinny.count()
-        if n_pairs <= driver_threshold:
-            return _components_driver(skinny, id_a, id_b)
+    n_pairs = skinny.count()
+    if n_pairs == 0:
+        # typed empty label table (an empty Dataset drops column names,
+        # so both paths below would otherwise fail on the missing cols)
+        from .agg import pa_type_of
+
+        id_type = pa_type_of(dict(zip(pairs.schema().names,
+                                      pairs.schema().types))[id_a])
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "component_id": pa.array([], type=id_type)}))
+    if driver_threshold and n_pairs <= driver_threshold:
+        return _components_driver(skinny, id_a, id_b)
     return _components_distributed(skinny, id_a, id_b,
                                    max_iters=max_iters,
                                    num_buckets=num_buckets)
@@ -147,7 +156,11 @@ def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
             return new_labels
         labels, prev_sig = new_labels, new_sig
 
-    return labels
+    # max_iters exhausted: never return silently-unconverged labels —
+    # a too-long chain would split one true component into several
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} "
+        f"iterations (graph diameter exceeds max_iters); raise max_iters")
 
 
 def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,

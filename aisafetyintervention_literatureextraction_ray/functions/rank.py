@@ -36,11 +36,16 @@ B = 0.75
 
 def _term_freqs(t: pa.Table, terms: list[str],
                 text_col: str) -> tuple[pa.Array, list[np.ndarray]]:
-    """(doc length, [tf per term]) — vectorized RE2 kernels."""
+    """(doc length, [tf per term]) — vectorized RE2 kernels.  Terms are
+    lowercased (the text is) and regex-escaped so a metacharacter query
+    like ``c++`` counts literally instead of breaking the pattern."""
+    import re
+
     text = pc.utf8_lower(t.column(text_col))
     dl = token_counts(text)
     tfs = [
-        pc.count_substring_regex(text, pattern=rf"\b{term}\b")
+        pc.count_substring_regex(
+            text, pattern=rf"\b{re.escape(term.lower())}\b")
         .to_numpy(zero_copy_only=False).astype(np.float64)
         for term in terms
     ]
@@ -69,7 +74,11 @@ def bm25_topk(ds: rd.Dataset, terms: list[str], *, k: int = 10,
     stats = (ds.map_batches(stats_partial, batch_format="pyarrow",
                             batch_size=4096, zero_copy_batch=True)
              .to_pandas().sum())
-    n = float(stats["n"])
+    n = float(stats.get("n", 0) or 0)
+    if n == 0:  # empty corpus: empty top-k, not a ZeroDivisionError
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "bm25": pa.array([], type=pa.float64())}))
     avgdl = float(stats["sum_dl"]) / float(stats["n"])
     idfs = [float(np.log(1.0 + (n - float(stats[f"df{i}"]) + 0.5)
                          / (float(stats[f"df{i}"]) + 0.5)))

@@ -20,6 +20,16 @@ import ray.data as rd
 _HEX = "0123456789abcdef"
 
 
+def md5_hex(batch: pa.Table, id_col: str) -> list[str]:
+    """The shared id-hash contract of every sampler/splitter here:
+    ``md5(str(id)).hexdigest()`` per row — any change to this (bytes
+    handling, casing, width) changes EVERY split/sample in one place,
+    and must be mirrored in the SQL oracles (``md5(CAST(id AS
+    VARCHAR))``)."""
+    return [hashlib.md5(str(i).encode()).hexdigest()
+            for i in batch.column(id_col).to_pylist()]
+
+
 def split_boundaries(weights: tuple[int, ...],
                      names: tuple[str, ...]) -> list[tuple[str, str]]:
     """weights in sixteenths -> [(name, last_hex_char_inclusive)]."""
@@ -35,8 +45,7 @@ def assign_split(batch: pa.Table, id_col: str,
                  boundaries: list[tuple[str, str]],
                  out_col: str = "split") -> pa.Table:
     """Append the split-name column (md5 first-hex-char bucketing)."""
-    ids = batch.column(id_col).to_pylist()
-    chars = [hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids]
+    chars = [h[0] for h in md5_hex(batch, id_col)]
     names = np.empty(len(chars), dtype=object)
     for name, last in reversed(boundaries):
         mask = np.fromiter((c <= last for c in chars), dtype=bool,
@@ -74,11 +83,9 @@ def stratified_sample(ds: rd.Dataset, id_col: str, *,
     assert len(threshold) == hex_digits
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        mask = np.fromiter(
-            (hashlib.md5(str(i).encode()).hexdigest()[:hex_digits]
-             <= threshold for i in ids),
-            dtype=bool, count=len(ids))
+        hs = md5_hex(batch, id_col)
+        mask = np.fromiter((h[:hex_digits] <= threshold for h in hs),
+                           dtype=bool, count=len(hs))
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -105,11 +112,9 @@ def mixture_sample(ds: rd.Dataset, id_col: str, group_col: str,
     default_thr = int(np.floor(default_rate * scale))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        h = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:hex_digits], 16)
-             for i in ids),
-            dtype=np.int64, count=len(ids))
+        hs = md5_hex(batch, id_col)
+        h = np.fromiter((int(x[:hex_digits], 16) for x in hs),
+                        dtype=np.int64, count=len(hs))
         groups = batch.column(group_col).to_pylist()
         thr = np.fromiter((thresholds.get(g, default_thr) for g in groups),
                           dtype=np.int64, count=len(groups))
@@ -126,6 +131,6 @@ def shuffle_order_key(batch: pa.Table, id_col: str,
     audit-reproducibility contract as ``stratified_sample``: one line
     of SQL replays it); a distributed ``Dataset.sort`` on the key IS
     the shuffle — no RNG state, no driver pass."""
-    ids = batch.column(id_col).to_pylist()
-    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-    return batch.append_column(out_col, pa.array(keys, type=pa.string()))
+    return batch.append_column(out_col,
+                               pa.array(md5_hex(batch, id_col),
+                                        type=pa.string()))

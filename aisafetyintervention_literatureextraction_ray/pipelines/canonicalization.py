@@ -186,6 +186,12 @@ def apply_merges_distributed(nodes: rd.Dataset, edges: rd.Dataset,
     # agg.py::pa_type_of caveat)
     nodes = nodes.map_batches(lambda t: t, batch_format="pyarrow")
     edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
+    # schemas captured ONCE: bucketed_join falls back to
+    # Dataset.schema() otherwise, which on the lazy first-rewire output
+    # would re-execute that whole join just to learn the schema
+    nodes_schema = nodes.schema()
+    edges_schema = edges.schema()
+    labels_schema = labels.schema()
 
     def _comp(t: pa.Table, like: str):
         # an all-null merge side arrives as null-typed; cast to the key
@@ -204,13 +210,19 @@ def apply_merges_distributed(nodes: rd.Dataset, edges: rd.Dataset,
         nodes, labels, left_key="node_id", right_key="node_id",
         right_value_cols=["component_id"], how="left",
         num_buckets=num_buckets,
+        left_schema=nodes_schema, right_schema=labels_schema,
     ).map_batches(keep_winners, batch_format="pyarrow")
 
     def rewire_col(ds: rd.Dataset, col: str) -> rd.Dataset:
+        # the rewire preserves the edge schema, so BOTH rewires (the
+        # second one's left side is the lazy output of the first) use
+        # the captured edges schema — no re-execution for schema probes
         joined = bucketed_join(ds, labels, left_key=col,
                                right_key="node_id",
                                right_value_cols=["component_id"],
-                               how="left", num_buckets=num_buckets)
+                               how="left", num_buckets=num_buckets,
+                               left_schema=edges_schema,
+                               right_schema=labels_schema)
 
         def coalesce(t: pa.Table) -> pa.Table:
             new = pc.coalesce(_comp(t, col), t[col])

@@ -724,7 +724,18 @@ def exact_dup_pairs(ds: rd.Dataset, *, id_col: str = "doc_id",
 
     hashed = ds.map_batches(with_hash, batch_format="pyarrow",
                             batch_size=4096, zero_copy_batch=True)
-    if dup_h.count() <= broadcast_limit:
+    n_dup = dup_h.count()
+    if n_dup == 0:
+        # clean corpus: no pairs — typed empty output (iter_batches of
+        # an empty dataset yields nothing, so concat below would raise)
+        from ..functions.agg import pa_type_of
+
+        id_type = pa_type_of(dict(zip(ds.schema().names,
+                                      ds.schema().types))[id_col])
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type)})
+        return rd.from_arrow(empty)
+    if n_dup <= broadcast_limit:
         hs_ref = ray.put(pa.concat_tables(
             dup_h.iter_batches(batch_format="pyarrow"))["__h"]
             .combine_chunks())

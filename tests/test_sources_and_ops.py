@@ -661,3 +661,61 @@ def test_bpe_token_counts_vs_whitespace():
     #   attaching ONE space to y, the extra space is a \s+ run) = 3
     assert bpe == [4, 4, 3, 0]
     assert ws == [2, 1, 2, 0]
+
+
+def test_empty_edge_cases_no_crash():
+    """Review regressions: zero-dup corpora, zero accepted pairs and
+    empty corpora must produce typed empty results, not crashes."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        connected_components,
+    )
+    from aisafetyintervention_literatureextraction_ray.functions.rank import (
+        bm25_topk,
+    )
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        exact_dup_pairs,
+    )
+
+    # clean corpus: no exact dups anywhere (schema checked on the
+    # Dataset — Ray's to_pandas drops column names on empty datasets)
+    clean = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["a", "b", "c"]}))
+    out = exact_dup_pairs(clean)
+    assert out.count() == 0 and out.schema().names == ["id_a", "id_b"]
+
+    # empty pair set -> typed empty label table on both CC paths
+    empty_pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64())}))
+    lab = connected_components(empty_pairs)
+    assert lab.count() == 0
+    assert lab.schema().names == ["node_id", "component_id"]
+    assert connected_components(empty_pairs, driver_threshold=0).count() == 0
+
+    # empty corpus -> empty BM25 top-k; metachar/case-insensitive terms
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    assert len(bm25_topk(empty_docs, ["merge"]).to_pandas()) == 0
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["the c++ merge path", "nothing here"]}))
+    top = bm25_topk(docs, ["C++", "Merge"], k=1).to_pandas()
+    assert top["doc_id"].tolist() == [1] and top["bm25"].iloc[0] > 0
+
+
+def test_salted_topk_requires_tiebreak():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.agg import (
+        grouped_topk,
+    )
+
+    ds = rd.from_pandas(pd.DataFrame({"g": ["a"], "v": [1], "id": [1]}))
+    with pytest.raises(ValueError, match="tiebreak"):
+        grouped_topk(ds, ["g"], "v", 1, num_salts=4)
