@@ -2601,3 +2601,48 @@ def doc_bpe_token_stats(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out[["source", "n_docs", "bpe_tokens", "ws_tokens"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- histogram quantile sketch
+_HQ_BINS = 1024
+
+@query(
+    "price_quantile_sketch",
+    f"""
+    WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+    mm AS (SELECT CAST(MIN(v) AS DOUBLE) AS lo,
+                  CAST(MAX(v) AS DOUBLE) AS hi,
+                  COUNT(*) AS n FROM v),
+    w AS (SELECT lo, hi, n, (hi - lo) / {_HQ_BINS} AS width FROM mm),
+    b AS (SELECT CAST(least(floor((v.v - w.lo) / w.width),
+                            {_HQ_BINS - 1}) AS BIGINT) AS bin
+          FROM v, w),
+    h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h)
+    SELECT CAST(w.n AS BIGINT) AS n, w.lo, w.hi,
+           w.lo + (SELECT MIN(bin) FROM c
+                   WHERE cum >= floor((w.n - 1) * 0.50) + 1) * w.width AS q50,
+           w.lo + (SELECT MIN(bin) FROM c
+                   WHERE cum >= floor((w.n - 1) * 0.90) + 1) * w.width AS q90,
+           w.lo + (SELECT MIN(bin) FROM c
+                   WHERE cum >= floor((w.n - 1) * 0.99) + 1) * w.width AS q99
+    FROM w
+    """,
+)
+def price_quantile_sketch(sf_dir: str):
+    """Approximate global quantiles via the mergeable fixed-bin
+    histogram sketch (functions/sketch.py::histogram_quantiles):
+    constant-memory per block, counts merge by sum, max error one bin
+    width — the corpus-scale replacement for an exact distributed
+    quantile.  Deterministic by construction, so the oracle reproduces
+    the ESTIMATE exactly (same binning and edge arithmetic in SQL),
+    not just its error bound."""
+    from .functions.sketch import histogram_quantiles
+
+    est = histogram_quantiles(
+        _pq(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice", [0.50, 0.90, 0.99], bins=_HQ_BINS)
+    return pd.DataFrame([{
+        "n": np.int64(est["n"]), "lo": est["lo"], "hi": est["hi"],
+        "q50": est["q50"], "q90": est["q90"], "q99": est["q99"],
+    }])

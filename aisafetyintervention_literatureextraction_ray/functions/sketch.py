@@ -149,3 +149,75 @@ def hll_distinct(ds: rd.Dataset, col: str, *, p: int = 12,
     for row in parts.iter_rows():
         reg = hll_merge(reg, np.frombuffer(row["reg"], dtype=np.uint8))
     return int(round(hll_estimate(reg)))
+
+
+# ---------------------------------------------------------------- histogram quantile sketch
+def histogram_quantiles(ds, value_col: str, qs: list[float], *,
+                        bins: int = 1024):
+    """Approximate global quantiles via a mergeable fixed-bin histogram
+    sketch — the constant-memory replacement for an exact distributed
+    quantile at corpus scale (``functions/agg.py::grouped_quantiles``'s
+    documented scale caveat).
+
+    Two streaming passes, no shuffle of values:
+
+    1. global ``min``/``max`` (per-block partials -> two scalars);
+    2. per-block bin-count partials (``bins`` int64 cells each, a few
+       KB regardless of input size) summed into one histogram.
+
+    The estimate for quantile ``q`` is the LOWER EDGE of the first bin
+    whose cumulative count reaches ``ceil(q * (n - 1)) + 1`` rows —
+    deterministic, mergeable (counts are sums), and off from the exact
+    lower-index quantile by at most one bin width ``(max - min)/bins``.
+    Every arithmetic step is reproducible in SQL, so the sketch is
+    oracle-EXACT, not just error-bounded.
+
+    Returns ``{"n": int, "lo": float, "hi": float,
+    "q{NN}": estimate...}``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd  # noqa: F401  (signature parity with callers)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        return pa.table({
+            "lo": pa.array([pc.min(v).as_py()], type=pa.float64()),
+            "hi": pa.array([pc.max(v).as_py()], type=pa.float64()),
+            "n": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=65536, zero_copy_batch=True).to_pandas()
+    # an empty dataset yields a column-less frame, not zero-value rows
+    n = int(mm["n"].sum()) if "n" in mm.columns else 0
+    if n == 0:
+        return {"n": 0, "lo": float("nan"), "hi": float("nan"),
+                **{f"q{int(q * 100):02d}": float("nan") for q in qs}}
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # same binning expression the SQL oracle uses:
+        # least(floor((v - lo) / width), bins - 1)
+        idx = np.minimum(np.floor((v - lo) / width),
+                         bins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table({"bin": pa.array(np.arange(bins, dtype=np.int64)),
+                         "cnt": pa.array(counts)})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True)
+            .to_pandas().groupby("bin")["cnt"].sum()
+            .reindex(range(bins), fill_value=0))
+    cum = hist.cumsum().to_numpy()
+
+    out = {"n": n, "lo": lo, "hi": hi}
+    for q in qs:
+        rank = int(np.floor((n - 1) * q)) + 1  # rows needed (1-based)
+        b = int(np.searchsorted(cum, rank))
+        out[f"q{int(q * 100):02d}"] = lo + b * width
+    return out

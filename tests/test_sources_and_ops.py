@@ -719,3 +719,30 @@ def test_salted_topk_requires_tiebreak():
     ds = rd.from_pandas(pd.DataFrame({"g": ["a"], "v": [1], "id": [1]}))
     with pytest.raises(ValueError, match="tiebreak"):
         grouped_topk(ds, ["g"], "v", 1, num_salts=4)
+
+
+def test_histogram_quantile_sketch_error_bound():
+    """Estimate within one bin width of the exact lower-index quantile;
+    empty input returns NaNs with n=0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3.0, 1.0, 20_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    est = histogram_quantiles(ds, "v", [0.5, 0.9, 0.99], bins=512)
+    width = (est["hi"] - est["lo"]) / 512
+    s = np.sort(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = s[int(np.floor((len(s) - 1) * q))]
+        key = f"q{int(q * 100):02d}"
+        assert abs(est[key] - exact) <= width + 1e-9, (q, est[key], exact)
+
+    empty = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype=float)}))
+    e = histogram_quantiles(empty, "v", [0.5])
+    assert e["n"] == 0 and np.isnan(e["q50"])
