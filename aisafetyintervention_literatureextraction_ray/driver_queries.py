@@ -2646,3 +2646,38 @@ def price_quantile_sketch(sf_dir: str):
         "n": np.int64(est["n"]), "lo": est["lo"], "hi": est["hi"],
         "q50": est["q50"], "q90": est["q90"], "q99": est["q99"],
     }])
+
+
+# ---------------------------------------------------------------- per-group random sample
+@query(
+    "doc_sample_per_source",
+    """
+    SELECT source, doc_id, rank FROM (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rank
+      FROM documents)
+    WHERE rank <= 3
+    """,
+)
+def doc_sample_per_source(sf_dir: str):
+    """Deterministic k-per-group random sample: the md5 shuffle key
+    (functions/sample.py::shuffle_order_key) as the order column of the
+    SALTED grouped top-k — per-group sampling without RNG state, with
+    the head-entity skew bound (k x salts rows per group reach the
+    final exchange).  Composition of two existing operators; oracle =
+    ROW_NUMBER over the same md5 order."""
+    from .functions.agg import grouped_topk
+    from .functions.sample import shuffle_order_key
+
+    keyed = _pq(sf_dir, "documents", ["source", "doc_id"]).map_batches(
+        lambda t: shuffle_order_key(t, "doc_id", out_col="__k"),
+        batch_format="pyarrow", batch_size=4096)
+    out = grouped_topk(keyed, ["source"], "__k", 3, ascending=True,
+                       tiebreak="doc_id", num_salts=8).to_pandas()
+    out = out.drop(columns="__k")
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["source", "doc_id", "rank"]]
+            .sort_values(["source", "rank"]).reset_index(drop=True))

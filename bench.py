@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "bloom_resume_antijoin", "semantic_dedup_pairs", "doc_decontaminate",
     "doc_chunks", "doc_pack_stats", "dedup_components", "bm25_search",
     "doc_mixture_sample", "doc_shuffle_head", "doc_bpe_token_stats",
-    "price_quantile_sketch",
+    "price_quantile_sketch", "doc_sample_per_source",
 ]
 
 
