@@ -2681,3 +2681,56 @@ def doc_sample_per_source(sf_dir: str):
     out["rank"] = out["rank"].astype("int64")
     return (out[["source", "doc_id", "rank"]]
             .sort_values(["source", "rank"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- grouped quantile sketch
+_GHQ_BINS = 256
+
+@query(
+    "chars_quantile_sketch_by_source",
+    f"""
+    WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+    mm AS (SELECT source, CAST(MIN(v) AS DOUBLE) AS lo,
+                  CAST(MAX(v) AS DOUBLE) AS hi, COUNT(*) AS n
+           FROM v GROUP BY source),
+    w AS (SELECT source, lo, hi, n,
+                 CASE WHEN hi > lo THEN (hi - lo) / {_GHQ_BINS}
+                      ELSE 1.0 END AS width
+          FROM mm),
+    b AS (SELECT v.source,
+                 CAST(least(floor((v.v - w.lo) / w.width),
+                            {_GHQ_BINS - 1}) AS BIGINT) AS bin
+          FROM v JOIN w USING (source)),
+    h AS (SELECT source, bin, COUNT(*) AS cnt FROM b GROUP BY source, bin),
+    c AS (SELECT source, bin,
+                 SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+          FROM h)
+    SELECT w.source, CAST(w.n AS BIGINT) AS n,
+           w.lo + (SELECT MIN(bin) FROM c WHERE c.source = w.source
+                   AND cum >= floor((w.n - 1) * 0.50) + 1) * w.width AS q50,
+           w.lo + (SELECT MIN(bin) FROM c WHERE c.source = w.source
+                   AND cum >= floor((w.n - 1) * 0.95) + 1) * w.width AS q95
+    FROM w
+    """,
+)
+def chars_quantile_sketch_by_source(sf_dir: str):
+    """PER-KEY approximate quantiles via the mergeable histogram sketch
+    (functions/sketch.py::grouped_histogram_quantiles): one (lo, hi, n)
+    row per key broadcast as the binning table, per-block (key, bin)
+    count partials, extraction inside the bucketed exchange — the
+    constant-memory replacement for grouped_quantiles' full value
+    shuffle.  Deterministic, so the oracle reproduces the per-key
+    estimates exactly."""
+    from .functions.sketch import grouped_histogram_quantiles
+
+    def as_double(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"],
+                         "v": pc.cast(t["n_chars"], pa.float64())})
+
+    out = grouped_histogram_quantiles(
+        _pq(sf_dir, "documents", ["source", "n_chars"]).map_batches(
+            as_double, batch_format="pyarrow", batch_size=65536,
+            zero_copy_batch=True),
+        "source", "v", [0.50, 0.95], bins=_GHQ_BINS).to_pandas()
+    return (out[["source", "n", "q50", "q95"]]
+            .sort_values("source").reset_index(drop=True))

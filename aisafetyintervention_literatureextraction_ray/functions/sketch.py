@@ -221,3 +221,85 @@ def histogram_quantiles(ds, value_col: str, qs: list[float], *,
         b = int(np.searchsorted(cum, rank))
         out[f"q{int(q * 100):02d}"] = lo + b * width
     return out
+
+
+def grouped_histogram_quantiles(ds, key: str, value_col: str,
+                                qs: list[float], *, bins: int = 256,
+                                num_buckets: int | None = None):
+    """Per-key approximate quantiles via the same mergeable histogram
+    sketch as ``histogram_quantiles`` — the constant-memory replacement
+    for ``grouped_quantiles``'s full keyed value shuffle.
+
+    Pass 1 reduces to one ``(lo, hi, n)`` row per key (broadcast as a
+    vectorized lookup — the BOUNDED-KEY contract: the per-key edge
+    table must fit a broadcast, true for language / source / shard
+    keys; values themselves never need that).  Pass 2 emits per-block
+    ``(key, bin, cnt)`` partials (<= bins rows per key per block) into
+    a keyed sum; quantile extraction runs per key INSIDE the bucketed
+    exchange, so no histogram ever lands on the driver.
+
+    Returns a Dataset with one row per key: ``key``, ``n``, and a
+    ``q{NN}`` estimate per requested quantile (exact arithmetic mirror
+    of the SQL oracle; error <= one bin width per key).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from .agg import bucketed_apply, hash_aggregate
+
+    mm = hash_aggregate(
+        ds, [key], [(value_col, "min"), (value_col, "max"),
+                    (value_col, "count")],
+        rename={f"{value_col}_min": "lo", f"{value_col}_max": "hi",
+                f"{value_col}_count": "n"},
+        num_buckets=num_buckets, exchange="shuffle").to_pandas()
+    mm["lo"] = mm["lo"].astype(np.float64)
+    mm["hi"] = mm["hi"].astype(np.float64)
+    mm["width"] = np.where(mm["hi"] > mm["lo"],
+                           (mm["hi"] - mm["lo"]) / bins, 1.0)
+    edges_ref = ray.put((pd.Index(mm[key]), mm["lo"].to_numpy(),
+                         mm["width"].to_numpy()))
+    n_by_key = dict(zip(mm[key], mm["n"].astype(np.int64)))
+    lo_by_key = dict(zip(mm[key], mm["lo"]))
+    width_by_key = dict(zip(mm[key], mm["width"]))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        index, los, widths = ray.get(edges_ref)
+        pos = index.get_indexer(t.column(key).to_pandas())
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        idx = np.minimum(np.floor((v - los[pos]) / widths[pos]),
+                         bins - 1).astype(np.int64)
+        flat = pa.table({key: t.column(key),
+                         "bin": pa.array(idx),
+                         "cnt": pa.array(np.ones(len(idx), np.int64))})
+        return pa.TableGroupBy(flat, [key, "bin"]).aggregate(
+            [("cnt", "sum")]).rename_columns([key, "bin", "cnt"])
+
+    hist = hash_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        [key, "bin"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        num_buckets=num_buckets, exchange="shuffle")
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {key: [], "n": []}
+        rows.update({f"q{int(q * 100):02d}": [] for q in qs})
+        for k, g in df.groupby(key, sort=False):
+            g = g.sort_values("bin")
+            cum = g["cnt"].cumsum().to_numpy()
+            bins_arr = g["bin"].to_numpy()
+            n = int(n_by_key[k])
+            rows[key].append(k)
+            rows["n"].append(n)
+            for q in qs:
+                rank = int(np.floor((n - 1) * q)) + 1
+                b = int(bins_arr[np.searchsorted(cum, rank)])
+                rows[f"q{int(q * 100):02d}"].append(
+                    lo_by_key[k] + b * width_by_key[k])
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_apply(hist, [key], extract, num_buckets=num_buckets)

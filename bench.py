@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "doc_chunks", "doc_pack_stats", "dedup_components", "bm25_search",
     "doc_mixture_sample", "doc_shuffle_head", "doc_bpe_token_stats",
     "price_quantile_sketch", "doc_sample_per_source",
+    "chars_quantile_sketch_by_source",
 ]
 
 

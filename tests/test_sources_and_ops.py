@@ -746,3 +746,35 @@ def test_histogram_quantile_sketch_error_bound():
     empty = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype=float)}))
     e = histogram_quantiles(empty, "v", [0.5])
     assert e["n"] == 0 and np.isnan(e["q50"])
+
+
+def test_grouped_histogram_quantiles_bound_and_exact_degenerate():
+    """Per-key estimates within one bin width of exact; a constant-value
+    key (width fallback) returns the exact value."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        grouped_histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": ["a"] * 5000 + ["b"] * 3000 + ["c"] * 10,
+        "v": np.concatenate([rng.normal(100, 20, 5000),
+                             rng.exponential(50, 3000),
+                             np.full(10, 7.0)]),
+    })
+    out = (grouped_histogram_quantiles(
+        rd.from_pandas(df).repartition(4), "g", "v", [0.5, 0.9], bins=128)
+        .to_pandas().set_index("g"))
+    for g in ("a", "b"):
+        vals = np.sort(df[df["g"] == g]["v"].to_numpy())
+        width = (vals[-1] - vals[0]) / 128
+        for q in (0.5, 0.9):
+            exact = vals[int(np.floor((len(vals) - 1) * q))]
+            est = out.loc[g, f"q{int(q * 100):02d}"]
+            assert abs(est - exact) <= width + 1e-9
+    # constant key: lo == hi -> estimate is the constant itself
+    assert out.loc["c", "q50"] == 7.0 and out.loc["c", "n"] == 10
