@@ -449,10 +449,8 @@ def events_asof_orders(sf_dir: str):
                     on_left="ts", on_right="o_orderdate",
                     right_value_cols=["last_order_price"],
                     right_reduce={"last_order_price": "max"}).to_pandas()
-    # left ints pick up NaN-capable float dtype through the unioned
-    # exchange; they are never null on the left side — cast back
-    for c in ("event_id", "user_id"):
-        out[c] = out[c].astype("int64")
+    # left ints stay exact int64 through the union exchange (the join
+    # converts via pandas nullable dtypes — stages/window.py)
     return out[["event_id", "user_id", "event_type", "last_order_price"]]
 
 
@@ -513,9 +511,8 @@ def events_orders_range_join(sf_dir: str):
                          on_right="o_orderdate", value_col="o_totalprice",
                          window="7D", count_col="n_orders_7d",
                          sum_cents_col="sum_cents_7d").to_pandas()
-    # left ints ride a null-padded union exchange: cast back
-    for c in ("event_id", "user_id"):
-        out[c] = out[c].astype("int64")
+    # left ints stay exact int64 through the union exchange (nullable
+    # extension dtypes in stages/window.py — no cast-back needed)
     return out[["event_id", "user_id", "n_orders_7d", "sum_cents_7d"]]
 
 
@@ -2613,7 +2610,9 @@ _HQ_BINS = 1024
     mm AS (SELECT CAST(MIN(v) AS DOUBLE) AS lo,
                   CAST(MAX(v) AS DOUBLE) AS hi,
                   COUNT(*) AS n FROM v),
-    w AS (SELECT lo, hi, n, (hi - lo) / {_HQ_BINS} AS width FROM mm),
+    w AS (SELECT lo, hi, n,
+                 CASE WHEN hi > lo THEN (hi - lo) / {_HQ_BINS}
+                      ELSE 1.0 END AS width FROM mm),
     b AS (SELECT CAST(least(floor((v.v - w.lo) / w.width),
                             {_HQ_BINS - 1}) AS BIGINT) AS bin
           FROM v, w),

@@ -40,22 +40,39 @@ import ray.data as rd
 from .agg import bucketed_join, hash_aggregate
 
 
-def _labels_sig(labels: rd.Dataset) -> int:
-    """Order-independent multiset signature of (node_id, component_id)
-    rows: per-block vectorized hash + wrapping sum, reduced with
-    ``Dataset.sum`` — one cheap pass over materialized blocks."""
+def _labels_sig(labels: rd.Dataset) -> tuple[int, int]:
+    """Blocking-independent multiset signature of (node_id, component_id)
+    rows.
+
+    Per block: wrapping-uint64 SUM of the row hashes, carried as exact
+    32-bit halves plus a row count; one ``Dataset.sum`` pass combines
+    the partials.  Modular addition is associative and commutative, so
+    ``(sum_hi << 32 + sum_lo) mod 2^64`` depends only on the row
+    MULTISET, never on how Ray splits rows into blocks (ADVICE r3: the
+    previous per-block XOR + length-mix changed value under re-blocking,
+    which could make a converged run miss the sig-match gate).  The
+    halves sum exactly in int64: each is < 2^64 per block only after
+    the per-block wrap, and cross-block sums of 32-bit halves stay far
+    below 2^63 for any feasible block count."""
 
     def sig(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             pd.DataFrame({"n": t.column("node_id").to_pandas(),
                           "c": t.column("component_id").to_pandas()}),
             index=False).to_numpy()
-        s = int(np.bitwise_xor.reduce(h)) ^ (len(h) * 0x9E3779B97F4A7C15)
-        return pa.table({"sig": pa.array([s & 0x7FFFFFFFFFFFFFFF],
-                                         type=pa.int64())})
+        s = h.sum(dtype=np.uint64)  # wraps mod 2^64 (associative)
+        return pa.table({
+            "lo": pa.array([int(s & np.uint64(0xFFFFFFFF))], pa.int64()),
+            "hi": pa.array([int(s >> np.uint64(32))], pa.int64()),
+            "cnt": pa.array([t.num_rows], pa.int64()),
+        })
 
-    out = labels.map_batches(sig, batch_format="pyarrow").sum("sig")
-    return int(out or 0)
+    out = labels.map_batches(sig, batch_format="pyarrow").sum(
+        ["lo", "hi", "cnt"])
+    if not out:
+        return (0, 0)
+    total = ((int(out["sum(hi)"]) << 32) + int(out["sum(lo)"])) % (1 << 64)
+    return (total, int(out["sum(cnt)"]))
 
 
 def connected_components(pairs: rd.Dataset, *,

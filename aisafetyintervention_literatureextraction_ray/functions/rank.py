@@ -76,8 +76,15 @@ def bm25_topk(ds: rd.Dataset, terms: list[str], *, k: int = 10,
              .to_pandas().sum())
     n = float(stats.get("n", 0) or 0)
     if n == 0:  # empty corpus: empty top-k, not a ZeroDivisionError
+        # typed empty with the INPUT's id type (ADVICE r3): a string-id
+        # corpus must get a string-typed empty result, same as the
+        # non-empty path carries the id type through
+        from .agg import pa_type_of
+
+        sch = ds.schema()
+        id_type = pa_type_of(dict(zip(sch.names, sch.types))[id_col])
         return rd.from_arrow(pa.table({
-            id_col: pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=id_type),
             "bm25": pa.array([], type=pa.float64())}))
     avgdl = float(stats["sum_dl"]) / float(stats["n"])
     idfs = [float(np.log(1.0 + (n - float(stats[f"df{i}"]) + 0.5)

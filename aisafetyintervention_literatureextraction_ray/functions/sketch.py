@@ -182,10 +182,14 @@ def histogram_quantiles(ds, value_col: str, qs: list[float], *,
 
     def minmax(t: pa.Table) -> pa.Table:
         v = t.column(value_col)
+        # n counts VALID values only — nulls are excluded from the
+        # sketch entirely (min/max skip them, and the binning pass
+        # drops them; a null binned as NaN would poison np.bincount,
+        # ADVICE r3), so the rank arithmetic must use the same count
         return pa.table({
             "lo": pa.array([pc.min(v).as_py()], type=pa.float64()),
             "hi": pa.array([pc.max(v).as_py()], type=pa.float64()),
-            "n": pa.array([t.num_rows], type=pa.int64()),
+            "n": pa.array([pc.count(v).as_py()], type=pa.int64()),
         })
 
     mm = ds.map_batches(minmax, batch_format="pyarrow",
@@ -199,8 +203,10 @@ def histogram_quantiles(ds, value_col: str, qs: list[float], *,
     width = (hi - lo) / bins if hi > lo else 1.0
 
     def hist_partial(t: pa.Table) -> pa.Table:
-        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
-            np.float64)
+        col = t.column(value_col)
+        if col.null_count:
+            col = col.drop_null()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
         # same binning expression the SQL oracle uses:
         # least(floor((v - lo) / width), bins - 1)
         idx = np.minimum(np.floor((v - lo) / width),
@@ -265,6 +271,15 @@ def grouped_histogram_quantiles(ds, key: str, value_col: str,
     width_by_key = dict(zip(mm[key], mm["width"]))
 
     def hist_partial(t: pa.Table) -> pa.Table:
+        # nulls are excluded from the sketch (pass 1's count already
+        # skips them; binning NaN would emit a bogus negative bin,
+        # ADVICE r3).  A key whose values are ALL null contributes no
+        # histogram rows and is absent from the output.
+        vcol = t.column(value_col)
+        if vcol.null_count:
+            import pyarrow.compute as _pc
+
+            t = t.filter(_pc.is_valid(vcol))
         index, los, widths = ray.get(edges_ref)
         pos = index.get_indexer(t.column(key).to_pandas())
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(

@@ -282,8 +282,20 @@ def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
     from .canonicalize import LSHBucketer, constant_bucket, make_pairgen
 
     if dim is None:
-        first = ds.limit(1).to_pandas()
-        dim = len(first[emb_col].iloc[0])
+        # prefer the SCHEMA (metadata-only on parquet reads): a
+        # fixed-size-list / tensor embedding column carries its width.
+        # Only a variable-width list type falls back to peeking one row
+        # (executes a slice of the upstream pipeline — VERDICT r3 #4;
+        # callers on lazy pipelines should pass ``dim`` explicitly).
+        sch = ds.schema()
+        t = dict(zip(sch.names, sch.types)).get(emb_col)
+        if isinstance(t, pa.FixedSizeListType):
+            dim = t.list_size
+        elif hasattr(t, "shape") and getattr(t, "shape", None):
+            dim = int(t.shape[-1])  # Ray tensor extension type
+        else:
+            first = ds.limit(1).to_pandas()
+            dim = len(first[emb_col].iloc[0])
 
     def norm_batch(t: pa.Table) -> pa.Table:
         from .encode import vectors_to_arrow

@@ -125,7 +125,14 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
     both = left.map_batches(left_side, batch_format="pyarrow").union(
         right.map_batches(right_side, batch_format="pyarrow"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    # The union null-pads each side's columns; converting through pandas
+    # NULLABLE extension dtypes (not numpy) keeps int64 ids exact — a
+    # plain to_pandas would widen them to float64 and ids above 2^53
+    # would silently lose exactness (ADVICE r2, finished r4).
+    from ..functions.agg import _NULLABLE_DTYPES
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas(types_mapper=_NULLABLE_DTYPES.get)
         lhs = (df[df["__side"] == 0]
                .drop(columns=["__side"] + right_value_cols)
                .sort_values("__ts", kind="stable"))
@@ -137,9 +144,12 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
         out = pd.merge_asof(lhs, rhs, on="__ts", by="__key",
                             direction="backward")
         out = out.drop(columns=["__key", "__ts"])
-        return out.rename(columns={f"l_{c}": c for c in left_cols})
+        out = out.rename(columns={f"l_{c}": c for c in left_cols})
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    return bucketed_apply(both, ["__key"], merge, exchange=exchange)
+    return bucketed_apply(both, ["__key"], merge, exchange=exchange,
+                          batch_format="pyarrow")
 
 
 def range_join_agg(left: rd.Dataset, right: rd.Dataset, *,
@@ -193,7 +203,25 @@ def range_join_agg(left: rd.Dataset, right: rd.Dataset, *,
     both = left.map_batches(left_side, batch_format="pyarrow").union(
         right.map_batches(right_side, batch_format="pyarrow"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    # nullable extension dtypes keep int64 ids exact through the
+    # null-padded union (see asof_join); keys densify back to numpy for
+    # the searchsorted kernel — exactly when null-free (the normal
+    # case), else the old float64+NaN behavior (null keys match nothing)
+    from ..functions.agg import _NULLABLE_DTYPES
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas(types_mapper=_NULLABLE_DTYPES.get)
+        kdt = getattr(df["__key"].dtype, "numpy_dtype", None)
+        if kdt is not None and df["__key"].isna().any():
+            kdt = np.dtype("float64")
+
+        def karr(s: pd.Series) -> np.ndarray:
+            if kdt is None:
+                return s.to_numpy()
+            if kdt == np.dtype("float64"):
+                return s.to_numpy(dtype="float64", na_value=np.nan)
+            return s.to_numpy(dtype=kdt)
+
         lhs = df[df["__side"] == 0].drop(columns=["__side", "__val"])
         rhs = (df[df["__side"] == 1][["__key", "__ts", "__val"]]
                .sort_values(["__key", "__ts"], kind="stable"))
@@ -203,10 +231,11 @@ def range_join_agg(left: rd.Dataset, right: rd.Dataset, *,
         cents = np.zeros(n, dtype=np.int64)
         if n and len(rhs):
             # per-key slices of the time-sorted right side
-            rkeys = rhs["__key"].to_numpy()
+            rkeys = karr(rhs["__key"])
             rts = rhs["__ts"].to_numpy()
             # exact integer cents: float sums would depend on order
-            rcents = np.round(rhs["__val"].to_numpy() * 100).astype(np.int64)
+            rcents = np.round(rhs["__val"].to_numpy(dtype=np.float64)
+                              * 100).astype(np.int64)
             csum = np.concatenate([[0], np.cumsum(rcents)])
             rchange = np.flatnonzero(rkeys[1:] != rkeys[:-1]) + 1
             rbounds = np.concatenate([[0], rchange, [len(rkeys)]])
@@ -215,7 +244,7 @@ def range_join_agg(left: rd.Dataset, right: rd.Dataset, *,
             # sort the left side by (key, ts) so each key is ONE
             # contiguous slice: total work is O((L + R) log) with one
             # loop iteration per key, never a full-column mask per key
-            lkeys = lhs["__key"].to_numpy()
+            lkeys = karr(lhs["__key"])
             lts = lhs["__ts"].to_numpy()
             lorder = np.lexsort((lts, lkeys))
             lk_s, lt_s = lkeys[lorder], lts[lorder]
@@ -239,9 +268,12 @@ def range_join_agg(left: rd.Dataset, right: rd.Dataset, *,
             cents[lorder] = m_s
         out[count_col] = counts
         out[sum_cents_col] = cents
-        return out.drop(columns=["__key", "__ts"])
+        out = out.drop(columns=["__key", "__ts"])
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    return bucketed_apply(both, ["__key"], merge, exchange=exchange)
+    return bucketed_apply(both, ["__key"], merge, exchange=exchange,
+                          batch_format="pyarrow")
 
 
 def sessionize(events: rd.Dataset, *, key_col: str = "user_id",
