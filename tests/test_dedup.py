@@ -155,3 +155,66 @@ def test_exact_dedup_exchange_is_physical_choice(ds):
                 .reset_index(drop=True)[["doc_id", "n_copies"]])
 
     assert run(exchange="coalesce").equals(run(exchange="shuffle"))
+
+
+def test_pairs_from_signatures_join_branch_matches_broadcast():
+    """broadcast_limit is a physical exchange choice only: forcing the
+    bucketed_join semi-filter (limit=0) must produce exactly the pairs
+    of the broadcast is_in path on a planted-boilerplate corpus."""
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        MinHasher,
+        pairs_from_signatures,
+    )
+
+    mh = MinHasher(num_perm=32, num_bands=8)
+    texts = {f"u{i:02d}": " ".join(f"w{i}_{j}" for j in range(40))
+             for i in range(15)}
+    for i in range(6):  # boilerplate clones that force many candidates
+        texts[f"bp{i}"] = BASE
+    ids = sorted(texts)
+    sigs = mh.signatures([texts[i] for i in ids])
+    # low 32 bits, as the extraction pass stores them (equality preserved)
+    ds = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": i, "minhash_sig": [int(x) & 0xFFFFFFFF for x in s]}
+         for i, s in zip(ids, sigs)]))
+
+    def run(limit):
+        out = pairs_from_signatures(ds, jaccard_threshold=0.9, num_bands=8,
+                                    broadcast_limit=limit).to_pandas()
+        return (out.sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)[["id_a", "id_b", "jaccard"]])
+
+    bc, jn = run(250_000), run(0)
+    assert len(bc) == 6 * 5 // 2  # all-pairs among the clones
+    assert bc.equals(jn)
+
+
+def test_truncation_is_reported_not_silent():
+    """An oversized planted band bucket must surface its truncation
+    count through the runstats actor (no-silent-caps rule)."""
+    import ray
+
+    from aisafetyintervention_literatureextraction_ray.functions.runstats import (
+        truncation_stats,
+    )
+
+    truncation_stats(reset=True)
+    n, cap = 200, 64
+    texts = ["identical boilerplate text shared by every single row"] * n
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n), "text": texts}))
+    simhash_dedup_pairs(ds, max_hamming=2, max_group=cap,
+                        concurrency=(1, 2)).to_pandas()
+    # the counter actor is async fire-and-forget; give it a beat
+    import time
+
+    snap = {}
+    for _ in range(50):
+        snap = truncation_stats()
+        if "simhash_pair_verifier.band_bucket" in snap:
+            break
+        time.sleep(0.1)
+    stat = snap["simhash_pair_verifier.band_bucket"]
+    # 4 simhash bands of identical text -> 4 truncated buckets
+    assert stat["groups"] == 4
+    assert stat["dropped"] == 4 * (n - cap)
+    truncation_stats(reset=True)

@@ -778,3 +778,65 @@ def test_grouped_histogram_quantiles_bound_and_exact_degenerate():
             assert abs(est - exact) <= width + 1e-9
     # constant key: lo == hi -> estimate is the constant itself
     assert out.loc["c", "q50"] == 7.0 and out.loc["c", "n"] == 10
+
+
+def test_asof_and_bucketed_join_ids_above_2_53_exact():
+    """int64 ids above 2^53 must survive the null-padded union exchange
+    bit-exactly (nullable extension dtypes, never float64 widening)."""
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.agg import bucketed_join
+    from aisafetyintervention_literatureextraction_ray.stages.window import asof_join
+
+    big = 2**53 + 1  # not representable in float64
+    left = rd.from_pandas(pd.DataFrame({
+        "event_id": np.array([big, big + 2], dtype=np.int64),
+        "user_id": np.array([1, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2020-01-05", "2020-01-06"]),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "o_custkey": np.array([1], dtype=np.int64),
+        "o_orderdate": pd.to_datetime(["2020-01-01"]),
+        "price": [10.0],
+    }))
+    out = asof_join(left, right, by_left="user_id", by_right="o_custkey",
+                    on_left="ts", on_right="o_orderdate",
+                    right_value_cols=["price"]).to_pandas()
+    got = set(out["event_id"].astype("int64"))
+    assert got == {big, big + 2}  # float64 would collapse big -> 2^53
+
+    nodes = rd.from_pandas(pd.DataFrame({
+        "nid": np.array([big, big + 2], dtype=np.int64),
+        "payload": np.array([big + 4, big + 6], dtype=np.int64),
+    }))
+    labels = rd.from_pandas(pd.DataFrame({
+        "nid2": np.array([big], dtype=np.int64),
+        "lab": np.array([big + 8], dtype=np.int64),
+    }))
+    j = bucketed_join(nodes, labels, left_key="nid", right_key="nid2",
+                      right_value_cols=["lab"], how="left").to_pandas()
+    j = j.sort_values("nid").reset_index(drop=True)
+    assert list(j["nid"].astype("int64")) == [big, big + 2]
+    assert list(j["payload"].astype("int64")) == [big + 4, big + 6]
+    assert int(j["lab"].iloc[0]) == big + 8 and pd.isna(j["lab"].iloc[1])
+
+
+def test_labels_sig_blocking_independent():
+    """The convergence signature must depend only on the row MULTISET,
+    not on how rows are split into blocks (ADVICE r3)."""
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import _labels_sig
+
+    df = pd.DataFrame({"node_id": [f"n{i}" for i in range(100)],
+                       "component_id": ["c0"] * 50 + ["c1"] * 50})
+    one_block = rd.from_pandas(df)
+    many_blocks = rd.from_pandas(df).repartition(7)
+    shuffled = rd.from_pandas(
+        df.sample(frac=1.0, random_state=3)).repartition(13)
+    s1, s2, s3 = (_labels_sig(d) for d in (one_block, many_blocks, shuffled))
+    assert s1 == s2 == s3
+    # and it still distinguishes different multisets
+    df2 = df.copy()
+    df2.loc[0, "component_id"] = "c1"
+    assert _labels_sig(rd.from_pandas(df2)) != s1
