@@ -161,11 +161,62 @@ def run_partitioned_extraction(
     return stats
 
 
+def _rewire_mentions_labels(nodes, edges, mentions, labels):
+    """Mention-provenance rewire for the DATASET-closure path (the
+    measured gate chose ``apply_merges_distributed``): a left join
+    against the ``(node_id, component_id)`` label table + coalesce +
+    keyed re-dedup — the same join-based pattern as the edge rewire,
+    no broadcast remap, no driver state.  Returns
+    ``(nodes, edges, mentions2, n_merged)``; nodes/edges pass through
+    (already rewired by the distributed closure)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.agg import bucketed_join, hash_aggregate
+
+    n_merged = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node_id"], t["component_id"])),
+        batch_format="pyarrow").count()
+    if n_merged == 0:
+        return nodes, edges, mentions, 0
+    m = mentions.select_columns(["doc_id", "node_id", "n_mentions"])
+    joined = bucketed_join(
+        m, labels, left_key="node_id", right_key="node_id",
+        right_value_cols=["component_id"], how="left",
+        # the mention contract is fixed — pass it instead of probing
+        # the lazy upstream pipeline for a schema
+        left_schema=pa.schema([("doc_id", pa.string()),
+                               ("node_id", pa.string()),
+                               ("n_mentions", pa.int64())]),
+        right_schema=labels.schema())
+
+    def coalesce_node(t: pa.Table) -> pa.Table:
+        comp = t["component_id"]
+        if pa.types.is_null(comp.type):  # all-null merge side
+            comp = comp.cast(t["node_id"].type)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "node_id": pc.coalesce(comp, t["node_id"]),
+            "n_mentions": t["n_mentions"],
+        })
+
+    mentions2 = hash_aggregate(
+        joined.map_batches(coalesce_node, batch_format="pyarrow"),
+        ["doc_id", "node_id"], [("n_mentions", "sum")],
+        rename={"n_mentions_sum": "n_mentions"},
+        exchange="shuffle",
+    ).add_column("pred", lambda df: "mentions")
+    return nodes, edges, mentions2, n_merged
+
+
 def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None,
                     top_n: int | None = None,
                     threshold: float | None = 0.2,
                     k: int = 40, dim: int | None = None,
-                    broadcast_node_limit: int = 2_000_000) -> dict:
+                    broadcast_node_limit: int = 2_000_000,
+                    canon_driver_threshold: int = 50_000,
+                    closure: str = "auto",
+                    closure_pair_limit: int = 2_000_000) -> dict:
     """extractions/* -> graph/nodes + graph/edges (+ optional near-dup merge).
 
     Endpoint resolution picks broadcast vs distributed-shuffle from the
@@ -208,9 +259,18 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
         nodes, edges, accepted, remap = canonicalize(
             nodes, edges, mode=canonicalize_mode, top_n=top_n,
             threshold=threshold if top_n is None else None,
-            k=k, **canon_kwargs)
-        n_merged = len(remap)
-        if remap:
+            k=k, driver_threshold=canon_driver_threshold,
+            closure=closure, closure_pair_limit=closure_pair_limit,
+            **canon_kwargs)
+        if not isinstance(remap, dict):
+            # measured-gate distributed closure: ``remap`` is the label
+            # DATASET (node_id, component_id) — rewire the mention
+            # provenance with the same join-based pattern as the edge
+            # rewire (no broadcast, no driver union-find)
+            nodes, edges, mentions, n_merged = _rewire_mentions_labels(
+                nodes, edges, mentions, remap)
+        elif remap:
+            n_merged = len(remap)
             # provenance follows the merge: rewire mention endpoints
             # through the same remap and re-dedup per (doc, node)
             from ..functions.agg import hash_aggregate

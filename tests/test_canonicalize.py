@@ -253,3 +253,44 @@ def test_canonicalize_distributed_closure_end_to_end(nodes_ds):
     ed = e_d.to_pandas().sort_values(key).reset_index(drop=True)
     assert el[key + ["confidence", "n_provenance"]].to_numpy().tolist() \
         == ed[key + ["confidence", "n_provenance"]].to_numpy().tolist()
+
+
+def test_canonicalize_auto_closure_measured_gate(nodes_ds):
+    """closure='auto' (the default) must MEASURE the accepted-pair count
+    and pick the closure: under the limit it returns the driver
+    remap/DataFrame shape; with closure_pair_limit=0 it must route to
+    the distributed closure (dataset accepted pairs + CC labels) with
+    identical surviving nodes/edges — no opt-in flag anywhere."""
+    from aisafetyintervention_literatureextraction_ray.pipelines.canonicalization import (
+        canonicalize,
+    )
+
+    def edges():
+        return rd.from_pandas(pd.DataFrame({
+            "src_id": ["n02", "n20"], "pred": ["causes", "causes"],
+            "dst_id": ["n03", "n04"],
+            "subj": ["x", "x"], "obj": ["y", "y"],
+            "description": ["d1", "d2"], "confidence": [2, 3],
+            "n_provenance": [1, 1],
+        }))
+
+    # auto + small measured count -> driver closure (dict remap)
+    n_l, e_l, acc_l, remap_l = canonicalize(
+        nodes_ds, edges(), mode="exact", k=5, top_n=None, threshold=0.25,
+        driver_threshold=0, closure="auto")
+    assert isinstance(remap_l, dict)
+    assert set(zip(acc_l["id_a"], acc_l["id_b"])) == PLANTED
+
+    # auto + limit 0 -> distributed closure (dataset labels), same graph
+    n_d, e_d, acc_ds, labels = canonicalize(
+        nodes_ds, edges(), mode="exact", k=5, top_n=None, threshold=0.25,
+        driver_threshold=0, closure="auto", closure_pair_limit=0)
+    assert not isinstance(labels, dict)
+    acc_d = acc_ds.to_pandas()
+    assert set(zip(acc_d["id_a"], acc_d["id_b"])) == PLANTED
+    assert set(n_l.to_pandas()["node_id"]) == set(n_d.to_pandas()["node_id"])
+    key = ["src_id", "pred", "dst_id"]
+    el = e_l.to_pandas().sort_values(key).reset_index(drop=True)
+    ed = e_d.to_pandas().sort_values(key).reset_index(drop=True)
+    assert el[key + ["confidence", "n_provenance"]].to_numpy().tolist() \
+        == ed[key + ["confidence", "n_provenance"]].to_numpy().tolist()
