@@ -72,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
             driver_queries.materialize_ivf_oracle(sf_dir)
             driver_queries._materialize_media_inventory(sf_dir)
             driver_queries.materialize_semdedup_oracle(sf_dir)
+            driver_queries.materialize_parity_oracle(sf_dir)
     except Exception:
         log.warning("oracle_sql(): oracle input materialization failed; "
                     "dependent oracles may error", exc_info=True)

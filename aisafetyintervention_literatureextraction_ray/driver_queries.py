@@ -1378,17 +1378,66 @@ def doc_quality_scores(sf_dir: str):
     )
 
 
-@query("doc_fingerprints")
-def doc_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints (not SQL-expressible)."""
-    from .functions.text import add_fingerprint
+# fixed polynomial weights (2654435761^j mod 2^64) — inlined as
+# literals so the DuckDB oracle replays the engine's wrapping uint64
+# arithmetic exactly (numpy integer power wraps the same way)
+_FP_M = 1 << 64
+_FP_W = [pow(2654435761, j, _FP_M) for j in range(8)]
+_FP_TERMS = " + ".join(
+    f"CASE WHEN {j} < least(8, n) THEN c[i+{j}] * {_FP_W[j]}::HUGEINT "
+    "ELSE 0 END" for j in range(8))
 
-    return (
-        _pq(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(lambda t: add_fingerprint(t).drop_columns(["text"]),
-                     batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
+
+@query(
+    "doc_fingerprints",
+    f"""
+    WITH cp AS (
+      SELECT doc_id, len(coalesce(text, '')) AS n,
+             list_transform(range(1, len(coalesce(text, '')) + 1),
+                            k -> CAST(unicode(coalesce(text, '')[k])
+                                      AS HUGEINT)) AS c
+      FROM documents),
+    wh AS (
+      SELECT doc_id, n,
+             list_transform(range(1, greatest(n - 7, 1) + 1),
+               i -> CAST(CASE WHEN ({_FP_TERMS}) % {_FP_M}::HUGEINT
+                              >= 9223372036854775808::HUGEINT
+                         THEN ({_FP_TERMS}) % {_FP_M}::HUGEINT
+                              - {_FP_M}::HUGEINT
+                         ELSE ({_FP_TERMS}) % {_FP_M}::HUGEINT
+                         END AS BIGINT)) AS hs
+      FROM cp)
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0
+                ELSE xor(list_reduce(hs, (a, b) -> xor(a, b)),
+                         CAST(n AS BIGINT) * 1099511627776)
+           END AS fingerprint
+    FROM wh ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (functions/text.py::
+    fingerprint64): XOR of polynomial hashes of 8-codepoint sliding
+    windows, mixed with length.  The oracle replays the identical
+    mod-2^64 arithmetic in DuckDB (codepoint list lambda + HUGEINT mod,
+    signed-BIGINT bit view + xor aggregate over the window list), so
+    the 64-bit values match bit-for-bit — the former rows-only entry is
+    now fully oracle-checked (VERDICT r3 #4)."""
+    from .functions.text import fingerprint64
+
+    def project(t: pa.Table) -> pa.Table:
+        fp = fingerprint64(t.column("text").to_pylist())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            # signed bit view: the SQL side carries the same 64 bits as
+            # BIGINT, so compare in int64 on both sides
+            "fingerprint": pa.array(fp.view(np.int64), type=pa.int64()),
+        })
+
+    out = (_pq(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(project, batch_format="pyarrow", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 @query(
@@ -1653,22 +1702,116 @@ def kg_canonicalized(sf_dir: str):
     return res.sort_values("node_id").reset_index(drop=True)
 
 
-@query("kg_merge_pairs_parity")
+_PARITY_DIR = "/tmp/graft_parity_oracle/current"
+
+
+def _parity_cache_key(sf_dir: str) -> dict:
+    import os
+
+    docs = f"{sf_dir}/documents.parquet"
+    return {"sf_dir": sf_dir, "version": 1, "k": 40,
+            "docs_mtime": os.path.getmtime(docs)
+            if os.path.exists(docs) else 0}
+
+
+def materialize_parity_oracle(sf_dir: str) -> None:
+    """Persist the canonical node table's EMBEDDINGS (node_id,
+    embedding as DOUBLE[]) so the kg_merge_pairs_parity oracle can
+    recompute the K=40/top-30 accepted-pair list as exact SQL — the
+    same materialize-the-nonSQL-part trick as ``materialize_ivf_oracle``
+    (the hashing encoder itself is not SQL-expressible; its OUTPUT is
+    data).  float32 -> float64 widening is exact, so DuckDB sees the
+    precise vectors the engine paired on."""
+    import json
+    import os
+    import shutil as sh
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.extraction import extract_pipeline
+    from .pipelines.graph_build import build_nodes
+    from .sources.docs import interleave_from_documents
+    from .stages.canonicalize import project_node_text
+    from .stages.encode import HashingEncoder
+
+    out = _PARITY_DIR
+    marker = f"{out}/_SUCCESS"
+    want = _parity_cache_key(sf_dir)
+    if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as f:
+                if json.load(f) == want:
+                    return
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    docs = interleave_from_documents(sf_dir)
+    nodes = build_nodes(extract_pipeline(docs, batch_size=128))
+    # the canonical node table is tiny (it is the DEDUPED concept set);
+    # run the same kernels driver-side, as candidate_pairs_local does
+    tbl = pa.concat_tables(nodes.iter_batches(batch_format="pyarrow",
+                                              batch_size=65536))
+    t = HashingEncoder()(project_node_text(tbl))
+    emb = pc.cast(t.column("embedding"), pa.list_(pa.float64()))
+    build = f"{out}.build.{os.getpid()}"
+    sh.rmtree(build, ignore_errors=True)
+    os.makedirs(f"{build}/embeddings", exist_ok=True)
+    pq.write_table(pa.table({"node_id": t.column("node_id"),
+                             "embedding": emb}),
+                   f"{build}/embeddings/part.parquet")
+    with open(f"{build}/_SUCCESS", "w", encoding="utf-8") as f:
+        json.dump(want, f)
+    old = f"{out}.old.{os.getpid()}"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    sh.rmtree(old, ignore_errors=True)
+    if os.path.exists(out):
+        os.rename(out, old)
+    os.rename(build, out)
+    sh.rmtree(old, ignore_errors=True)
+
+
+@query(
+    "kg_merge_pairs_parity",
+    f"""
+    WITH e AS (
+      SELECT node_id, embedding
+      FROM read_parquet('{_PARITY_DIR}/embeddings/*.parquet')),
+    p AS (
+      SELECT a.node_id AS id_a, b.node_id AS id_b,
+             ROUND(1.0 - list_dot_product(a.embedding, b.embedding), 4)
+               AS distance
+      FROM e a JOIN e b ON a.node_id < b.node_id)
+    SELECT id_a, id_b, distance FROM p
+    ORDER BY distance, id_a, id_b LIMIT 30
+    """,
+)
 def kg_merge_pairs_parity(sf_dir: str):
     """Reference-parity canonicalization: global exact KNN (K=40) and a
     fixed top-30 accepted-pair list, mirroring merge.py:115 — the parity
-    surface SURVEY.md §2.7 defines (accepted-pair set, not merge order)."""
-    from .pipelines.canonicalization import accept_pairs, candidate_pairs
+    surface SURVEY.md §2.7 defines (accepted-pair set, not merge order).
+
+    Oracle (VERDICT r3 #4): the node embeddings are materialized as
+    data (``materialize_parity_oracle``) and DuckDB recomputes the
+    all-pairs cosine distances + global top-30.  Distances round to 4
+    decimals on BOTH sides BEFORE the sort (the engine pairs in float32,
+    the oracle in float64 — identical after rounding), and the global
+    KNN is total because the canonical node count is far below K+1, so
+    the KNN-union pair set equals the all-pairs set the SQL scans."""
+    from .pipelines.canonicalization import candidate_pairs
     from .pipelines.extraction import extract_pipeline
     from .pipelines.graph_build import build_nodes
     from .sources.docs import interleave_from_documents
 
+    materialize_parity_oracle(sf_dir)
     docs = interleave_from_documents(sf_dir)
     nodes = build_nodes(extract_pipeline(docs, batch_size=128)).materialize()
-    pairs = candidate_pairs(nodes, mode="exact", k=40)
-    accepted = accept_pairs(pairs, top_n=30)
-    accepted["distance"] = accepted["distance"].round(4)
-    return accepted.reset_index(drop=True)
+    pairs = candidate_pairs(nodes, mode="exact", k=40).to_pandas()
+    # round BEFORE the sort so tie order cannot diverge between the
+    # engine's float32 similarities and the oracle's float64 ones
+    pairs["distance"] = pairs["distance"].round(4)
+    accepted = (pairs.sort_values(["distance", "id_a", "id_b"])
+                .head(30).reset_index(drop=True))
+    return accepted[["id_a", "id_b", "distance"]]
 
 
 @query("kg_triples_pr")
