@@ -136,6 +136,18 @@ def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
     edges = skinny.map_batches(sym, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
 
+    # Ray's sort shuffle emits roughly one output block per INPUT block,
+    # and each iteration unions the propagated candidates with the
+    # previous labels — left unchecked the label block count DOUBLES per
+    # iteration (exponential task count, measured 0.08s -> 6s per label
+    # pass by iteration 8 on a 13-pair graph).  Re-bound the block count
+    # every iteration to the edge table's own block count (the natural
+    # data-proportional width) so per-iteration cost stays constant.
+    from .agg import default_num_buckets
+
+    nblocks = max(edges.num_blocks(),
+                  num_buckets or default_num_buckets())
+
     # init: every endpoint labeled with itself (sym puts both endpoints
     # in ``src``), deduped by the keyed min-aggregate
     def self_label(t: pa.Table) -> pa.Table:
@@ -146,7 +158,8 @@ def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
                           zero_copy_batch=True),
         ["node_id"], [("component_id", "min")],
         rename={"component_id_min": "component_id"},
-        num_buckets=num_buckets, exchange="shuffle").materialize()
+        num_buckets=num_buckets, exchange="shuffle",
+    ).repartition(nblocks).materialize()
     prev_sig = _labels_sig(labels)
 
     for _ in range(max_iters):
@@ -165,7 +178,8 @@ def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
         new_labels = hash_aggregate(
             cand, ["node_id"], [("component_id", "min")],
             rename={"component_id_min": "component_id"},
-            num_buckets=num_buckets, exchange="shuffle").materialize()
+            num_buckets=num_buckets, exchange="shuffle",
+        ).repartition(nblocks).materialize()
 
         new_sig = _labels_sig(new_labels)
         if new_sig == prev_sig and _changed_count(new_labels, labels,
