@@ -813,12 +813,17 @@ def test_asof_and_bucketed_join_ids_above_2_53_exact():
         "nid2": np.array([big], dtype=np.int64),
         "lab": np.array([big + 8], dtype=np.int64),
     }))
-    j = bucketed_join(nodes, labels, left_key="nid", right_key="nid2",
-                      right_value_cols=["lab"], how="left").to_pandas()
-    j = j.sort_values("nid").reset_index(drop=True)
-    assert list(j["nid"].astype("int64")) == [big, big + 2]
-    assert list(j["payload"].astype("int64")) == [big + 4, big + 6]
-    assert int(j["lab"].iloc[0]) == big + 8 and pd.isna(j["lab"].iloc[1])
+    j = pa.concat_tables(
+        bucketed_join(nodes, labels, left_key="nid", right_key="nid2",
+                      right_value_cols=["lab"], how="left")
+        .iter_batches(batch_format="pyarrow")).sort_by("nid")
+    # the exchange output itself must be exact int64 Arrow — a final
+    # .to_pandas() would widen the nullable lab column, but that is
+    # pandas' own int64+null semantics, not the engine's
+    assert j.column("lab").type == pa.int64()
+    assert j.column("nid").to_pylist() == [big, big + 2]
+    assert j.column("payload").to_pylist() == [big + 4, big + 6]
+    assert j.column("lab").to_pylist() == [big + 8, None]
 
 
 def test_labels_sig_blocking_independent():
