@@ -380,9 +380,13 @@ def pairs_from_signatures(sig_ds: rd.Dataset, *, id_col: str = "doc_id",
         return pa.table({"__id": pa.chunked_array(
             [t.column("id_a"), t.column("id_b")]).combine_chunks()})
 
+    # the distinct-id reduce input is exactly 2 * n_pairs skinny rows —
+    # already MEASURED, so the exchange choice is safe: small pair sets
+    # coalesce (skip the sort-shuffle fixed cost), large ones shuffle
     inv = hash_aggregate(
         cands.map_batches(both_ids, batch_format="pyarrow"),
-        ["__id"], [("__id", "count")], exchange="shuffle",
+        ["__id"], [("__id", "count")],
+        exchange="coalesce" if n_pairs <= 500_000 else "shuffle",
     ).select_columns(["__id"]).materialize()
     n_inv = inv.count()
 
