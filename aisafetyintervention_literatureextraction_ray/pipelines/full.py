@@ -391,6 +391,13 @@ def run_doc_neardup(out_dir: str | Path, *, jaccard_threshold: float = 0.9,
     # an empty result writes no files at all
     n_pairs = pads.dataset(dest).count_rows() if dest.exists() else 0
     wall = time.time() - t0
+    # no-silent-caps: any band-bucket truncation during this stage is
+    # recorded in the run metrics + manifest, so a capped run is
+    # distinguishable from full coverage in the lineage itself
+    from ..functions.runstats import truncation_stats
+
+    trunc = truncation_stats(reset=True)
     manifest.mark("doc_neardup", 0, n_rows=n_pairs, checksum=f"{n_pairs}p",
-                  wall_time_s=wall)
-    return {"n_pairs": n_pairs, "wall_time_s": wall}
+                  wall_time_s=wall,
+                  extra={"truncations": trunc} if trunc else None)
+    return {"n_pairs": n_pairs, "wall_time_s": wall, "truncations": trunc}
