@@ -174,6 +174,13 @@ def run_headline(num_cpus: int) -> dict:
     warm = make_partition(0).limit(2000)
     extract_pipeline(warm, concurrency=conc, batch_size=256).materialize()
 
+    # per-trial host probe taken immediately BEFORE the timed run (and
+    # before its outcome is known): the shared host's co-tenant CPU
+    # bursts on a minutes scale, so a single end-of-session probe can
+    # miss which trials were clean — the per-trial value lets the
+    # recorded median be audited against machine-recorded conditions
+    trial_calib = host_calibration_sec()
+
     # headline = the north-rule pipeline (extract -> link -> canonicalize
     # -> materialize); the doc-dedup stage is timed separately below
     t0 = time.time()
@@ -189,6 +196,7 @@ def run_headline(num_cpus: int) -> dict:
     nd = run_doc_neardup(out_dir)
     return {
         "sec": round(wall, 2),
+        "trial_calibration_sec": trial_calib,
         "n_docs": res["n_docs"],
         "n_triples": res["n_triples"],
         "triples_per_sec": round(res["n_triples"] / wall, 1),
@@ -301,6 +309,8 @@ def main() -> None:
         "metric": "kg_full_pipeline_sec",
         "value": headline["sec"],
         "trials_sec": [h["sec"] for h in trials],
+        "trial_calibrations_sec": [h["trial_calibration_sec"]
+                                   for h in trials],
         "host_calibration_sec": host_calibration_sec(),
         "host_disk_mbps": host_disk_mbps(),
         "unit": "sec",
