@@ -2876,3 +2876,104 @@ def chars_quantile_sketch_by_source(sf_dir: str):
         "source", "v", [0.50, 0.95], bins=_GHQ_BINS).to_pandas()
     return (out[["source", "n", "q50", "q95"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- KG graph analytics
+from .functions.graph import PAGERANK_SCALE as _GRAPH_PAGERANK_SCALE
+
+# distinct simple-digraph edge set of the resolved KG, as a reusable CTE
+# body (endpoint resolution identical to the kg_edges oracle)
+_KG_EDGE_SET_SQL = f"""
+    nodes_m AS (
+      SELECT DISTINCT node_id, name_norm
+      FROM read_parquet('{_KG_ORACLE_DIR}/node_mentions/*.parquet')
+    ),
+    e AS (
+      SELECT DISTINCT ns.node_id AS s, nd2.node_id AS d
+      FROM read_parquet('{_KG_ORACLE_DIR}/triples/*.parquet') t
+      JOIN nodes_m ns ON {_NORM_SQL.format(col='t.subj')} = ns.name_norm
+      JOIN nodes_m nd2 ON {_NORM_SQL.format(col='t.obj')} = nd2.name_norm
+    )"""
+
+
+def _pagerank_sql(n_iters: int, scale: int, num: int, den: int) -> str:
+    """Unroll the fixed-point integer PageRank recurrence
+    (functions/graph.py::pagerank) into chained DuckDB CTEs — every
+    operation is integer, so the SQL replays the engine BIT-EXACTLY
+    (no float-summation-order caveats, no rounding)."""
+    base = f"({den - num} * ({scale} // (SELECT cnt FROM nn))) // {den}"
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "deg AS (SELECT s, COUNT(*) AS c FROM e GROUP BY s),",
+        "vx AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),",
+        "nn AS (SELECT COUNT(*) AS cnt FROM vx),",
+        f"p0 AS (SELECT node_id, {scale} // (SELECT cnt FROM nn) AS r"
+        " FROM vx),",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.d AS node_id,"
+            f" SUM(p{i - 1}.r // deg.c) AS s"
+            f" FROM e JOIN p{i - 1} ON e.s = p{i - 1}.node_id"
+            f" JOIN deg ON deg.s = e.s GROUP BY e.d),")
+        parts.append(
+            f"p{i} AS (SELECT vx.node_id, {base}"
+            f" + ({num} * CAST(COALESCE(c{i}.s, 0) AS BIGINT)) // {den}"
+            f" AS r FROM vx LEFT JOIN c{i} USING (node_id)),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node_id, CAST(r AS BIGINT) AS rank_fp FROM p{n_iters}")
+    return "\n".join(parts)
+
+
+def _kg_simple_edges(sf_dir: str) -> rd.Dataset:
+    from .pipelines.graph_build import build_edges, build_nodes, node_id_map
+
+    out = _materialize_kg_inputs(sf_dir)
+    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
+    nmap = node_id_map(build_nodes(extr))
+    triples = rd.read_parquet(f"{out}/triples")
+    return build_edges(triples, nmap).select_columns(["src_id", "dst_id"])
+
+
+@query("kg_pagerank", _pagerank_sql(5, _GRAPH_PAGERANK_SCALE, 85, 100))
+def kg_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (functions/graph.py::pagerank) over
+    the resolved KG's distinct simple digraph: 5 rounds of one
+    partitioned hash join + one keyed sum, all integer arithmetic, so
+    ranks are bit-identical under any blocking/shuffle order and the
+    unrolled DuckDB SQL matches exactly (rows+schema+hash — no float
+    rounding involved)."""
+    from .functions.graph import pagerank
+
+    out = pagerank(_kg_simple_edges(sf_dir), src="src_id", dst="dst_id",
+                   n_iters=5).to_pandas()
+    out["rank_fp"] = out["rank_fp"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+@query(
+    "kg_degree_stats",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    ends AS (
+      SELECT s AS node_id, 1 AS od, 0 AS idg FROM e
+      UNION ALL
+      SELECT d, 0, 1 FROM e)
+    SELECT node_id, CAST(SUM(od) AS BIGINT) AS out_degree,
+           CAST(SUM(idg) AS BIGINT) AS in_degree
+    FROM ends GROUP BY node_id
+    """,
+)
+def kg_degree_stats(sf_dir: str):
+    """Per-node in/out degree of the resolved KG's distinct simple
+    digraph (functions/graph.py::degree_table): one vectorized
+    endpoint-explode + one two-stage hash sum — no join, hub-skew
+    absorbed by per-block partials."""
+    from .functions.graph import degree_table
+
+    out = degree_table(_kg_simple_edges(sf_dir), src="src_id",
+                       dst="dst_id").to_pandas()
+    for c in ("out_degree", "in_degree"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .agg import bucketed_join, hash_aggregate
+from .agg import bucketed_join, default_num_buckets, hash_aggregate
 
 
 def _labels_sig(labels: rd.Dataset) -> tuple[int, int]:
@@ -192,6 +192,177 @@ def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
     raise RuntimeError(
         f"connected_components did not converge within {max_iters} "
         f"iterations (graph diameter exceeds max_iters); raise max_iters")
+
+
+def _distinct_edges(edges: rd.Dataset, src: str, dst: str, *,
+                    num_buckets: int | None = None,
+                    exchange: str = "shuffle") -> rd.Dataset:
+    """DISTINCT ``(src, dst)`` simple-digraph projection of an edge
+    multiset — one two-stage hash reduce, never driver-side."""
+    skinny = edges.select_columns([src, dst])
+    return hash_aggregate(
+        skinny, [src, dst], [(src, "count")],
+        num_buckets=num_buckets, exchange=exchange,
+    ).select_columns([src, dst])
+
+
+def degree_table(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+                 num_buckets: int | None = None) -> rd.Dataset:
+    """``(node_id, out_degree, in_degree)`` over the DISTINCT simple
+    digraph of ``edges`` (parallel edges — e.g. one KG edge per
+    predicate between the same endpoints — count once).
+
+    One vectorized endpoint-explode pass followed by one two-stage hash
+    sum: no join, no driver state, skew-tolerant by the partial
+    aggregation (a hub node costs one partial row per block).
+    """
+    e = _distinct_edges(edges, src, dst, num_buckets=num_buckets)
+
+    def split(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ones = np.ones(n, dtype=np.int64)
+        zeros = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "node_id": pa.chunked_array([t.column(src),
+                                         t.column(dst)]).combine_chunks(),
+            "out_d": pa.array(np.concatenate([ones, zeros])),
+            "in_d": pa.array(np.concatenate([zeros, ones])),
+        })
+
+    return hash_aggregate(
+        e.map_batches(split, batch_format="pyarrow", zero_copy_batch=True),
+        ["node_id"], [("out_d", "sum"), ("in_d", "sum")],
+        rename={"out_d_sum": "out_degree", "in_d_sum": "in_degree"},
+        num_buckets=num_buckets, exchange="shuffle",
+    )
+
+
+#: fixed-point scale for ``pagerank`` ranks (1.0 == PAGERANK_SCALE)
+PAGERANK_SCALE = 1_000_000_000_000
+
+
+def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+             n_iters: int = 5, damping: tuple[int, int] = (85, 100),
+             scale: int = PAGERANK_SCALE,
+             num_buckets: int | None = None) -> rd.Dataset:
+    """Fixed-point integer PageRank over the DISTINCT simple digraph.
+
+    Output: ``(node_id, rank_fp)`` with ``rank_fp`` an int64 rank in
+    units of ``1/scale`` (1.0 == ``scale``).  The recurrence is computed
+    ENTIRELY in integer arithmetic::
+
+        r_0(v)     = scale // N
+        contrib(u) = r_t(u) // outdeg(u)           (per distinct edge)
+        r_{t+1}(v) = ((den-num) * (scale // N)) // den
+                     + (num * sum_{u->v} contrib(u)) // den
+
+    with ``(num, den) = damping``.  Integer sums are associative and
+    commutative and integer division is exact, so the result is
+    bit-identical regardless of block splits, shuffle order, or summation
+    order — float PageRank cannot promise any of that on a cluster, and
+    the same recurrence unrolls verbatim into DuckDB integer SQL for the
+    oracle check.  Dangling-node mass is dropped (the standard
+    simplification); ``n_iters`` is FIXED, not convergence-tested:
+    PageRank's error decays geometrically as ``(num/den)^t``, so a small
+    fixed count is the usual ranking-quality choice and keeps the
+    distributed cost exactly ``n_iters`` join+reduce rounds.
+
+    Scale shape per iteration: one partitioned hash join (ranks into the
+    edge table on ``src``) + one keyed sum — both bucketed exchanges over
+    SKINNY int columns; ranks are re-bounded to the edge table's block
+    count every round (same growth guard as ``connected_components``).
+    No driver-side path exists or is needed: ranks are one row per node.
+    """
+    num, den = damping
+    e = _distinct_edges(edges, src, dst, num_buckets=num_buckets)
+    e = e.materialize()
+    if e.count() == 0:
+        from .agg import pa_type_of
+
+        id_type = pa_type_of(dict(zip(edges.schema().names,
+                                      edges.schema().types))[src])
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "rank_fp": pa.array([], type=pa.int64())}))
+
+    deg = hash_aggregate(
+        e, [src], [(src, "count")],
+        rename={f"{src}_count": "outdeg"},
+        num_buckets=num_buckets, exchange="shuffle")
+    # per-edge share denominators, joined ONCE (outdeg is iteration-
+    # invariant); the per-iteration join then only moves the rank column
+    share = bucketed_join(
+        e, deg, left_key=src, right_key=src,
+        right_value_cols=["outdeg"], num_buckets=num_buckets).materialize()
+    share_schema = share.schema()
+    share_schema = getattr(share_schema, "base_schema", share_schema)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.chunked_array(
+            [t.column(src), t.column(dst)]).combine_chunks()})
+
+    nodes = hash_aggregate(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id"]).materialize()
+    n_nodes = nodes.count()
+
+    r0 = scale // n_nodes
+    base = ((den - num) * r0) // den
+    nblocks = max(share.num_blocks(),
+                  num_buckets or default_num_buckets())
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(t.num_rows, r0, dtype=np.int64)))
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t.column("node_id"),
+            "s": pa.array(np.zeros(t.num_rows, dtype=np.int64))})
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    ranks_schema = ranks.schema()
+    ranks_schema = getattr(ranks_schema, "base_schema", ranks_schema)
+
+    for _ in range(n_iters):
+        joined = bucketed_join(
+            share, ranks, left_key=src, right_key="node_id",
+            right_value_cols=["r"], num_buckets=num_buckets,
+            left_schema=share_schema, right_schema=ranks_schema)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node_id": t.column(dst),
+                "s": pc.divide(t.column("r"), t.column("outdeg"))})
+
+        cand = joined.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True,
+        ).union(nodes.map_batches(zero_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        sums = hash_aggregate(
+            cand, ["node_id"], [("s", "sum")], rename={"s_sum": "s"},
+            num_buckets=num_buckets, exchange="shuffle")
+
+        def affine(t: pa.Table) -> pa.Table:
+            s = t.column("s").cast(pa.int64())
+            r = pc.add(pc.divide(pc.multiply(s, pa.scalar(num, pa.int64())),
+                                 pa.scalar(den, pa.int64())),
+                       pa.scalar(base, pa.int64()))
+            return pa.table({"node_id": t.column("node_id"), "r": r})
+
+        ranks = sums.map_batches(
+            affine, batch_format="pyarrow", zero_copy_batch=True,
+        ).repartition(nblocks).materialize()
+
+    def out_name(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node_id", "rank_fp"])
+
+    return ranks.map_batches(out_name, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,

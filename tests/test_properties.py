@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the deterministic kernels, plus
 the head-entity skew correctness check (SURVEY.md §7.4)."""
 
+import pytest
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -241,3 +242,77 @@ def test_pack_documents_matches_pandas_reference(rows, capacity):
     assert got["n_tokens"].tolist() == ref["n_tokens"].tolist()
     assert got["pack_id"].tolist() == (start // capacity).tolist()
     assert got["offset_in_pack"].tolist() == (start % capacity).tolist()
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(7, 30, 120), (11, 12, 15)])
+def test_pagerank_matches_integer_reference(seed, n_nodes, n_edges):
+    """Distributed fixed-point PageRank == the same integer recurrence
+    run sequentially — BIT-exact, because every op is integer (this is
+    the property the oracle SQL also relies on)."""
+    import random
+    from collections import Counter
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+
+    e = sorted(set(raw))
+    outdeg = Counter(s for s, _ in e)
+    nodes = sorted({x for p in e for x in p})
+    n, scale = len(nodes), PAGERANK_SCALE
+    r = {v: scale // n for v in nodes}
+    base = (15 * (scale // n)) // 100
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for (u, v) in e:
+            s[v] += r[u] // outdeg[u]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+
+    got = pagerank(ds, n_iters=5).to_pandas()
+    assert dict(zip(got["node_id"], got["rank_fp"])) == r
+    # ranks are a (sub-)distribution: dangling mass leaks, never grows
+    assert got["rank_fp"].sum() <= scale
+
+
+def test_pagerank_empty_and_self_loop():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = pagerank(empty)
+    assert out.schema().names == ["node_id", "rank_fp"]
+    assert out.count() == 0
+
+    # a single self-loop keeps ALL mass: r = 0.15 + 0.85 r fixes r = 1
+    loop = rd.from_arrow(pa.table({"src": ["x"], "dst": ["x"]}))
+    got = pagerank(loop, n_iters=5).to_pandas()
+    assert len(got) == 1
+    assert got["rank_fp"].iloc[0] >= PAGERANK_SCALE - 5  # int truncation
+
+
+def test_degree_table_counts_distinct_parallel_edges_once():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        degree_table,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "a", "a", "b", "c"],
+        "dst": ["b", "b", "c", "c", "a"],
+    }))
+    got = degree_table(ds).to_pandas().set_index("node_id")
+    assert got.loc["a", "out_degree"] == 2      # a->b counted once
+    assert got.loc["a", "in_degree"] == 1
+    assert got.loc["b", "out_degree"] == 1
+    assert got.loc["b", "in_degree"] == 1
+    assert got.loc["c", "in_degree"] == 2
