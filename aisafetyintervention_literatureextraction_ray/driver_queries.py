@@ -2977,3 +2977,29 @@ def kg_degree_stats(sf_dir: str):
     for c in ("out_degree", "in_degree"):
         out[c] = out[c].astype("int64")
     return out.sort_values("node_id").reset_index(drop=True)
+
+
+@query(
+    "kg_triangles",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    u AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+          FROM e WHERE s <> d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM u e1
+    JOIN u e2 ON e2.a = e1.b
+    JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def kg_triangles(sf_dir: str):
+    """Exact triangle count of the resolved KG's undirected simple
+    graph (functions/graph.py::triangle_count): degree-ordered
+    orientation bounds the wedge join at O(sqrt(m)) out-degree per
+    node, so hub entities cannot explode the join; the oracle is the
+    plain id-ordered 3-way self-join — the count is
+    orientation-invariant."""
+    from .functions.graph import triangle_count
+
+    n = triangle_count(_kg_simple_edges(sf_dir), src="src_id",
+                       dst="dst_id")
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})

@@ -316,3 +316,53 @@ def test_degree_table_counts_distinct_parallel_edges_once():
     assert got.loc["b", "out_degree"] == 1
     assert got.loc["b", "in_degree"] == 1
     assert got.loc["c", "in_degree"] == 2
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(3, 20, 80), (9, 15, 40), (1, 6, 4)])
+def test_triangle_count_matches_bruteforce(seed, n_nodes, n_edges):
+    """Degree-oriented distributed triangle count == brute-force
+    enumeration over all node triples (direction, parallel edges and
+    self-loops ignored)."""
+    import itertools
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+              if y in adj[x] and z in adj[x] and z in adj[y])
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    assert triangle_count(ds) == ref
+
+
+def test_triangle_count_empty_and_hub():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        triangle_count,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    assert triangle_count(empty) == 0
+
+    # star graph (extreme hub): many wedges, zero triangles — the
+    # degree orientation keeps the hub's oriented out-degree at 0
+    hub = rd.from_arrow(pa.table({
+        "src": ["hub"] * 50,
+        "dst": [f"leaf{i}" for i in range(50)]}))
+    assert triangle_count(hub) == 0
+    # close one leaf pair -> exactly one triangle
+    closed = hub.union(rd.from_arrow(pa.table(
+        {"src": ["leaf0"], "dst": ["leaf1"]})))
+    assert triangle_count(closed) == 1
