@@ -3003,3 +3003,44 @@ def kg_triangles(sf_dir: str):
     n = triangle_count(_kg_simple_edges(sf_dir), src="src_id",
                        dst="dst_id")
     return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+# ---------------------------------------------------------------- weighted interleave
+_INTERLEAVE_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2, "src3": 1}
+_INTERLEAVE_RES = 1_000_000
+
+
+@query(
+    "doc_interleave",
+    f"""
+    WITH w AS (SELECT * FROM (VALUES {", ".join(
+        f"('{s}', {n})" for s, n in _INTERLEAVE_WEIGHTS.items()
+    )}) AS t(source, wt)),
+    r AS (
+      SELECT d.source, d.doc_id, w.wt,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY d.doc_id) AS seq
+      FROM documents d JOIN w USING (source))
+    SELECT source, doc_id, CAST(seq AS BIGINT) AS seq,
+           CAST((seq * {_INTERLEAVE_RES}) // wt AS BIGINT) AS vtime
+    FROM r
+    ORDER BY vtime, source, doc_id
+    LIMIT 200
+    """,
+)
+def doc_interleave(sf_dir: str):
+    """Deterministic weighted fair-interleave schedule
+    (functions/sample.py::weighted_interleave): stride scheduling with
+    integer virtual times, per-source sequence numbers from the keyed
+    grouped_running exchange — the first 200 schedule slots for a
+    5:3:2:1 four-source mixture.  Oracle: the identical integer formula
+    over ROW_NUMBER() in DuckDB."""
+    from .functions.sample import weighted_interleave
+
+    sched = weighted_interleave(
+        _pq(sf_dir, "documents", ["source", "doc_id"]),
+        _INTERLEAVE_WEIGHTS)
+    top = sched.sort(["vtime", "source", "doc_id"]).limit(200).to_pandas()
+    for c in ("doc_id", "seq", "vtime"):
+        top[c] = top[c].astype("int64")
+    return top[["source", "doc_id", "seq", "vtime"]]

@@ -15,6 +15,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _HEX = "0123456789abcdef"
@@ -134,3 +135,64 @@ def shuffle_order_key(batch: pa.Table, id_col: str,
     return batch.append_column(out_col,
                                pa.array(md5_hex(batch, id_col),
                                         type=pa.string()))
+
+
+def weighted_interleave(ds: rd.Dataset, weights: dict[str, int], *,
+                        source_col: str = "source",
+                        order_col: str = "doc_id",
+                        resolution: int = 1_000_000,
+                        num_buckets: int | None = None) -> rd.Dataset:
+    """Deterministic weighted fair-interleave SCHEDULE over sources —
+    the training-mixture analogue of ``interleave_datasets``: a stream
+    that, read in schedule order, serves sources in proportion to
+    integer ``weights`` with the smoothest possible alternation
+    (weighted fair queueing / stride scheduling).
+
+    The ``k``-th document of source ``s`` (1-based, ordered by
+    ``order_col``) gets virtual time ``vtime = (k * resolution) //
+    weights[s]`` — all INTEGER arithmetic, so the schedule is
+    bit-identical across engines and SQL-replayable with one window
+    function.  The global schedule is the sort by ``(vtime, source,
+    order_col)``; a source with twice the weight appears twice as often
+    at every prefix (±1).  Sources absent from ``weights`` are dropped
+    (the mixture spec is explicit).
+
+    Scale contract: per-source sequence numbers come from
+    ``grouped_running`` — one source's rows co-locate in one shuffle
+    bucket (same bounded-key contract as ``pack_documents``; at corpus
+    scale schedule per (source, shard) slice and round-robin the shard
+    schedules, which preserves the mixture ratio).  Consumers that only
+    need the mixture RATIO, not a total order, should use
+    ``mixture_sample`` instead — it needs no keyed exchange at all.
+    """
+    from .agg import grouped_running
+
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("interleave weights must be positive integers")
+    src_arr = pa.array(list(weights.keys()), type=pa.string())
+    wt_arr = np.array(list(weights.values()), dtype=np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(source_col), value_set=src_arr))
+
+    seq = grouped_running(
+        ds.select_columns([source_col, order_col]).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True),
+        [source_col], [order_col], seq_col="seq",
+        num_buckets=num_buckets)
+
+    res = pa.scalar(resolution, type=pa.int64())
+
+    def vtime(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(source_col), value_set=src_arr)
+        w = pa.array(wt_arr[idx.to_numpy(zero_copy_only=False)])
+        s = pc.cast(t.column("seq"), pa.int64())
+        vt = pc.divide(pc.multiply(s, res), w)
+        return pa.table({
+            source_col: t.column(source_col),
+            order_col: t.column(order_col),
+            "seq": s,
+            "vtime": vt,
+        })
+
+    return seq.map_batches(vtime, batch_format="pyarrow")

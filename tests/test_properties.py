@@ -366,3 +366,44 @@ def test_triangle_count_empty_and_hub():
     closed = hub.union(rd.from_arrow(pa.table(
         {"src": ["leaf0"], "dst": ["leaf1"]})))
     assert triangle_count(closed) == 1
+
+
+def test_weighted_interleave_schedule_properties():
+    """The stride schedule matches the pandas window-function reference
+    bit-exactly, serves sources in weight proportion at every prefix
+    (±1 per source), and drops unknown sources."""
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.sample import (
+        weighted_interleave,
+    )
+
+    weights = {"a": 3, "b": 2, "c": 1}
+    rows = [{"source": s, "doc_id": i * 10 + k}
+            for k, s in enumerate(["a", "b", "c", "zzz"])
+            for i in range(30)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    got = (weighted_interleave(ds, weights).to_pandas()
+           .sort_values(["vtime", "source", "doc_id"])
+           .reset_index(drop=True))
+    assert set(got["source"]) == {"a", "b", "c"}  # zzz dropped
+
+    ref = pd.DataFrame(rows)
+    ref = ref[ref["source"].isin(weights)].copy()
+    ref["seq"] = ref.sort_values("doc_id").groupby("source").cumcount() + 1
+    ref["vtime"] = (ref["seq"] * 1_000_000) // ref["source"].map(weights)
+    ref = (ref.sort_values(["vtime", "source", "doc_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "seq", "vtime"]],
+        ref[["source", "doc_id", "seq", "vtime"]], check_dtype=False)
+
+    # prefix fairness: after any full stride period the counts track
+    # the weights within one slot per source
+    total_w = sum(weights.values())
+    for prefix in (total_w, 5 * total_w, 10 * total_w):
+        head = got.head(prefix)["source"].value_counts()
+        for s, w in weights.items():
+            want = prefix * w / total_w
+            assert abs(head.get(s, 0) - want) <= 1, (prefix, s)
