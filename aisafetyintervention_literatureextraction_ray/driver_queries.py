@@ -3044,3 +3044,38 @@ def doc_interleave(sf_dir: str):
     for c in ("doc_id", "seq", "vtime"):
         top[c] = top[c].astype("int64")
     return top[["source", "doc_id", "seq", "vtime"]]
+
+
+# ---------------------------------------------------------------- cross-source overlap
+@query(
+    "source_overlap_matrix",
+    r"""
+    WITH w AS (
+      SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents),
+    g AS (
+      SELECT DISTINCT source, gram FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM w))
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(sf_dir: str):
+    """Cross-source word-trigram contamination matrix
+    (functions/text.py::ngram_source_overlap): distinct shared trigrams
+    per source pair.  Combiner partials -> gram-keyed distinct ->
+    per-gram pair expansion bounded by the source count -> keyed sum;
+    the oracle replays the identical tokenization and join in DuckDB."""
+    from .functions.text import ngram_source_overlap
+
+    out = ngram_source_overlap(
+        _pq(sf_dir, "documents", ["source", "text"])).to_pandas()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))

@@ -359,3 +359,90 @@ def term_count_partial(t: pa.Table, text_col: str = "text",
     vc = pc.value_counts(flat)
     return pa.table({"term": vc.field("values"),
                      "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def ngram_key_partial(t: pa.Table, *, key_col: str = "source",
+                      text_col: str = "text", n: int = 3) -> pa.Table:
+    """Per-block DISTINCT ``(key, gram)`` pairs of word ``n``-grams.
+
+    Tokenization is whitespace split of the trimmed text — byte-for-byte
+    ``regexp_split_to_array(trim(text), '\\s+')`` in DuckDB, so the gram
+    STRINGS (not a hash) can key the exchange and the SQL oracle
+    replays the counts exactly.  The ragged token->gram expansion is
+    pure numpy index arithmetic over the flattened list array; no
+    Python loop over rows.  Distinct-per-block is the combiner: a gram
+    repeated thousands of times in one block crosses the exchange once.
+    """
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t[text_col].cast(pa.string())),
+        pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+
+    counts = np.maximum(lens - (n - 1), 0)
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table({key_col: pa.array([], t[key_col].type),
+                         "gram": pa.array([], pa.string())})
+    doc_idx = np.repeat(np.arange(len(lens)), counts)
+    pos = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    j0 = off[doc_idx] + pos
+    parts = [flat.take(pa.array(j0 + k)) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    keys = t[key_col].take(pa.array(doc_idx))
+    pairs = pa.table({key_col: keys, "gram": grams})
+    return pa.TableGroupBy(pairs, [key_col, "gram"]).aggregate(
+        [([], "count_all")]).drop_columns(["count_all"])
+
+
+def ngram_source_overlap(ds, *, key_col: str = "source",
+                         text_col: str = "text", n: int = 3,
+                         num_buckets: int | None = None):
+    """Cross-source contamination matrix: for every pair of ``key_col``
+    values, the number of DISTINCT word ``n``-grams they share — the
+    audit behind benchmark decontamination and inter-source boilerplate
+    detection.
+
+    Shape: per-block distinct ``(key, gram)`` partials
+    (``ngram_key_partial`` — the combiner), a global distinct reduce
+    keyed on the gram exchange, then per-gram pair expansion inside the
+    bucketed exchange (one vectorized self-merge per bucket; a gram's
+    fan-out is bounded by the number of SOURCES, not documents) and a
+    final keyed sum over at most ``n_sources^2 / 2`` rows.  The gram
+    STRING keys the exchange so the DuckDB oracle replays counts
+    exactly; at corpus scale swap the key for a 64-bit gram hash (same
+    topology, opaque key)."""
+    import pandas as pd
+
+    from .agg import bucketed_apply, hash_aggregate
+
+    partials = ds.map_batches(
+        lambda t: ngram_key_partial(t, key_col=key_col,
+                                    text_col=text_col, n=n),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+    distinct = hash_aggregate(
+        partials, [key_col, "gram"], [(key_col, "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns([key_col, "gram"])
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="gram")
+        ka, kb = f"{key_col}_x", f"{key_col}_y"
+        m = m[m[ka] < m[kb]]
+        out = (m.groupby([ka, kb]).size().reset_index(name="n_shared"))
+        out.columns = ["source_a", "source_b", "n_shared"]
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    pair_partials = bucketed_apply(distinct, ["gram"], pair_counts,
+                                   num_buckets=num_buckets)
+    return hash_aggregate(
+        pair_partials, ["source_a", "source_b"], [("n_shared", "sum")],
+        rename={"n_shared_sum": "n_shared"},
+        num_buckets=num_buckets, exchange="shuffle")

@@ -407,3 +407,45 @@ def test_weighted_interleave_schedule_properties():
         for s, w in weights.items():
             want = prefix * w / total_w
             assert abs(head.get(s, 0) - want) <= 1, (prefix, s)
+
+
+def test_ngram_source_overlap_matches_pandas_reference():
+    """Distributed trigram contamination matrix == set-based reference
+    (distinct shared word trigrams per source pair; short docs yield no
+    grams; a gram repeated within one source counts once)."""
+    import itertools
+
+    import pandas as pd
+
+    from aisafetyintervention_literatureextraction_ray.functions.text import (
+        ngram_source_overlap,
+    )
+
+    rows = [
+        {"source": "a", "text": "the cat sat on the mat"},
+        {"source": "a", "text": "the cat sat on the mat again"},  # dup grams
+        {"source": "b", "text": "a dog and the cat sat on grass"},
+        {"source": "b", "text": "short doc"},                     # no grams
+        {"source": "c", "text": "the cat sat quietly"},
+        {"source": "c", "text": ""},
+    ]
+    got = (ngram_source_overlap(rd.from_pandas(pd.DataFrame(rows)))
+           .to_pandas().sort_values(["source_a", "source_b"])
+           .reset_index(drop=True))
+
+    grams: dict[str, set] = {}
+    for r in rows:
+        w = r["text"].strip().split()
+        grams.setdefault(r["source"], set()).update(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    ref = []
+    for sa, sb in itertools.combinations(sorted(grams), 2):
+        shared = len(grams[sa] & grams[sb])
+        if shared:
+            ref.append({"source_a": sa, "source_b": sb,
+                        "n_shared": shared})
+    ref_df = (pd.DataFrame(ref).sort_values(["source_a", "source_b"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["source_a", "source_b", "n_shared"]], ref_df,
+        check_dtype=False)
