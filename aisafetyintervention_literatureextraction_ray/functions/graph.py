@@ -244,7 +244,8 @@ PAGERANK_SCALE = 1_000_000_000_000
 def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
              n_iters: int = 5, damping: tuple[int, int] = (85, 100),
              scale: int = PAGERANK_SCALE,
-             num_buckets: int | None = None) -> rd.Dataset:
+             num_buckets: int | None = None,
+             driver_threshold: int = 2_000_000) -> rd.Dataset:
     """Fixed-point integer PageRank over the DISTINCT simple digraph.
 
     Output: ``(node_id, rank_fp)`` with ``rank_fp`` an int64 rank in
@@ -271,12 +272,16 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
     edge table on ``src``) + one keyed sum — both bucketed exchanges over
     SKINNY int columns; ranks are re-bounded to the edge table's block
     count every round (same growth guard as ``connected_components``).
-    No driver-side path exists or is needed: ranks are one row per node.
+    Below ``driver_threshold`` distinct edges (MEASURED, same 2M policy
+    as ``connected_components``) a vectorized numpy driver pass runs the
+    identical recurrence — bit-equal output, no exchange scheduling;
+    pass ``driver_threshold=0`` to force the distributed path.
     """
     num, den = damping
     e = _distinct_edges(edges, src, dst, num_buckets=num_buckets)
     e = e.materialize()
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         from .agg import pa_type_of
 
         id_type = pa_type_of(dict(zip(edges.schema().names,
@@ -284,6 +289,13 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
         return rd.from_arrow(pa.table({
             "node_id": pa.array([], type=id_type),
             "rank_fp": pa.array([], type=pa.int64())}))
+    if driver_threshold and n_edges <= driver_threshold:
+        # MEASURED driver fast path (same policy as connected_components
+        # — 2M skinny id pairs is ~32 MB): the fixed-point recurrence is
+        # integer, so this produces BIT-identical ranks to the
+        # distributed path, just without 5 rounds of exchange scheduling
+        return _pagerank_driver(e, src, dst, n_iters=n_iters,
+                                damping=damping, scale=scale)
 
     deg = hash_aggregate(
         e, [src], [(src, "count")],
@@ -363,6 +375,35 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
 
     return ranks.map_batches(out_name, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
+                     n_iters: int, damping: tuple[int, int],
+                     scale: int) -> rd.Dataset:
+    """Vectorized numpy form of the identical integer recurrence over
+    the (already-distinct, driver-gathered) skinny edge list."""
+    num, den = damping
+    df = e.to_pandas()
+    codes, nodes = pd.factorize(
+        pd.concat([df[src], df[dst]], ignore_index=True), sort=True)
+    n = len(df)
+    sc, dc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    n_nodes = len(nodes)
+    outdeg = np.bincount(sc, minlength=n_nodes).astype(np.int64)
+    r0 = scale // n_nodes
+    base = ((den - num) * r0) // den
+    r = np.full(n_nodes, r0, dtype=np.int64)
+    for _ in range(n_iters):
+        s = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(s, dc, r[sc] // outdeg[sc])
+        r = base + (num * s) // den
+    from .agg import pa_type_of
+
+    sch = e.schema()
+    id_type = pa_type_of(dict(zip(sch.names, sch.types))[src])
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(nodes).cast(id_type),
+        "rank_fp": pa.array(r)}))
 
 
 def triangle_count(edges: rd.Dataset, *, src: str = "src",

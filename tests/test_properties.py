@@ -244,12 +244,17 @@ def test_pack_documents_matches_pandas_reference(rows, capacity):
     assert got["offset_in_pack"].tolist() == (start % capacity).tolist()
 
 
-@pytest.mark.parametrize("seed,n_nodes,n_edges",
-                         [(7, 30, 120), (11, 12, 15)])
-def test_pagerank_matches_integer_reference(seed, n_nodes, n_edges):
-    """Distributed fixed-point PageRank == the same integer recurrence
-    run sequentially — BIT-exact, because every op is integer (this is
-    the property the oracle SQL also relies on)."""
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (7, 30, 120, 0),           # forced DISTRIBUTED path
+    (7, 30, 120, 2_000_000),   # measured driver fast path, same input
+    (11, 12, 15, 0),
+])
+def test_pagerank_matches_integer_reference(seed, n_nodes, n_edges,
+                                            driver_threshold):
+    """Fixed-point PageRank (BOTH the distributed and the gated driver
+    path) == the same integer recurrence run sequentially — BIT-exact,
+    because every op is integer (this is the property the oracle SQL
+    also relies on)."""
     import random
     from collections import Counter
 
@@ -276,7 +281,8 @@ def test_pagerank_matches_integer_reference(seed, n_nodes, n_edges):
             s[v] += r[u] // outdeg[u]
         r = {v: base + (85 * s[v]) // 100 for v in nodes}
 
-    got = pagerank(ds, n_iters=5).to_pandas()
+    got = pagerank(ds, n_iters=5,
+                   driver_threshold=driver_threshold).to_pandas()
     assert dict(zip(got["node_id"], got["rank_fp"])) == r
     # ranks are a (sub-)distribution: dangling mass leaks, never grows
     assert got["rank_fp"].sum() <= scale
