@@ -244,6 +244,7 @@ PAGERANK_SCALE = 1_000_000_000_000
 def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
              n_iters: int = 5, damping: tuple[int, int] = (85, 100),
              scale: int = PAGERANK_SCALE,
+             seeds: list | None = None,
              num_buckets: int | None = None,
              driver_threshold: int = 2_000_000) -> rd.Dataset:
     """Fixed-point integer PageRank over the DISTINCT simple digraph.
@@ -276,6 +277,13 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
     as ``connected_components``) a vectorized numpy driver pass runs the
     identical recurrence — bit-equal output, no exchange scheduling;
     pass ``driver_threshold=0`` to force the distributed path.
+
+    ``seeds`` switches to PERSONALIZED PageRank (entity-relatedness
+    ranking around a query set): the uniform restart mass is replaced
+    by ``scale // |seeds∩nodes|`` on the seed nodes and 0 elsewhere —
+    both the initial vector and the per-iteration teleport term — so
+    rank concentrates in the seeds' neighborhoods.  Same integer
+    arithmetic, same bit-exactness, both paths.
     """
     num, den = damping
     e = _distinct_edges(edges, src, dst, num_buckets=num_buckets)
@@ -289,13 +297,16 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
         return rd.from_arrow(pa.table({
             "node_id": pa.array([], type=id_type),
             "rank_fp": pa.array([], type=pa.int64())}))
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be None (uniform) or non-empty")
     if driver_threshold and n_edges <= driver_threshold:
         # MEASURED driver fast path (same policy as connected_components
         # — 2M skinny id pairs is ~32 MB): the fixed-point recurrence is
         # integer, so this produces BIT-identical ranks to the
         # distributed path, just without 5 rounds of exchange scheduling
         return _pagerank_driver(e, src, dst, n_iters=n_iters,
-                                damping=damping, scale=scale)
+                                damping=damping, scale=scale,
+                                seeds=seeds)
 
     deg = hash_aggregate(
         e, [src], [(src, "count")],
@@ -321,14 +332,30 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
     ).select_columns(["node_id"]).materialize()
     n_nodes = nodes.count()
 
-    r0 = scale // n_nodes
+    seed_arr = None
+    if seeds is not None:
+        sch = nodes.schema()
+        sch = getattr(sch, "base_schema", sch)
+        seed_arr = pa.array(sorted(set(seeds))).cast(sch.field("node_id").type)
+        n_mass = nodes.map_batches(
+            lambda t: t.filter(pc.is_in(t["node_id"], value_set=seed_arr)),
+            batch_format="pyarrow").count()
+        if n_mass == 0:
+            raise ValueError("no seed appears as a graph node")
+    else:
+        n_mass = n_nodes
+
+    r0 = scale // n_mass
     base = ((den - num) * r0) // den
     nblocks = max(share.num_blocks(),
                   num_buckets or default_num_buckets())
 
     def init_rank(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "r", pa.array(np.full(t.num_rows, r0, dtype=np.int64)))
+        full = pa.array(np.full(t.num_rows, r0, dtype=np.int64))
+        if seed_arr is not None:
+            full = pc.if_else(pc.is_in(t["node_id"], value_set=seed_arr),
+                              full, pa.scalar(0, pa.int64()))
+        return t.append_column("r", full)
 
     def zero_rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -361,9 +388,14 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
 
         def affine(t: pa.Table) -> pa.Table:
             s = t.column("s").cast(pa.int64())
-            r = pc.add(pc.divide(pc.multiply(s, pa.scalar(num, pa.int64())),
-                                 pa.scalar(den, pa.int64())),
-                       pa.scalar(base, pa.int64()))
+            prop = pc.divide(pc.multiply(s, pa.scalar(num, pa.int64())),
+                             pa.scalar(den, pa.int64()))
+            base_col = pa.scalar(base, pa.int64())
+            if seed_arr is not None:
+                base_col = pc.if_else(
+                    pc.is_in(t["node_id"], value_set=seed_arr),
+                    pa.scalar(base, pa.int64()), pa.scalar(0, pa.int64()))
+            r = pc.add(prop, base_col)
             return pa.table({"node_id": t.column("node_id"), "r": r})
 
         ranks = sums.map_batches(
@@ -379,7 +411,7 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
 
 def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
                      n_iters: int, damping: tuple[int, int],
-                     scale: int) -> rd.Dataset:
+                     scale: int, seeds: list | None = None) -> rd.Dataset:
     """Vectorized numpy form of the identical integer recurrence over
     the (already-distinct, driver-gathered) skinny edge list."""
     num, den = damping
@@ -390,13 +422,25 @@ def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
     sc, dc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
     n_nodes = len(nodes)
     outdeg = np.bincount(sc, minlength=n_nodes).astype(np.int64)
-    r0 = scale // n_nodes
+    if seeds is not None:
+        seed_mask = np.isin(np.asarray(nodes), np.asarray(list(set(seeds))))
+        n_mass = int(seed_mask.sum())
+        if n_mass == 0:
+            raise ValueError("no seed appears as a graph node")
+    else:
+        seed_mask, n_mass = None, n_nodes
+    r0 = scale // n_mass
     base = ((den - num) * r0) // den
-    r = np.full(n_nodes, r0, dtype=np.int64)
+    if seed_mask is None:
+        r = np.full(n_nodes, r0, dtype=np.int64)
+        base_vec = base
+    else:
+        r = np.where(seed_mask, np.int64(r0), np.int64(0))
+        base_vec = np.where(seed_mask, np.int64(base), np.int64(0))
     for _ in range(n_iters):
         s = np.zeros(n_nodes, dtype=np.int64)
         np.add.at(s, dc, r[sc] // outdeg[sc])
-        r = base + (num * s) // den
+        r = base_vec + (num * s) // den
     from .agg import pa_type_of
 
     sch = e.schema()

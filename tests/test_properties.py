@@ -455,3 +455,52 @@ def test_ngram_source_overlap_matches_pandas_reference():
     pd.testing.assert_frame_equal(
         got[["source_a", "source_b", "n_shared"]], ref_df,
         check_dtype=False)
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_personalized_pagerank_matches_reference(driver_threshold):
+    """Seeded (personalized) PageRank == the sequential integer
+    recurrence with restart mass on the seed set, on BOTH paths; nodes
+    unreachable from the seeds rank exactly 0."""
+    import random
+    from collections import Counter
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    rng = random.Random(13)
+    raw = [(f"n{rng.randrange(20)}", f"n{rng.randrange(20)}")
+           for _ in range(60)]
+    # an island unreachable from the seeds
+    raw += [("isl1", "isl2"), ("isl2", "isl1")]
+    seeds = ["n0", "n1"]
+
+    e = sorted(set(raw))
+    outdeg = Counter(s for s, _ in e)
+    nodes = sorted({x for p in e for x in p})
+    scale = PAGERANK_SCALE
+    present = [s for s in seeds if s in nodes]
+    r0 = scale // len(present)
+    base = (15 * r0) // 100
+    r = {v: (r0 if v in present else 0) for v in nodes}
+    for _ in range(5):
+        acc = {v: 0 for v in nodes}
+        for (u, v) in e:
+            acc[v] += r[u] // outdeg[u]
+        r = {v: ((base if v in present else 0) + (85 * acc[v]) // 100)
+             for v in nodes}
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = pagerank(ds, n_iters=5, seeds=seeds,
+                   driver_threshold=driver_threshold).to_pandas()
+    assert dict(zip(got["node_id"], got["rank_fp"])) == r
+    gm = dict(zip(got["node_id"], got["rank_fp"]))
+    assert gm["isl1"] == 0 and gm["isl2"] == 0
+    assert gm["n0"] > 0
+
+    with pytest.raises(ValueError):
+        pagerank(ds, seeds=["not-a-node"],
+                 driver_threshold=driver_threshold).to_pandas()
