@@ -2896,20 +2896,38 @@ _KG_EDGE_SET_SQL = f"""
     )"""
 
 
-def _pagerank_sql(n_iters: int, scale: int, num: int, den: int) -> str:
+def _pagerank_sql(n_iters: int, scale: int, num: int, den: int,
+                  n_seeds: int = 0) -> str:
     """Unroll the fixed-point integer PageRank recurrence
     (functions/graph.py::pagerank) into chained DuckDB CTEs — every
     operation is integer, so the SQL replays the engine BIT-EXACTLY
-    (no float-summation-order caveats, no rounding)."""
-    base = f"({den - num} * ({scale} // (SELECT cnt FROM nn))) // {den}"
+    (no float-summation-order caveats, no rounding).  With
+    ``n_seeds > 0`` the restart mass goes to the ``n_seeds``
+    lexicographically-smallest node ids (a deterministic seed set both
+    engines can derive), replaying the PERSONALIZED variant."""
+    if n_seeds:
+        mass = f"({scale} // (SELECT cnt FROM ns))"
+        in_seeds = "vx.node_id IN (SELECT node_id FROM seeds)"
+        r0 = f"CASE WHEN {in_seeds} THEN {mass} ELSE 0 END"
+        base = (f"CASE WHEN {in_seeds} THEN"
+                f" ({den - num} * {mass}) // {den} ELSE 0 END")
+    else:
+        mass = f"({scale} // (SELECT cnt FROM nn))"
+        r0 = mass
+        base = f"({den - num} * {mass}) // {den}"
     parts = [
         f"WITH {_KG_EDGE_SET_SQL},",
         "deg AS (SELECT s, COUNT(*) AS c FROM e GROUP BY s),",
         "vx AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),",
         "nn AS (SELECT COUNT(*) AS cnt FROM vx),",
-        f"p0 AS (SELECT node_id, {scale} // (SELECT cnt FROM nn) AS r"
-        " FROM vx),",
     ]
+    if n_seeds:
+        parts += [
+            f"seeds AS (SELECT node_id FROM vx ORDER BY node_id"
+            f" LIMIT {n_seeds}),",
+            "ns AS (SELECT COUNT(*) AS cnt FROM seeds),",
+        ]
+    parts.append(f"p0 AS (SELECT node_id, {r0} AS r FROM vx),")
     for i in range(1, n_iters + 1):
         parts.append(
             f"c{i} AS (SELECT e.d AS node_id,"
@@ -3079,3 +3097,40 @@ def source_overlap_matrix(sf_dir: str):
     out["n_shared"] = out["n_shared"].astype("int64")
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
+
+
+@query("kg_pagerank_seeded",
+       _pagerank_sql(5, _GRAPH_PAGERANK_SCALE, 85, 100, n_seeds=2))
+def kg_pagerank_seeded(sf_dir: str):
+    """PERSONALIZED PageRank around a deterministic seed set (the two
+    lexicographically-smallest node ids — derivable identically in
+    SQL): restart mass concentrates rank in the seeds' neighborhoods,
+    the entity-relatedness ranking a KG serves for 'related concepts'
+    queries.  Same fixed-point integer arithmetic as kg_pagerank, so
+    the seeded unrolled oracle matches rows+schema+hash."""
+    from .functions.graph import pagerank
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.chunked_array(
+            [t["src_id"], t["dst_id"]]).combine_chunks()})
+
+    seeds = (edges.map_batches(endpoints, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .sort("node_id").limit(2).to_pandas()["node_id"]
+             .drop_duplicates().tolist())
+    # limit(2) may return one node twice (an edge between the two
+    # smallest nodes); widen until two DISTINCT seeds
+    k = 4
+    while len(seeds) < 2:
+        seeds = (edges.map_batches(endpoints, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .sort("node_id").limit(k).to_pandas()["node_id"]
+                 .drop_duplicates().tolist())[:2]
+        k *= 2
+
+    out = pagerank(edges, src="src_id", dst="dst_id", n_iters=5,
+                   seeds=seeds[:2]).to_pandas()
+    out["rank_fp"] = out["rank_fp"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
