@@ -452,7 +452,9 @@ def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
 
 def triangle_count(edges: rd.Dataset, *, src: str = "src",
                    dst: str = "dst",
-                   num_buckets: int | None = None) -> int:
+                   num_buckets: int | None = None,
+                   driver_threshold: int = 500_000,
+                   driver_wedge_limit: int = 20_000_000) -> int:
     """Exact global triangle count of the UNDIRECTED simple graph
     underlying ``edges`` (direction, parallel edges and self-loops
     ignored).
@@ -487,8 +489,19 @@ def triangle_count(edges: rd.Dataset, *, src: str = "src",
         ["a", "b"], [("a", "count")],
         num_buckets=num_buckets, exchange="shuffle",
     ).select_columns(["a", "b"]).materialize()
-    if und.count() == 0:
+    n_und = und.count()
+    if n_und == 0:
         return 0
+    if driver_threshold and n_und <= driver_threshold:
+        # MEASURED driver fast path (pagerank/connected_components
+        # policy); doubly gated — the edge count bounds the gather and
+        # the ORIENTED wedge count (computed exactly from degrees
+        # before any expansion) bounds the join memory, so a
+        # pathological near-clique falls through to the distributed
+        # path instead of blowing up the driver
+        res = _triangle_count_driver(und, driver_wedge_limit)
+        if res is not None:
+            return res
 
     def und_deg(t: pa.Table) -> pa.Table:
         d = pc.add(t.column("out_degree"), t.column("in_degree"))
@@ -561,6 +574,36 @@ def triangle_count(edges: rd.Dataset, *, src: str = "src",
                       zero_copy_batch=True),
         left_key="key", right_key="key", right_value_cols=["m"],
         num_buckets=num_buckets).count()
+
+
+def _triangle_count_driver(und: rd.Dataset,
+                           wedge_limit: int) -> int | None:
+    """Vectorized pandas/numpy form of the degree-oriented count over
+    the driver-gathered distinct undirected edge list.  Returns None if
+    the exact oriented-wedge count (known from degrees BEFORE any
+    expansion) exceeds ``wedge_limit`` — the caller then runs the
+    distributed path.  Orientation here breaks degree ties by factorize
+    code rather than id string; any strict total order yields the same
+    triangle count, which is all this function returns."""
+    df = und.to_pandas()
+    codes, _ = pd.factorize(
+        pd.concat([df["a"], df["b"]], ignore_index=True))
+    n = len(df)
+    a, b = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    deg = np.bincount(np.concatenate([a, b])).astype(np.int64)
+    a_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    s = np.where(a_first, a, b)
+    d = np.where(a_first, b, a)
+    od = np.bincount(s, minlength=len(deg)).astype(np.int64)
+    if int((od * (od - 1) // 2).sum()) > wedge_limit:
+        return None
+    o = pd.DataFrame({"s": s, "d": d, "dd": deg[d]})
+    w = o.merge(o, on="s")
+    keep = (w["dd_x"] < w["dd_y"]) | ((w["dd_x"] == w["dd_y"])
+                                      & (w["d_x"] < w["d_y"]))
+    w = w[keep]
+    closed = w.merge(o, left_on=["d_x", "d_y"], right_on=["s", "d"])
+    return len(closed)
 
 
 def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,

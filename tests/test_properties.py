@@ -324,9 +324,14 @@ def test_degree_table_counts_distinct_parallel_edges_once():
     assert got.loc["c", "in_degree"] == 2
 
 
-@pytest.mark.parametrize("seed,n_nodes,n_edges",
-                         [(3, 20, 80), (9, 15, 40), (1, 6, 4)])
-def test_triangle_count_matches_bruteforce(seed, n_nodes, n_edges):
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (3, 20, 80, 0),         # forced DISTRIBUTED path
+    (3, 20, 80, 500_000),   # measured driver fast path, same input
+    (9, 15, 40, 0),
+    (1, 6, 4, 500_000),
+])
+def test_triangle_count_matches_bruteforce(seed, n_nodes, n_edges,
+                                           driver_threshold):
     """Degree-oriented distributed triangle count == brute-force
     enumeration over all node triples (direction, parallel edges and
     self-loops ignored)."""
@@ -350,7 +355,7 @@ def test_triangle_count_matches_bruteforce(seed, n_nodes, n_edges):
 
     ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
                                  "dst": [b for _, b in raw]}))
-    assert triangle_count(ds) == ref
+    assert triangle_count(ds, driver_threshold=driver_threshold) == ref
 
 
 def test_triangle_count_empty_and_hub():
@@ -504,3 +509,30 @@ def test_personalized_pagerank_matches_reference(driver_threshold):
     with pytest.raises(ValueError):
         pagerank(ds, seeds=["not-a-node"],
                  driver_threshold=driver_threshold).to_pandas()
+
+
+def test_triangle_count_wedge_limit_falls_back_to_distributed():
+    """If the exact oriented-wedge count exceeds the driver limit, the
+    measured gate refuses the driver path and the distributed path
+    still returns the right count."""
+    import itertools
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(3)
+    raw = [(f"v{rng.randrange(20)}", f"v{rng.randrange(20)}")
+           for _ in range(80)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+              if y in adj[x] and z in adj[x] and z in adj[y])
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    assert triangle_count(ds, driver_threshold=500_000,
+                          driver_wedge_limit=1) == ref
