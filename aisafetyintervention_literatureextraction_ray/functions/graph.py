@@ -143,8 +143,6 @@ def _components_distributed(skinny: rd.Dataset, id_a: str, id_b: str, *,
     # pass by iteration 8 on a 13-pair graph).  Re-bound the block count
     # every iteration to the edge table's own block count (the natural
     # data-proportional width) so per-iteration cost stays constant.
-    from .agg import default_num_buckets
-
     nblocks = max(edges.num_blocks(),
                   num_buckets or default_num_buckets())
 

@@ -27,6 +27,20 @@ _NAMESPACE = "graft_runstats"
 log = logging.getLogger(__name__)
 
 
+def _scoped_name() -> str:
+    """Counter-actor name scoped by the current Ray JOB id (ADVICE r4):
+    a bare global name persisted across driver sessions on a long-lived
+    cluster and was shared by concurrent runs, so one run's
+    ``reset=True`` could clobber another's counts.  Every driver
+    session gets its own job id; workers spawned by that driver share
+    it, so reports land in the session's own counter."""
+    try:
+        job_id = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job_id = "nojob"
+    return f"{_NAME}_{job_id}"
+
+
 @ray.remote(num_cpus=0)
 class _TruncationStats:
     """Per-session truncation counters keyed by operator kind."""
@@ -56,8 +70,11 @@ def report_truncation(kind: str, *, dropped: int, groups: int = 1) -> None:
     try:
         if not ray.is_initialized():
             return
+        # detached so a transient map_batches worker's report outlives
+        # its creator until the driver reads it; the job-scoped name
+        # keeps it private to this driver session
         actor = _TruncationStats.options(
-            name=_NAME, namespace=_NAMESPACE, get_if_exists=True,
+            name=_scoped_name(), namespace=_NAMESPACE, get_if_exists=True,
             lifetime="detached").remote()
         actor.add.remote(kind, groups, dropped)
     except Exception:  # stats must never fail the pipeline
@@ -70,7 +87,7 @@ def truncation_stats(*, reset: bool = False) -> dict:
     Empty dict when nothing was truncated (the actor is only created on
     the first report)."""
     try:
-        actor = ray.get_actor(_NAME, namespace=_NAMESPACE)
+        actor = ray.get_actor(_scoped_name(), namespace=_NAMESPACE)
     except ValueError:
         return {}
     snap = ray.get(actor.snapshot.remote())

@@ -373,8 +373,13 @@ def ngram_key_partial(t: pa.Table, *, key_col: str = "source",
     Python loop over rows.  Distinct-per-block is the combiner: a gram
     repeated thousands of times in one block crosses the exchange once.
     """
+    # coalesce null text to '' (ADVICE r4): a null row would make
+    # list_value_length yield null -> int64-min after astype, wrecking
+    # the cumsum offsets below; '' tokenizes to zero grams, matching the
+    # oracle (which has no gram rows for null text either way)
     toks = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(t[text_col].cast(pa.string())),
+        pc.utf8_trim_whitespace(
+            pc.coalesce(t[text_col].cast(pa.string()), "")),
         pattern=r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
