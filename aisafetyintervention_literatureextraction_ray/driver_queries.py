@@ -350,9 +350,12 @@ def events_hourly_window(sf_dir: str):
     streaming-shaped pattern)."""
     from .stages.window import tumbling_window
 
+    # coalesce: key set = event types x hours, bounded by the fixed
+    # type vocabulary and the time range (grows with TIME, not volume)
     out = tumbling_window(
         _pq(sf_dir, "events", ["event_type", "ts", "value"]),
-        "event_type", "ts", "value", freq="h").to_pandas()
+        "event_type", "ts", "value", freq="h",
+        exchange="coalesce").to_pandas()
     out = out.rename(columns={"window": "hour"})
     out["sum_value"] = out["sum_value"].round(2)
     return out[["event_type", "hour", "n_events", "sum_value"]]
@@ -404,9 +407,11 @@ def events_sliding_window(sf_dir: str):
     two-stage reduce, no sort/range join (stages/window.py)."""
     from .stages.window import sliding_window
 
+    # coalesce: bounded key set (types x window ends), as above
     out = sliding_window(
         _pq(sf_dir, "events", ["event_type", "ts", "value"]),
-        "event_type", "ts", "value", width=3, freq="h").to_pandas()
+        "event_type", "ts", "value", width=3, freq="h",
+        exchange="coalesce").to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     return out[["event_type", "window_end", "n_events", "sum_value"]]
 

@@ -66,11 +66,23 @@ def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int,
     return batch.append_column(col, pa.array(bucket, type=pa.int64()))
 
 
+def measured_exchange(n_rows_bound: int | None, *,
+                      threshold: int = 2_000_000) -> str:
+    """Exchange choice from a MEASURED upper bound on the partial key
+    set (same 2-million-skinny-rows policy as the connected-components
+    / pagerank driver gates): ``"coalesce"`` when the whole distinct
+    key set provably fits one block, ``"shuffle"`` otherwise (or when
+    no bound is known)."""
+    if n_rows_bound is not None and n_rows_bound <= threshold:
+        return "coalesce"
+    return "shuffle"
+
+
 def hash_aggregate(ds: rd.Dataset, keys: list[str],
                    aggs: list[tuple[str, str]],
                    *, num_buckets: int | None = None,
                    rename: dict[str, str] | None = None,
-                   exchange: str = "coalesce") -> rd.Dataset:
+                   exchange: str = "shuffle") -> rd.Dataset:
     """Two-stage keyed aggregate.
 
     ``aggs`` are ``(column, fn)`` with fn in {sum, count, min, max};
@@ -79,15 +91,18 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str],
 
     ``exchange`` picks the final stage:
 
-    * ``"coalesce"`` (default): partials (one row per key per block) are
-      concatenated into one block and combined there.  Correct whenever
-      the DISTINCT KEY SET fits a block — true for every reduce in this
-      engine (canonical nodes/edges/pairs are orders of magnitude
-      smaller than the input).  Avoids Ray's sort machinery entirely,
-      which costs ~15 s of pure scheduling on thousands of tiny blocks.
-    * ``"shuffle"``: hash-bucket exchange via Ray groupby on a single
-      int key — the path for key sets too large for one block (e.g.
-      exact URL dedup over the full corpus).
+    * ``"shuffle"`` (default — the scale-safe direction, VERDICT r4 #4):
+      hash-bucket exchange via Ray groupby on a single int key — works
+      for key sets of any size (e.g. exact URL dedup over the full
+      corpus).  New call sites inherit this.
+    * ``"coalesce"`` (explicit opt-in): partials (one row per key per
+      block) are concatenated into one block and combined there.
+      Correct AND much cheaper whenever the DISTINCT KEY SET provably
+      fits a block (canonical nodes / bounded windows / measured-small
+      inputs) — it avoids Ray's sort machinery entirely, which costs
+      ~15 s of pure scheduling on thousands of tiny blocks.  Call sites
+      must justify the bound (documented key-set bound or
+      :func:`measured_exchange` on a measured row count).
     """
     if num_buckets is None:
         num_buckets = default_num_buckets()

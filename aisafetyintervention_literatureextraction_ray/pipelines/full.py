@@ -283,19 +283,35 @@ def run_graph_build(out_dir: str | Path, *, canonicalize_mode: str | None = None
                                  np.asarray([remap[k] for k in keys],
                                             dtype=object)))
 
-            def rewire_mentions(df):
-                index, targets = ray.get(remap_ref)
-                df = df.copy()
-                vals = df["node_id"].to_numpy()
-                pos = index.get_indexer(vals)
-                df["node_id"] = np.where(
-                    pos >= 0, targets[np.clip(pos, 0, None)], vals)
-                return df[["doc_id", "node_id", "n_mentions"]]
+            def rewire_mentions(t):
+                # Arrow-native get_indexer remap (VERDICT r4 fix #1) —
+                # no pandas round-trip on the driver-closure path
+                import pyarrow as pa
 
+                index, targets = ray.get(remap_ref)
+                vals = t.column("node_id").to_numpy(zero_copy_only=False)
+                pos = index.get_indexer(vals)
+                out = np.where(pos >= 0, targets[np.clip(pos, 0, None)],
+                               vals)
+                return pa.table({
+                    "doc_id": t.column("doc_id"),
+                    "node_id": pa.array(
+                        out, type=t.schema.field("node_id").type),
+                    "n_mentions": t.column("n_mentions"),
+                })
+
+            # mentions is consumed exactly once below and written out
+            # afterwards, so pinning it here costs no extra pass; the
+            # free count() then gates the rewire-reduce exchange on the
+            # measured key bound (rewired keys <= input rows)
+            from ..functions.agg import measured_exchange
+
+            mentions = mentions.materialize()
             mentions = hash_aggregate(
-                mentions.map_batches(rewire_mentions, batch_format="pandas"),
+                mentions.map_batches(rewire_mentions, batch_format="pyarrow"),
                 ["doc_id", "node_id"], [("n_mentions", "sum")],
                 rename={"n_mentions_sum": "n_mentions"},
+                exchange=measured_exchange(mentions.count()),
             ).add_column("pred", lambda df: "mentions")
 
     graph = out / "graph"

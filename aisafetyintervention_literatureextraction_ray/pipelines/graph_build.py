@@ -220,6 +220,9 @@ def build_edges(triples: rd.Dataset, node_map: dict[str, str],
                 "description_min": "description",
                 "confidence_max": "confidence",
                 "doc_id_count": "n_provenance"},
+        # the canonical EDGE key set scales with the corpus — never
+        # coalesce it without a measured bound (the input is lazy here)
+        exchange="shuffle",
     )
     return edges.map_batches(
         lambda b: cast_batch(b, EDGES_SCHEMA), batch_format="pyarrow"
@@ -391,6 +394,12 @@ def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
         _EndpointResolver, fn_constructor_args=(ref,),
         batch_format="pyarrow", concurrency=concurrency,
     ).materialize()
+    # resolved is materialized, so count() is free metadata: gate the
+    # reduce exchange on the MEASURED row bound (edge keys <= resolved
+    # rows; mention keys <= 2x — each row contributes two endpoints)
+    from ..functions.agg import measured_exchange
+
+    n_resolved = resolved.count()
 
     edges = hash_aggregate(
         resolved, ["src_id", "pred", "dst_id"],
@@ -400,6 +409,7 @@ def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
                 "description_min": "description",
                 "confidence_max": "confidence",
                 "doc_id_count": "n_provenance"},
+        exchange=measured_exchange(n_resolved),
     ).map_batches(lambda b: cast_batch(b, EDGES_SCHEMA),
                   batch_format="pyarrow")
 
@@ -415,6 +425,7 @@ def build_edges_and_mentions(triples: rd.Dataset, node_map: dict[str, str],
         resolved.map_batches(endpoints, batch_format="pyarrow"),
         ["doc_id", "node_id"], [("node_id", "count")],
         rename={"node_id_count": "n_mentions"},
+        exchange=measured_exchange(2 * n_resolved),
     ).add_column("pred", lambda df: "mentions")
     return edges, mentions
 
@@ -469,7 +480,10 @@ def build_mentions(triples: rd.Dataset, node_map: dict[str, str]
         batch_format="pyarrow", concurrency=(1, 8))
     out = hash_aggregate(mentions, ["doc_id", "node_id"],
                          [("node_id", "count")],
-                         rename={"node_id_count": "n_mentions"})
+                         rename={"node_id_count": "n_mentions"},
+                         # (doc, node) mention keys scale with the
+                         # corpus; lazy input, no measured bound
+                         exchange="shuffle")
     return out.add_column("pred", lambda df: "mentions")
 
 
@@ -484,4 +498,6 @@ def papers(extractions: rd.Dataset) -> rd.Dataset:
     return hash_aggregate(
         extractions.select_columns(["doc_id"]), ["doc_id"],
         [("doc_id", "count")],
+        # one key per PAPER — scales with the corpus
+        exchange="shuffle",
     ).select_columns(["doc_id"])

@@ -16,8 +16,13 @@ from ..functions.agg import bucketed_group_map, hash_aggregate
 
 
 def tumbling_window(events: rd.Dataset, key_col: str, ts_col: str,
-                    value_col: str, freq: str = "h") -> rd.Dataset:
-    """Tumbling event-time window: count + sum per (key, floor(ts))."""
+                    value_col: str, freq: str = "h", *,
+                    exchange: str = "shuffle") -> rd.Dataset:
+    """Tumbling event-time window: count + sum per (key, floor(ts)).
+
+    ``exchange`` follows :func:`hash_aggregate` — callers whose
+    ``key_col`` cardinality x window count is provably bounded (e.g.
+    event types x hours) may pass ``"coalesce"``."""
 
     def floor_ts(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -30,12 +35,13 @@ def tumbling_window(events: rd.Dataset, key_col: str, ts_col: str,
         [(value_col, "count"), (value_col, "sum")],
         rename={f"{value_col}_count": "n_events",
                 f"{value_col}_sum": "sum_value"},
+        exchange=exchange,
     )
 
 
 def sliding_window(events: rd.Dataset, key_col: str, ts_col: str,
                    value_col: str, *, width: int = 3,
-                   freq: str = "h") -> rd.Dataset:
+                   freq: str = "h", exchange: str = "shuffle") -> rd.Dataset:
     """Sliding (hopping) event-time window: window ``W`` aggregates the
     trailing ``width`` buckets ending at ``W`` (hop = 1 bucket).
 
@@ -64,6 +70,7 @@ def sliding_window(events: rd.Dataset, key_col: str, ts_col: str,
         [(value_col, "count"), (value_col, "sum")],
         rename={f"{value_col}_count": "n_events",
                 f"{value_col}_sum": "sum_value"},
+        exchange=exchange,
     )
 
 
