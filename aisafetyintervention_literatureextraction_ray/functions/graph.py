@@ -88,7 +88,14 @@ def connected_components(pairs: rd.Dataset, *,
     singleton nodes never appear in ``pairs`` and so are their own
     implicit components (callers left-join and coalesce).
     """
-    skinny = pairs.select_columns([id_a, id_b])
+    # Materialize the skinny edge list ONCE: the measured gate needs a
+    # count and BOTH paths then consume the rows, so a lazy input would
+    # re-execute its whole upstream lineage (e.g. exact-dup hashing over
+    # every document) twice — measured 2x wall on dedup_components at
+    # sf0.1.  The edge list is two id columns (far smaller than the
+    # upstream), and the distributed path already materializes a 2x
+    # symmetrized copy of it, so this adds no asymptotic memory.
+    skinny = pairs.select_columns([id_a, id_b]).materialize()
 
     n_pairs = skinny.count()
     if n_pairs == 0:
@@ -96,8 +103,8 @@ def connected_components(pairs: rd.Dataset, *,
         # so both paths below would otherwise fail on the missing cols)
         from .agg import pa_type_of
 
-        id_type = pa_type_of(dict(zip(pairs.schema().names,
-                                      pairs.schema().types))[id_a])
+        id_type = pa_type_of(dict(zip(skinny.schema().names,
+                                      skinny.schema().types))[id_a])
         return rd.from_arrow(pa.table({
             "node_id": pa.array([], type=id_type),
             "component_id": pa.array([], type=id_type)}))
