@@ -3116,6 +3116,23 @@ def source_overlap_matrix(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _smallest_node_ids(edges: rd.Dataset, n: int = 2) -> list:
+    """The ``n`` lexicographically-smallest distinct endpoint ids of a
+    materialized ``(src_id, dst_id)`` edge set — the deterministic seed
+    set both the engine and the SQL oracle can derive.  Single keyed
+    min-n reduce: one pass over the edges, tiny partials (<= n rows per
+    block) combined on the driver — no sort, no loop."""
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = pc.unique(pa.chunked_array(
+            [t["src_id"], t["dst_id"]]).combine_chunks())
+        return pa.table({"node_id": ids.sort().slice(0, n)})
+
+    partials = edges.map_batches(seed_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    return sorted({r["node_id"] for r in partials})[:n]
+
+
 @query("kg_pagerank_seeded",
        _pagerank_sql(5, _GRAPH_PAGERANK_SCALE, 85, 100, n_seeds=2))
 def kg_pagerank_seeded(sf_dir: str):
@@ -3128,18 +3145,7 @@ def kg_pagerank_seeded(sf_dir: str):
     from .functions.graph import pagerank
 
     edges = _kg_simple_edges(sf_dir).materialize()
-
-    def seed_partial(t: pa.Table) -> pa.Table:
-        # per-block partial: the <=2 smallest DISTINCT endpoint ids
-        ids = pc.unique(pa.chunked_array(
-            [t["src_id"], t["dst_id"]]).combine_chunks())
-        return pa.table({"node_id": ids.sort().slice(0, 2)})
-
-    # single keyed min-2 reduce: one pass over the edges, tiny partials
-    # (<=2 rows per block) combined on the driver — no sort, no loop
-    partials = edges.map_batches(seed_partial, batch_format="pyarrow",
-                                 zero_copy_batch=True).take_all()
-    seeds = sorted({r["node_id"] for r in partials})[:2]
+    seeds = _smallest_node_ids(edges, 2)
     if len(seeds) < 2:
         # fewer than 2 distinct nodes (empty graph or a single
         # self-looping node): typed empty result, mirroring pagerank's
@@ -3154,6 +3160,97 @@ def kg_pagerank_seeded(sf_dir: str):
     out = pagerank(edges, src="src_id", dst="dst_id", n_iters=5,
                    seeds=seeds).to_pandas()
     out["rank_fp"] = out["rank_fp"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+_BFS_MAX_HOPS = 50
+
+
+@query(
+    "kg_bfs_hops",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    sym AS (SELECT s AS x, d AS y FROM e UNION SELECT d, s FROM e),
+    vx AS (SELECT DISTINCT x AS node_id FROM sym),
+    seeds AS (SELECT node_id FROM vx ORDER BY node_id LIMIT 2),
+    walk(node_id, hops) AS (
+      SELECT node_id, 0 FROM seeds
+      UNION
+      SELECT sym.y, walk.hops + 1
+      FROM walk JOIN sym ON sym.x = walk.node_id
+      WHERE walk.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT node_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node_id
+    """,
+)
+def kg_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop counts (functions/graph.py::bfs_hops) from
+    the two lexicographically-smallest node ids over the resolved KG's
+    undirected simple graph — the hop-distance analogue of the seeded
+    PageRank neighborhood ranking.  Hop labels are integers that only
+    ever DECREASE under the keyed min-reduce, so the distributed path
+    is bit-identical to the driver relaxation and to the recursive-CTE
+    oracle; unreachable nodes are absent on both sides."""
+    from .functions.graph import bfs_hops
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    seeds = _smallest_node_ids(edges, 2)
+    if not seeds:  # empty graph: typed empty, mirroring the oracle
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "hops": pd.Series([], dtype="int64")})
+    out = bfs_hops(edges, src="src_id", dst="dst_id", seeds=seeds,
+                   max_iters=_BFS_MAX_HOPS).to_pandas()
+    out["hops"] = out["hops"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+def _kcore_sql(k: int, n_rounds: int) -> str:
+    """Unroll the k-core peel (functions/graph.py::kcore) into chained
+    DuckDB CTEs: per round one degree count over the surviving
+    undirected edge set and two endpoint semi-joins — the same integer
+    iteration the engine runs, so the replay is exact.  Peeling is
+    monotone (edges only ever leave), so once the engine's fixed point
+    is reached every further unrolled round is a no-op; ``n_rounds``
+    just has to exceed the peel depth at test scale."""
+    # every u{i} is referenced three times by round i+1 — without the
+    # MATERIALIZED hint DuckDB inlines CTEs, and the expansion grows as
+    # 3^n_rounds (the planner dies with a misleading IO error ~n=25)
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a,"
+        " GREATEST(s, d) AS b FROM e WHERE s <> d),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts += [
+            f"d{i} AS (SELECT node_id, COUNT(*) AS deg FROM"
+            f" (SELECT a AS node_id FROM u{i - 1}"
+            f" UNION ALL SELECT b FROM u{i - 1}) GROUP BY node_id),",
+            f"k{i} AS MATERIALIZED"
+            f" (SELECT node_id, deg FROM d{i} WHERE deg >= {k}),",
+            f"u{i} AS MATERIALIZED (SELECT u.a, u.b FROM u{i - 1} u"
+            f" JOIN k{i} ka ON ka.node_id = u.a"
+            f" JOIN k{i} kb ON kb.node_id = u.b),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node_id, CAST(deg AS BIGINT) AS degree"
+                 f" FROM k{n_rounds}")
+    return "\n".join(parts)
+
+
+@query("kg_kcore", _kcore_sql(2, 25))
+def kg_kcore(sf_dir: str):
+    """2-core of the resolved KG's undirected simple graph
+    (functions/graph.py::kcore): iteratively peel nodes of degree < 2
+    until the fixed point — peripheral one-mention entities fall away,
+    the densely cross-referenced core survives with its within-core
+    degree.  The oracle unrolls 25 peel rounds; peeling is monotone so
+    extra rounds past the fixed point are no-ops."""
+    from .functions.graph import kcore
+
+    out = kcore(_kg_simple_edges(sf_dir), src="src_id", dst="dst_id",
+                k=2).to_pandas()
+    out["degree"] = out["degree"].astype("int64")
     return out.sort_values("node_id").reset_index(drop=True)
 
 
@@ -3176,9 +3273,9 @@ _DRIVER_ORDER = [
     # KG construction surface (the north-star pipeline)
     "kg_triples", "kg_triples_pr", "kg_mentions", "kg_nodes", "kg_edges",
     "kg_canonicalized", "kg_merge_pairs_parity", "kg_cypher_export",
-    # graph analytics over the built KG (round-4, never driver-sampled)
+    # graph analytics over the built KG (round-4/5, never driver-sampled)
     "kg_pagerank", "kg_pagerank_seeded", "kg_degree_stats", "kg_triangles",
-    "dedup_components",
+    "kg_bfs_hops", "kg_kcore", "dedup_components",
     # interleaved-doc sources + scheduling
     "doc_interleave", "source_overlap_matrix", "pdf_ingest", "ard_roundtrip",
     # dedup / similarity family
@@ -3196,10 +3293,10 @@ _DRIVER_ORDER = [
     # sampling / packing / sketches
     "doc_mixture_sample", "doc_sample_per_source", "doc_shuffle_head",
     "doc_pack_stats", "price_quantile_sketch",
-    "chars_quantile_sketch_by_source", "media_feature_extraction",
-    "approx_distinct_users",
+    "chars_quantile_sketch_by_source",
     # ---- position 51+: twice driver-verified (r3+r4 green artifacts),
     # ---- pytest-parity-checked siblings of still-sampled patterns
+    "media_feature_extraction", "approx_distinct_users",
     "customer_nation_rollup", "distinct_doc_sources", "top_docs_by_chars",
     "events_sliding_window", "orders_running_total", "doc_chars_quantiles",
     "ngram_neardup_pairs", "doc_quality_scores", "doc_split_stats",

@@ -40,9 +40,10 @@ import ray.data as rd
 from .agg import bucketed_join, default_num_buckets, hash_aggregate
 
 
-def _labels_sig(labels: rd.Dataset) -> tuple[int, int]:
-    """Blocking-independent multiset signature of (node_id, component_id)
-    rows.
+def _labels_sig(labels: rd.Dataset,
+                value_col: str = "component_id") -> tuple[int, int]:
+    """Blocking-independent multiset signature of ``(node_id, value)``
+    rows (component labels, BFS hop counts, ...).
 
     Per block: wrapping-uint64 SUM of the row hashes, carried as exact
     32-bit halves plus a row count; one ``Dataset.sum`` pass combines
@@ -58,7 +59,7 @@ def _labels_sig(labels: rd.Dataset) -> tuple[int, int]:
     def sig(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             pd.DataFrame({"n": t.column("node_id").to_pandas(),
-                          "c": t.column("component_id").to_pandas()}),
+                          "c": t.column(value_col).to_pandas()}),
             index=False).to_numpy()
         s = h.sum(dtype=np.uint64)  # wraps mod 2^64 (associative)
         return pa.table({
@@ -612,7 +613,8 @@ def _triangle_count_driver(und: rd.Dataset,
 
 
 def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,
-                   num_buckets: int | None) -> int:
+                   num_buckets: int | None,
+                   value_col: str = "component_id") -> int:
     def prev_name(t: pa.Table) -> pa.Table:
         return t.rename_columns(["node_id", "prev"])
 
@@ -623,6 +625,287 @@ def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,
         left_key="node_id", right_key="node_id",
         right_value_cols=["prev"], num_buckets=num_buckets,
     ).map_batches(
-        lambda t: t.filter(pc.not_equal(t["component_id"], t["prev"])),
+        lambda t: t.filter(pc.not_equal(t[value_col], t["prev"])),
         batch_format="pyarrow",
     ).count()
+
+
+# ------------------------------------------------------------------ BFS hops
+def bfs_hops(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+             seeds: list, max_iters: int = 50,
+             num_buckets: int | None = None,
+             driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, hops)`` — minimum UNDIRECTED hop count from the seed
+    set over the distinct simple graph of ``edges`` (multi-source BFS;
+    KG use: distance-from-query-entities relatedness tiers, the hop
+    analogue of the personalized-PageRank neighborhood ranking).
+
+    Only REACHED nodes appear — unreachable nodes are absent, exactly
+    like ``connected_components`` omits singleton nodes (callers
+    left-join and treat null as unreachable).  Self-loops are harmless
+    (a ``hop+1`` candidate back onto a labeled node never beats its
+    existing label) and are left in.
+
+    Same two measured paths as ``connected_components`` (the hop label
+    is an int64 that only ever DECREASES under the keyed min-reduce, so
+    both paths are bit-identical):
+
+    * driver path (edge count <= ``driver_threshold``, MEASURED): the
+      skinny symmetrized id pairs come to the driver and a vectorized
+      numpy frontier relaxation runs one O(E) pass per hop level;
+    * distributed path: per iteration one partitioned hash join
+      (edge.src -> current labels) emitting ``hop+1`` candidates for
+      ``dst`` + one keyed min-aggregate, blocks re-bounded per round,
+      convergence by the blocking-independent multiset signature with
+      the exact old-vs-new join paid only on a signature match.
+
+    Seeds missing from the graph contribute nothing; raises if NO seed
+    is a graph node (same contract as personalized ``pagerank``).
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        return pa.table({
+            "s": pa.chunked_array([a, b]).combine_chunks(),
+            "d": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    e = _distinct_edges(
+        edges.select_columns([src, dst]).map_batches(
+            sym, batch_format="pyarrow", zero_copy_batch=True),
+        "s", "d", num_buckets=num_buckets).materialize()
+    n_edges = e.count()
+    # id type from the INPUT schema — an empty edge set aggregates to a
+    # dataset whose schema() is None
+    in_sch = edges.schema()
+    in_sch = getattr(in_sch, "base_schema", in_sch)
+    id_type = in_sch.field(src).type
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "hops": pa.array([], type=pa.int64())}))
+    seed_arr = pa.array(sorted(set(seeds))).cast(id_type)
+    if driver_threshold and n_edges <= driver_threshold:
+        return _bfs_driver(e, seed_arr, max_iters)
+    return _bfs_distributed(e, seed_arr, max_iters=max_iters,
+                            num_buckets=num_buckets)
+
+
+def _bfs_driver(e: rd.Dataset, seed_arr: pa.Array,
+                max_iters: int) -> rd.Dataset:
+    """Vectorized numpy frontier relaxation over the (already
+    symmetrized, distinct, driver-gathered) skinny edge list."""
+    df = e.to_pandas()
+    codes, nodes = pd.factorize(
+        pd.concat([df["s"], df["d"]], ignore_index=True), sort=True)
+    n = len(df)
+    sc, dc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    seed_mask = np.isin(np.asarray(nodes), np.asarray(seed_arr))
+    if not seed_mask.any():
+        raise ValueError("no seed appears as a graph node")
+    dist[seed_mask] = 0
+    for h in range(max_iters):
+        frontier = dist[sc] == h
+        newly = dc[frontier]
+        newly = newly[dist[newly] < 0]
+        if len(newly) == 0:
+            break
+        dist[newly] = h + 1
+    reached = dist >= 0
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(np.asarray(nodes)[reached]).cast(
+            seed_arr.type),
+        "hops": pa.array(dist[reached])}))
+
+
+def _bfs_distributed(e: rd.Dataset, seed_arr: pa.Array, *,
+                     max_iters: int,
+                     num_buckets: int | None) -> rd.Dataset:
+    nblocks = max(e.num_blocks(), num_buckets or default_num_buckets())
+    e_schema = e.schema()
+    e_schema = getattr(e_schema, "base_schema", e_schema)
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.is_in(t["s"], value_set=seed_arr))
+        return pa.table({
+            "node_id": kept["s"],
+            "hops": pa.array(np.zeros(kept.num_rows, dtype=np.int64))})
+
+    labels = hash_aggregate(
+        e.map_batches(seed_rows, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("hops", "min")], rename={"hops_min": "hops"},
+        num_buckets=num_buckets, exchange="shuffle",
+    ).repartition(nblocks).materialize()
+    if labels.count() == 0:
+        raise ValueError("no seed appears as a graph node")
+    labels_schema = labels.schema()
+    labels_schema = getattr(labels_schema, "base_schema", labels_schema)
+    prev_sig = _labels_sig(labels, value_col="hops")
+
+    for _ in range(max_iters):
+        prop = bucketed_join(
+            e, labels, left_key="s", right_key="node_id",
+            right_value_cols=["hops"], num_buckets=num_buckets,
+            left_schema=e_schema, right_schema=labels_schema)
+
+        def hop_plus_one(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node_id": t["d"],
+                "hops": pc.add(t["hops"], pa.scalar(1, pa.int64()))})
+
+        cand = prop.map_batches(hop_plus_one, batch_format="pyarrow",
+                                zero_copy_batch=True).union(labels)
+        new_labels = hash_aggregate(
+            cand, ["node_id"], [("hops", "min")],
+            rename={"hops_min": "hops"},
+            num_buckets=num_buckets, exchange="shuffle",
+        ).repartition(nblocks).materialize()
+
+        new_sig = _labels_sig(new_labels, value_col="hops")
+        if new_sig == prev_sig and _changed_count(
+                new_labels, labels, num_buckets, value_col="hops") == 0:
+            return new_labels
+        labels, prev_sig = new_labels, new_sig
+
+    raise RuntimeError(
+        f"bfs_hops did not converge within {max_iters} iterations "
+        f"(graph diameter exceeds max_iters); raise max_iters")
+
+
+# ------------------------------------------------------------------ k-core
+def kcore(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+          k: int = 2, max_rounds: int = 30,
+          num_buckets: int | None = None,
+          driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, degree)`` — the k-core of the UNDIRECTED simple graph
+    underlying ``edges`` (direction, parallel edges and self-loops
+    ignored): iteratively peel every node of degree < k until the fixed
+    point; ``degree`` is the node's WITHIN-CORE degree (>= k by
+    construction).  KG use: dense-core extraction for entity-cluster
+    quality tiers — peripheral one-mention entities peel away, the core
+    keeps the densely cross-referenced subgraph.
+
+    Peeling only ever REMOVES edges, so the fixed point is reached when
+    one round removes nothing — detected with a cheap count on the
+    round's materialized edge set, no join.  Per round the distributed
+    path runs one endpoint-explode + keyed count (degrees), then two
+    partitioned semi-joins filtering edges to surviving endpoints; all
+    exchanges move skinny id columns only.  Below ``driver_threshold``
+    distinct undirected edges (MEASURED, the connected_components 2M
+    policy) a vectorized numpy peel runs the identical iteration —
+    bit-equal output, no exchange scheduling.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        keep = pc.invert(pc.equal(a, b))
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        lo = pc.if_else(pc.less(a, b), a, b)
+        hi = pc.if_else(pc.less(a, b), b, a)
+        return pa.table({"a": lo, "b": hi})
+
+    und = hash_aggregate(
+        edges.select_columns([src, dst]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["a", "b"]).materialize()
+    n_und = und.count()
+    # the id type comes from the INPUT schema — an all-self-loop edge
+    # set aggregates to an empty dataset whose schema() is None
+    in_sch = edges.schema()
+    in_sch = getattr(in_sch, "base_schema", in_sch)
+    id_type = in_sch.field(src).type
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "degree": pa.array([], type=pa.int64())}))
+
+    if n_und == 0:
+        return empty()
+    if driver_threshold and n_und <= driver_threshold:
+        return _kcore_driver(und, k, max_rounds, id_type)
+
+    cur, prev_n = und, n_und
+    for _ in range(max_rounds):
+        def endpoints(t: pa.Table) -> pa.Table:
+            return pa.table({"node_id": pa.chunked_array(
+                [t.column("a"), t.column("b")]).combine_chunks()})
+
+        deg = hash_aggregate(
+            cur.map_batches(endpoints, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            ["node_id"], [("node_id", "count")],
+            rename={"node_id_count": "degree"},
+            num_buckets=num_buckets, exchange="shuffle")
+        keep = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["degree"], pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow").materialize()
+        # two semi-joins: an edge survives iff BOTH endpoints kept.
+        # EVERY schema below is passed explicitly and statically:
+        # probing .schema() on a lazy side re-executes it (the
+        # documented chained-join rule in functions/agg.py), and even a
+        # MATERIALIZED select_columns-of-join output can report the
+        # pre-projection schema when late buckets are empty (observed
+        # on Ray 2.49: cur.schema() -> [a, b, degree] while every
+        # non-empty block holds only [a, b]).
+        pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+        keep_schema = pa.schema([("node_id", id_type),
+                                 ("degree", pa.int64())])
+        half = bucketed_join(
+            cur, keep, left_key="a", right_key="node_id",
+            right_value_cols=["degree"], num_buckets=num_buckets,
+            left_schema=pair_schema, right_schema=keep_schema,
+        ).select_columns(["a", "b"])
+        nxt = bucketed_join(
+            half, keep, left_key="b", right_key="node_id",
+            right_value_cols=["degree"], num_buckets=num_buckets,
+            left_schema=pair_schema, right_schema=keep_schema,
+        ).select_columns(["a", "b"]).materialize()
+        n_nxt = nxt.count()
+        if n_nxt == prev_n:
+            # fixed point: nothing peeled, so ``keep`` IS the core's
+            # (node_id, within-core degree) table
+            return keep
+        if n_nxt == 0:
+            return empty()
+        cur, prev_n = nxt, n_nxt
+
+    raise RuntimeError(
+        f"kcore did not stabilize within {max_rounds} peel rounds; "
+        f"raise max_rounds")
+
+
+def _kcore_driver(und: rd.Dataset, k: int, max_rounds: int,
+                  id_type: pa.DataType) -> rd.Dataset:
+    """Vectorized numpy peel over the (already canonical-distinct,
+    driver-gathered) skinny undirected edge list."""
+    df = und.to_pandas()
+    codes, nodes = pd.factorize(
+        pd.concat([df["a"], df["b"]], ignore_index=True), sort=True)
+    n = len(df)
+    ac, bc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    n_nodes = len(nodes)
+    alive = np.ones(n, dtype=bool)
+    for _ in range(max_rounds + 1):
+        deg = (np.bincount(ac[alive], minlength=n_nodes)
+               + np.bincount(bc[alive], minlength=n_nodes))
+        ok = deg >= k
+        nxt = alive & ok[ac] & ok[bc]
+        if (nxt == alive).all():
+            kept = deg >= k
+            return rd.from_arrow(pa.table({
+                "node_id": pa.array(np.asarray(nodes)[kept]).cast(id_type),
+                "degree": pa.array(deg[kept].astype(np.int64))}))
+        alive = nxt
+    raise RuntimeError(
+        f"kcore did not stabilize within {max_rounds} peel rounds; "
+        f"raise max_rounds")

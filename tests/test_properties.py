@@ -536,3 +536,136 @@ def test_triangle_count_wedge_limit_falls_back_to_distributed():
                                  "dst": [b for _, b in raw]}))
     assert triangle_count(ds, driver_threshold=500_000,
                           driver_wedge_limit=1) == ref
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (5, 25, 60, 0),         # forced DISTRIBUTED path
+    (5, 25, 60, 500_000),   # measured driver fast path, same input
+    (13, 10, 12, 0),        # sparse: unreachable nodes exist
+    (13, 10, 12, 500_000),
+])
+def test_bfs_hops_matches_reference(seed, n_nodes, n_edges,
+                                    driver_threshold):
+    """Multi-source BFS (BOTH paths) == a sequential BFS over the
+    undirected simple graph; unreachable nodes are absent."""
+    import random
+    from collections import deque
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        bfs_hops,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    nodes = sorted({x for p in raw for x in p})
+    seeds = nodes[:2]
+
+    adj: dict[str, set[str]] = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[str, int] = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        x = dq.popleft()
+        for y in adj[x]:
+            if y not in want:
+                want[y] = want[x] + 1
+                dq.append(y)
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = bfs_hops(ds, seeds=seeds,
+                   driver_threshold=driver_threshold).to_pandas()
+    assert dict(zip(got["node_id"], got["hops"])) == want
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_bfs_hops_empty_and_bad_seeds(driver_threshold):
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        bfs_hops,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = bfs_hops(empty, seeds=["x"], driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "hops"]
+    assert out.count() == 0
+
+    ds = rd.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
+    with pytest.raises(ValueError):
+        bfs_hops(ds, seeds=[], driver_threshold=driver_threshold)
+    with pytest.raises(ValueError):
+        bfs_hops(ds, seeds=["zz-not-a-node"],
+                 driver_threshold=driver_threshold).to_pandas()
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,k,driver_threshold", [
+    (2, 25, 70, 2, 0),         # forced DISTRIBUTED path
+    (2, 25, 70, 2, 500_000),   # measured driver fast path, same input
+    (8, 15, 30, 3, 0),
+    (8, 15, 30, 3, 500_000),
+    (4, 30, 29, 2, 0),         # tree-ish: long peel chains
+    (4, 30, 29, 2, 500_000),
+])
+def test_kcore_matches_peel_reference(seed, n_nodes, n_edges, k,
+                                      driver_threshold):
+    """k-core (BOTH paths) == the sequential peel over the undirected
+    simple graph (self-loops and parallel edges dropped); the reported
+    degree is the within-core degree."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        kcore,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    while True:
+        deg: dict[str, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nxt = {(a, b) for a, b in und if deg[a] >= k and deg[b] >= k}
+        if nxt == und:
+            break
+        und = nxt
+    want = {v: c for v, c in deg.items() if c >= k}
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = kcore(ds, k=k, driver_threshold=driver_threshold).to_pandas()
+    # empty Ray datasets drop column names in to_pandas()
+    got_map = ({} if len(got) == 0
+               else dict(zip(got["node_id"], got["degree"])))
+    assert got_map == want
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_kcore_empty_and_vanishing(driver_threshold):
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        kcore,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = kcore(empty, k=2, driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "degree"]
+    assert out.count() == 0
+
+    # a pure path graph has an empty 2-core (peels end-in)
+    path = rd.from_arrow(pa.table({
+        "src": [f"p{i}" for i in range(6)],
+        "dst": [f"p{i + 1}" for i in range(6)],
+    }))
+    assert kcore(path, k=2, driver_threshold=driver_threshold).count() == 0
+
+    # ...and self-loops never save a node from peeling
+    loops = rd.from_arrow(pa.table({"src": ["x", "x"], "dst": ["x", "y"]}))
+    assert kcore(loops, k=2, driver_threshold=driver_threshold).count() == 0
+
+    with pytest.raises(ValueError):
+        kcore(path, k=0, driver_threshold=driver_threshold)
