@@ -2961,14 +2961,33 @@ def _pagerank_sql(n_iters: int, scale: int, num: int, den: int,
     return "\n".join(parts)
 
 
+_KG_EDGES_CACHE: dict[str, rd.Dataset] = {}
+
+
 def _kg_simple_edges(sf_dir: str) -> rd.Dataset:
+    """Resolved-KG ``(src_id, dst_id)`` edge set, MATERIALIZED and
+    cached per (sf_dir, testdata mtime, code version) — six graph
+    queries share it per driver/bench run, and the node-map rebuild
+    dominated each one's wall time before the cache.  The cache holds
+    a materialized Dataset (blocks stay in the object store), never a
+    driver-side gather, so it is scale-safe."""
+    import json as _json
+
     from .pipelines.graph_build import build_edges, build_nodes, node_id_map
 
-    out = _materialize_kg_inputs(sf_dir)
-    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
-    nmap = node_id_map(build_nodes(extr))
-    triples = rd.read_parquet(f"{out}/triples")
-    return build_edges(triples, nmap).select_columns(["src_id", "dst_id"])
+    key = _json.dumps(_kg_cache_key(sf_dir), sort_keys=True)
+    ds = _KG_EDGES_CACHE.get(key)
+    if ds is None:
+        out = _materialize_kg_inputs(sf_dir)
+        extr = rd.read_parquet(f"{out}/extractions",
+                               columns=["doc_id", "nodes"])
+        nmap = node_id_map(build_nodes(extr))
+        triples = rd.read_parquet(f"{out}/triples")
+        ds = build_edges(triples, nmap).select_columns(
+            ["src_id", "dst_id"]).materialize()
+        _KG_EDGES_CACHE.clear()  # one live sf at a time
+        _KG_EDGES_CACHE[key] = ds
+    return ds
 
 
 @query("kg_pagerank", _pagerank_sql(5, _GRAPH_PAGERANK_SCALE, 85, 100))

@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "doc_mixture_sample", "doc_shuffle_head", "doc_bpe_token_stats",
     "price_quantile_sketch", "doc_sample_per_source",
     "chars_quantile_sketch_by_source",
+    # graph analytics over the built KG.  The FIRST of these pays the
+    # one-time shared KG input build for SF_DIR (extraction + triples,
+    # cached under /tmp for the rest); the later ones time the operator
+    # itself.
+    "kg_pagerank", "kg_pagerank_seeded", "kg_degree_stats",
+    "kg_triangles", "kg_bfs_hops", "kg_kcore",
+    # interleaved-source scheduling + cross-source contamination
+    "doc_interleave", "source_overlap_matrix",
 ]
 
 
