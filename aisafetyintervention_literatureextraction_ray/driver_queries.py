@@ -3257,6 +3257,51 @@ def _kcore_sql(k: int, n_rounds: int) -> str:
     return "\n".join(parts)
 
 
+@query(
+    "kg_link_prediction",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    u AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+          FROM e WHERE s <> d),
+    adj AS (SELECT a AS c, b AS n FROM u
+            UNION ALL SELECT b AS c, a AS n FROM u),
+    dg AS (SELECT c, COUNT(*) AS deg FROM adj GROUP BY c),
+    p AS (SELECT a1.n AS id_a, a2.n AS id_b
+          FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n),
+    cn AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS common
+           FROM p GROUP BY id_a, id_b)
+    SELECT cn.id_a, cn.id_b, cn.common,
+           CAST((cn.common * 1000000)
+                // (da.deg + db.deg - cn.common) AS BIGINT) AS jaccard_fp
+    FROM cn JOIN dg da ON da.c = cn.id_a JOIN dg db ON db.c = cn.id_b
+    ORDER BY cn.common DESC, cn.id_a, cn.id_b
+    LIMIT 50
+    """,
+)
+def kg_link_prediction(sf_dir: str):
+    """Common-neighbor / neighborhood-Jaccard link prediction over the
+    resolved KG (functions/graph.py::neighbor_overlap) — the
+    entity-MERGE candidate channel that catches co-referent entities
+    whose surface forms share no text: pairs sharing a neighbor,
+    ranked by shared-neighbor count.  jaccard_fp is exact integer fixed
+    point, so the oracle replays it bit-for-bit; ordering is total
+    (unordered pairs are unique), so the top-50 cut is deterministic."""
+    from .functions.graph import neighbor_overlap
+
+    out = neighbor_overlap(_kg_simple_edges(sf_dir), src="src_id",
+                           dst="dst_id", min_common=1).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "common": pd.Series([], dtype="int64"),
+                             "jaccard_fp": pd.Series([], dtype="int64")})
+    for c in ("common", "jaccard_fp"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["common", "id_a", "id_b"],
+                            ascending=[False, True, True])
+            .head(50).reset_index(drop=True))
+
+
 @query("kg_kcore", _kcore_sql(2, 25))
 def kg_kcore(sf_dir: str):
     """2-core of the resolved KG's undirected simple graph
@@ -3294,7 +3339,7 @@ _DRIVER_ORDER = [
     "kg_canonicalized", "kg_merge_pairs_parity", "kg_cypher_export",
     # graph analytics over the built KG (round-4/5, never driver-sampled)
     "kg_pagerank", "kg_pagerank_seeded", "kg_degree_stats", "kg_triangles",
-    "kg_bfs_hops", "kg_kcore", "dedup_components",
+    "kg_bfs_hops", "kg_kcore", "kg_link_prediction", "dedup_components",
     # interleaved-doc sources + scheduling
     "doc_interleave", "source_overlap_matrix", "pdf_ingest", "ard_roundtrip",
     # dedup / similarity family
@@ -3303,8 +3348,7 @@ _DRIVER_ORDER = [
     "ann_ivf_topk", "resume_antijoin",
     # windowing / joins
     "events_hourly_window", "events_sessionize", "events_asof_orders",
-    "events_orders_range_join", "events_hourly_type_pivot",
-    "top_docs_per_source",
+    "events_orders_range_join", "top_docs_per_source",
     # text analysis
     "doc_token_stats", "lang_id_distribution", "doc_top_terms",
     "doc_fingerprints", "pii_redaction", "doc_decontaminate",
@@ -3316,6 +3360,7 @@ _DRIVER_ORDER = [
     # ---- position 51+: twice driver-verified (r3+r4 green artifacts),
     # ---- pytest-parity-checked siblings of still-sampled patterns
     "media_feature_extraction", "approx_distinct_users",
+    "events_hourly_type_pivot",
     "customer_nation_rollup", "distinct_doc_sources", "top_docs_by_chars",
     "events_sliding_window", "orders_running_total", "doc_chars_quantiles",
     "ngram_neardup_pairs", "doc_quality_scores", "doc_split_stats",

@@ -909,3 +909,222 @@ def _kcore_driver(und: rd.Dataset, k: int, max_rounds: int,
     raise RuntimeError(
         f"kcore did not stabilize within {max_rounds} peel rounds; "
         f"raise max_rounds")
+
+
+# ------------------------------------------------------- neighbor overlap
+def neighbor_overlap(edges: rd.Dataset, *, src: str = "src",
+                     dst: str = "dst", min_common: int = 1,
+                     max_center_degree: int = 10_000,
+                     num_buckets: int | None = None,
+                     driver_threshold: int = 500_000,
+                     driver_wedge_limit: int = 20_000_000) -> rd.Dataset:
+    """``(id_a, id_b, common, jaccard_fp)`` — unordered node pairs of
+    the UNDIRECTED simple graph sharing at least ``min_common``
+    neighbors, with ``common`` = shared-neighbor count and
+    ``jaccard_fp = (common * 10^6) // (deg_a + deg_b - common)`` (the
+    neighborhood-Jaccard link-prediction score in exact integer fixed
+    point — bit-identical under any blocking, SQL-replayable).  KG use:
+    entity-MERGE candidate generation — two mentions of the same
+    underlying entity co-occur with the same neighbor entities even
+    when their surface forms share no text, so high neighborhood
+    overlap surfaces merge pairs the string/embedding channels miss.
+    Adjacent pairs are included (adjacency and overlap are independent
+    signals; callers filter if they want non-edges only).
+
+    Scale shape: the wedge expansion through a center node c is
+    C(deg(c), 2), so hub nodes explode quadratically — centers with
+    degree > ``max_center_degree`` are SKIPPED as wedge centers (their
+    own pair scores survive via their other, low-degree co-neighbors)
+    and the dropped wedge count is reported loudly via
+    ``functions/runstats`` (the LSH-truncation policy); degrees in
+    ``jaccard_fp`` always come from the full graph.  All exchanges move
+    skinny id columns: one keyed degree count, a per-center grouped
+    pair expansion, one (id_a, id_b) count reduce, two degree joins.
+    Below ``driver_threshold`` distinct undirected edges (MEASURED,
+    the ``triangle_count`` policy) a vectorized numpy expansion runs
+    the identical arithmetic, doubly gated by the exact wedge total
+    computed from degrees BEFORE any expansion.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        keep = pc.invert(pc.equal(a, b))
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        lo = pc.if_else(pc.less(a, b), a, b)
+        hi = pc.if_else(pc.less(a, b), b, a)
+        return pa.table({"a": lo, "b": hi})
+
+    und = hash_aggregate(
+        edges.select_columns([src, dst]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["a", "b"]).materialize()
+    n_und = und.count()
+    in_sch = edges.schema()
+    in_sch = getattr(in_sch, "base_schema", in_sch)
+    id_type = in_sch.field(src).type
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "common": pa.array([], type=pa.int64()),
+            "jaccard_fp": pa.array([], type=pa.int64())}))
+
+    if n_und == 0:
+        return empty()
+    if driver_threshold and n_und <= driver_threshold:
+        res = _neighbor_overlap_driver(
+            und, id_type, min_common=min_common,
+            max_center_degree=max_center_degree,
+            wedge_limit=driver_wedge_limit)
+        if res is not None:
+            return res
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": pa.chunked_array([t.column("a"),
+                                   t.column("b")]).combine_chunks(),
+            "n": pa.chunked_array([t.column("b"),
+                                   t.column("a")]).combine_chunks()})
+
+    adj = und.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    deg = hash_aggregate(
+        adj.select_columns(["c"]), ["c"], [("c", "count")],
+        rename={"c_count": "deg"},
+        num_buckets=num_buckets, exchange="shuffle").materialize()
+    adj_schema = pa.schema([("c", id_type), ("n", id_type)])
+    deg_schema = pa.schema([("c", id_type), ("deg", pa.int64())])
+
+    # drop hub CENTERS before the quadratic expansion (their rows as
+    # NEIGHBORS survive — only their role as wedge center is skipped)
+    with_deg = bucketed_join(
+        adj, deg, left_key="c", right_key="c", right_value_cols=["deg"],
+        num_buckets=num_buckets, left_schema=adj_schema,
+        right_schema=deg_schema).materialize()
+    kept = with_deg.map_batches(
+        lambda t: t.filter(pc.less_equal(
+            t["deg"], pa.scalar(max_center_degree, pa.int64()))),
+        batch_format="pyarrow").select_columns(["c", "n"]).materialize()
+    n_dropped = with_deg.count() - kept.count()
+    if n_dropped:
+        from .runstats import report_truncation
+
+        report_truncation("neighbor_overlap.hub_center",
+                          dropped=n_dropped)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        ns = np.sort(g["n"].to_numpy())
+        ia, ib = np.triu_indices(len(ns), k=1)
+        return pd.DataFrame({"id_a": ns[ia], "id_b": ns[ib]})
+
+    from .agg import bucketed_group_map
+
+    pairs = bucketed_group_map(kept, ["c"], expand, min_group_size=2,
+                               num_buckets=num_buckets,
+                               exchange="shuffle")
+    cn = hash_aggregate(
+        pairs, ["id_a", "id_b"], [("id_a", "count")],
+        rename={"id_a_count": "common"},
+        num_buckets=num_buckets, exchange="shuffle",
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["common"], pa.scalar(min_common, pa.int64()))),
+        batch_format="pyarrow").materialize()
+    cn_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                           ("common", pa.int64())])
+
+    def rename_deg(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["c", col])
+        return f
+
+    j1 = bucketed_join(
+        cn, deg.map_batches(rename_deg("deg_a"), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        left_key="id_a", right_key="c", right_value_cols=["deg_a"],
+        num_buckets=num_buckets, left_schema=cn_schema,
+        right_schema=pa.schema([("c", id_type), ("deg_a", pa.int64())]))
+    j2 = bucketed_join(
+        j1, deg.map_batches(rename_deg("deg_b"), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        left_key="id_b", right_key="c", right_value_cols=["deg_b"],
+        num_buckets=num_buckets,
+        left_schema=cn_schema.append(pa.field("deg_a", pa.int64())),
+        right_schema=pa.schema([("c", id_type), ("deg_b", pa.int64())]))
+
+    def score(t: pa.Table) -> pa.Table:
+        common = t.column("common").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        fp = (common * 1_000_000) // (da + db - common)
+        return pa.table({"id_a": t.column("id_a"),
+                         "id_b": t.column("id_b"),
+                         "common": t.column("common"),
+                         "jaccard_fp": pa.array(fp, type=pa.int64())})
+
+    return j2.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _neighbor_overlap_driver(und: rd.Dataset, id_type: pa.DataType, *,
+                             min_common: int, max_center_degree: int,
+                             wedge_limit: int) -> rd.Dataset | None:
+    """Vectorized numpy wedge expansion over the (already
+    canonical-distinct, driver-gathered) skinny undirected edge list;
+    returns None when the exact pre-computed wedge total exceeds
+    ``wedge_limit`` (caller falls through to the distributed path)."""
+    df = und.to_pandas()
+    codes, nodes = pd.factorize(
+        pd.concat([df["a"], df["b"]], ignore_index=True), sort=True)
+    m = len(df)
+    ac, bc = codes[:m].astype(np.int64), codes[m:].astype(np.int64)
+    n_nodes = len(nodes)
+    full_deg = np.bincount(ac, minlength=n_nodes) + np.bincount(
+        bc, minlength=n_nodes)
+
+    # symmetrized adjacency sorted by center
+    cs = np.concatenate([ac, bc])
+    ns = np.concatenate([bc, ac])
+    center_ok = full_deg[cs] <= max_center_degree
+    if not center_ok.all():
+        from .runstats import report_truncation
+
+        report_truncation("neighbor_overlap.hub_center",
+                          dropped=int((~center_ok).sum()))
+        cs, ns = cs[center_ok], ns[center_ok]
+    sizes = np.bincount(cs, minlength=n_nodes).astype(np.int64)
+    total_wedges = int((sizes * (sizes - 1) // 2).sum())
+    if total_wedges > wedge_limit:
+        return None
+
+    order = np.lexsort((ns, cs))  # by center, neighbors ascending
+    ns = ns[order]
+    starts = np.repeat(np.cumsum(sizes) - sizes, sizes)
+    # element at sorted position i pairs with the (s - 1 - local_i)
+    # elements after it in its center block
+    rep = (np.repeat(sizes, sizes) - 1
+           - (np.arange(len(ns)) - starts)) if len(ns) else np.zeros(
+               0, dtype=np.int64)
+    first = np.repeat(np.arange(len(ns)), rep)
+    cum = np.concatenate([[0], np.cumsum(rep)])
+    second = (np.arange(int(cum[-1])) - np.repeat(cum[:-1], rep)
+              + first + 1)
+    # neighbors are sorted within each block, so x < y already
+    key = ns[first] * np.int64(n_nodes) + ns[second]
+    uniq, counts = np.unique(key, return_counts=True)
+    keepm = counts >= min_common
+    uniq, counts = uniq[keepm], counts[keepm]
+    xa, xb = uniq // n_nodes, uniq % n_nodes
+    da, db = full_deg[xa], full_deg[xb]
+    fp = (counts * 1_000_000) // (da + db - counts)
+    node_arr = np.asarray(nodes)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(node_arr[xa]).cast(id_type),
+        "id_b": pa.array(node_arr[xb]).cast(id_type),
+        "common": pa.array(counts.astype(np.int64)),
+        "jaccard_fp": pa.array(fp.astype(np.int64))}))

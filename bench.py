@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     # cached under /tmp for the rest); the later ones time the operator
     # itself.
     "kg_pagerank", "kg_pagerank_seeded", "kg_degree_stats",
-    "kg_triangles", "kg_bfs_hops", "kg_kcore",
+    "kg_triangles", "kg_bfs_hops", "kg_kcore", "kg_link_prediction",
     # interleaved-source scheduling + cross-source contamination
     "doc_interleave", "source_overlap_matrix",
 ]

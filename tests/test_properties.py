@@ -669,3 +669,104 @@ def test_kcore_empty_and_vanishing(driver_threshold):
 
     with pytest.raises(ValueError):
         kcore(path, k=0, driver_threshold=driver_threshold)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,min_common,driver_threshold", [
+    (7, 20, 60, 1, 0),         # forced DISTRIBUTED path
+    (7, 20, 60, 1, 500_000),   # measured driver fast path, same input
+    (3, 15, 40, 2, 0),
+    (3, 15, 40, 2, 500_000),
+])
+def test_neighbor_overlap_matches_bruteforce(seed, n_nodes, n_edges,
+                                             min_common,
+                                             driver_threshold):
+    """Common-neighbor counts and fixed-point Jaccard (BOTH paths) ==
+    brute-force set intersection over all node pairs."""
+    import itertools
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        neighbor_overlap,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        c = len(adj[x] & adj[y])
+        if c >= min_common:
+            ref[(x, y)] = (c, (c * 1_000_000)
+                           // (len(adj[x]) + len(adj[y]) - c))
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = neighbor_overlap(ds, min_common=min_common,
+                           driver_threshold=driver_threshold).to_pandas()
+    got_map = ({} if len(got) == 0 else
+               {(r.id_a, r.id_b): (r.common, r.jaccard_fp)
+                for r in got.itertuples()})
+    assert got_map == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_neighbor_overlap_hub_cap_and_empty(driver_threshold):
+    """A hub center above max_center_degree contributes NO wedges (its
+    pair scores vanish when it was the only shared neighbor), while
+    full-graph degrees still feed jaccard_fp; empty input gives a
+    typed empty result."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        neighbor_overlap,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = neighbor_overlap(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["id_a", "id_b", "common", "jaccard_fp"]
+    assert out.count() == 0
+
+    # star: hub h joins leaves l0..l4; plus one triangle edge l0-l1
+    ds = rd.from_arrow(pa.table({
+        "src": ["h"] * 5 + ["l0"],
+        "dst": [f"l{i}" for i in range(5)] + ["l1"],
+    }))
+    capped = neighbor_overlap(ds, max_center_degree=3,
+                              driver_threshold=driver_threshold
+                              ).to_pandas()
+    got = {(r.id_a, r.id_b): (r.common, r.jaccard_fp)
+           for r in capped.itertuples()}
+    # hub (degree 5 > 3) is never a wedge center: the leaf pairs it
+    # alone connected are gone; l0-l1's wedge through h is also gone,
+    # but h's OWN pairs via centers l0/l1 (degree 2 <= 3) survive,
+    # scored with the hub's FULL degree 5
+    assert got == {("h", "l1"): (1, 1_000_000 // 6),
+                   ("h", "l0"): (1, 1_000_000 // 6)}
+
+    uncapped = neighbor_overlap(ds, driver_threshold=driver_threshold
+                                ).to_pandas()
+    assert len(uncapped) == 12  # C(5,2) leaf pairs + (h,l0) + (h,l1)
+
+    with pytest.raises(ValueError):
+        neighbor_overlap(ds, min_common=0,
+                         driver_threshold=driver_threshold)
+
+
+def test_neighbor_overlap_wedge_limit_falls_back_to_distributed():
+    """If the exact wedge total exceeds the driver limit, the measured
+    gate refuses the driver path and the distributed path still
+    returns identical results."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        neighbor_overlap,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["h"] * 6, "dst": [f"l{i}" for i in range(6)]}))
+    got = neighbor_overlap(ds, driver_threshold=500_000,
+                           driver_wedge_limit=1).to_pandas()
+    assert len(got) == 15  # C(6,2), computed on the distributed path
+    assert (got["common"] == 1).all()
