@@ -2973,9 +2973,16 @@ def _kg_simple_edges(sf_dir: str) -> rd.Dataset:
     driver-side gather, so it is scale-safe."""
     import json as _json
 
+    import ray
+
     from .pipelines.graph_build import build_edges, build_nodes, node_id_map
 
-    key = _json.dumps(_kg_cache_key(sf_dir), sort_keys=True)
+    # the Ray job id is part of the key: a cached Dataset's blocks live
+    # in the CURRENT session's object store, so a shutdown+re-init in
+    # the same process must miss (stale refs would raise owner-died)
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else "no-ray")
+    key = job + _json.dumps(_kg_cache_key(sf_dir), sort_keys=True)
     ds = _KG_EDGES_CACHE.get(key)
     if ds is None:
         out = _materialize_kg_inputs(sf_dir)
@@ -3257,6 +3264,9 @@ def _kcore_sql(k: int, n_rounds: int) -> str:
     return "\n".join(parts)
 
 
+_LINKPRED_HUB_CAP = 10_000  # mirrors neighbor_overlap's default cap
+
+
 @query(
     "kg_link_prediction",
     f"""
@@ -3267,7 +3277,8 @@ def _kcore_sql(k: int, n_rounds: int) -> str:
             UNION ALL SELECT b AS c, a AS n FROM u),
     dg AS (SELECT c, COUNT(*) AS deg FROM adj GROUP BY c),
     p AS (SELECT a1.n AS id_a, a2.n AS id_b
-          FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n),
+          FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n
+          JOIN dg ON dg.c = a1.c AND dg.deg <= {_LINKPRED_HUB_CAP}),
     cn AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS common
            FROM p GROUP BY id_a, id_b)
     SELECT cn.id_a, cn.id_b, cn.common,
@@ -3284,12 +3295,16 @@ def kg_link_prediction(sf_dir: str):
     entity-MERGE candidate channel that catches co-referent entities
     whose surface forms share no text: pairs sharing a neighbor,
     ranked by shared-neighbor count.  jaccard_fp is exact integer fixed
-    point, so the oracle replays it bit-for-bit; ordering is total
-    (unordered pairs are unique), so the top-50 cut is deterministic."""
+    point and the engine's hub-center cap is modeled in the SQL (the
+    dg semi-join on the wedge center), so the oracle replays the
+    capped engine bit-for-bit; ordering is total (unordered pairs are
+    unique), so the top-50 cut is deterministic."""
     from .functions.graph import neighbor_overlap
 
     out = neighbor_overlap(_kg_simple_edges(sf_dir), src="src_id",
-                           dst="dst_id", min_common=1).to_pandas()
+                           dst="dst_id", min_common=1,
+                           max_center_degree=_LINKPRED_HUB_CAP
+                           ).to_pandas()
     if len(out) == 0:  # empty Ray to_pandas drops column names
         return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                              "id_b": pd.Series([], dtype=object),
@@ -3302,14 +3317,16 @@ def kg_link_prediction(sf_dir: str):
             .head(50).reset_index(drop=True))
 
 
-@query("kg_kcore", _kcore_sql(2, 25))
+@query("kg_kcore", _kcore_sql(2, 31))
 def kg_kcore(sf_dir: str):
     """2-core of the resolved KG's undirected simple graph
     (functions/graph.py::kcore): iteratively peel nodes of degree < 2
     until the fixed point — peripheral one-mention entities fall away,
     the densely cross-referenced core survives with its within-core
-    degree.  The oracle unrolls 25 peel rounds; peeling is monotone so
-    extra rounds past the fixed point are no-ops."""
+    degree.  The oracle unrolls 31 peel rounds — one MORE than the
+    engine's max_rounds=30 (its k{31} reads the u{30} edge set, so it
+    covers every depth the engine can return without raising); peeling
+    is monotone so extra rounds past the fixed point are no-ops."""
     from .functions.graph import kcore
 
     out = kcore(_kg_simple_edges(sf_dir), src="src_id", dst="dst_id",

@@ -630,6 +630,49 @@ def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,
     ).count()
 
 
+def _undirected_simple_edges(edges: rd.Dataset, src: str, dst: str, *,
+                             num_buckets: int | None) -> rd.Dataset:
+    """Materialized distinct ``(a < b)`` undirected simple edge list of
+    ``edges`` — self-loops and parallel/reverse duplicates dropped via
+    one canonicalizing map + keyed distinct (shared by ``kcore`` and
+    ``neighbor_overlap``; ``triangle_count`` keeps its own string-cast
+    variant because its pair keys feed a binary join)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        keep = pc.invert(pc.equal(a, b))
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        lo = pc.if_else(pc.less(a, b), a, b)
+        hi = pc.if_else(pc.less(a, b), b, a)
+        return pa.table({"a": lo, "b": hi})
+
+    return hash_aggregate(
+        edges.select_columns([src, dst]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["a", "b"]).materialize()
+
+
+def _input_id_type(edges: rd.Dataset, src: str) -> pa.DataType:
+    """Endpoint id type from the INPUT schema — aggregated edge sets
+    can come back empty with ``schema() is None``."""
+    in_sch = edges.schema()
+    in_sch = getattr(in_sch, "base_schema", in_sch)
+    return in_sch.field(src).type
+
+
+def _factorize_pairs(df: pd.DataFrame, col_a: str, col_b: str):
+    """``(codes_a, codes_b, nodes)`` — one shared integer-code space
+    over both endpoint columns (driver-path prologue shared by the BFS
+    / k-core / neighbor-overlap numpy kernels)."""
+    codes, nodes = pd.factorize(
+        pd.concat([df[col_a], df[col_b]], ignore_index=True), sort=True)
+    n = len(df)
+    return (codes[:n].astype(np.int64), codes[n:].astype(np.int64),
+            np.asarray(nodes))
+
+
 # ------------------------------------------------------------------ BFS hops
 def bfs_hops(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
              seeds: list, max_iters: int = 50,
@@ -677,11 +720,7 @@ def bfs_hops(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
             sym, batch_format="pyarrow", zero_copy_batch=True),
         "s", "d", num_buckets=num_buckets).materialize()
     n_edges = e.count()
-    # id type from the INPUT schema — an empty edge set aggregates to a
-    # dataset whose schema() is None
-    in_sch = edges.schema()
-    in_sch = getattr(in_sch, "base_schema", in_sch)
-    id_type = in_sch.field(src).type
+    id_type = _input_id_type(edges, src)
     if n_edges == 0:
         return rd.from_arrow(pa.table({
             "node_id": pa.array([], type=id_type),
@@ -697,27 +736,32 @@ def _bfs_driver(e: rd.Dataset, seed_arr: pa.Array,
                 max_iters: int) -> rd.Dataset:
     """Vectorized numpy frontier relaxation over the (already
     symmetrized, distinct, driver-gathered) skinny edge list."""
-    df = e.to_pandas()
-    codes, nodes = pd.factorize(
-        pd.concat([df["s"], df["d"]], ignore_index=True), sort=True)
-    n = len(df)
-    sc, dc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    sc, dc, nodes = _factorize_pairs(e.to_pandas(), "s", "d")
     dist = np.full(len(nodes), -1, dtype=np.int64)
-    seed_mask = np.isin(np.asarray(nodes), np.asarray(seed_arr))
+    seed_mask = np.isin(nodes, np.asarray(seed_arr))
     if not seed_mask.any():
         raise ValueError("no seed appears as a graph node")
     dist[seed_mask] = 0
+    converged = False
     for h in range(max_iters):
         frontier = dist[sc] == h
         newly = dc[frontier]
         newly = newly[dist[newly] < 0]
         if len(newly) == 0:
+            converged = True
             break
         dist[newly] = h + 1
+    if not converged:
+        # same contract (and same success set: seed eccentricity
+        # <= max_iters - 1) as the distributed path — refuse truncated
+        # hop labels instead of silently reporting reachable nodes as
+        # unreachable when the diameter exceeds max_iters
+        raise RuntimeError(
+            f"bfs_hops did not converge within {max_iters} iterations "
+            f"(graph diameter exceeds max_iters); raise max_iters")
     reached = dist >= 0
     return rd.from_arrow(pa.table({
-        "node_id": pa.array(np.asarray(nodes)[reached]).cast(
-            seed_arr.type),
+        "node_id": pa.array(nodes[reached]).cast(seed_arr.type),
         "hops": pa.array(dist[reached])}))
 
 
@@ -802,26 +846,10 @@ def kcore(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
     if k < 1:
         raise ValueError("k must be >= 1")
 
-    def canon(t: pa.Table) -> pa.Table:
-        a, b = t.column(src), t.column(dst)
-        keep = pc.invert(pc.equal(a, b))
-        a, b = pc.filter(a, keep), pc.filter(b, keep)
-        lo = pc.if_else(pc.less(a, b), a, b)
-        hi = pc.if_else(pc.less(a, b), b, a)
-        return pa.table({"a": lo, "b": hi})
-
-    und = hash_aggregate(
-        edges.select_columns([src, dst]).map_batches(
-            canon, batch_format="pyarrow", zero_copy_batch=True),
-        ["a", "b"], [("a", "count")],
-        num_buckets=num_buckets, exchange="shuffle",
-    ).select_columns(["a", "b"]).materialize()
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
     n_und = und.count()
-    # the id type comes from the INPUT schema — an all-self-loop edge
-    # set aggregates to an empty dataset whose schema() is None
-    in_sch = edges.schema()
-    in_sch = getattr(in_sch, "base_schema", in_sch)
-    id_type = in_sch.field(src).type
+    id_type = _input_id_type(edges, src)
 
     def empty() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -888,11 +916,8 @@ def _kcore_driver(und: rd.Dataset, k: int, max_rounds: int,
                   id_type: pa.DataType) -> rd.Dataset:
     """Vectorized numpy peel over the (already canonical-distinct,
     driver-gathered) skinny undirected edge list."""
-    df = und.to_pandas()
-    codes, nodes = pd.factorize(
-        pd.concat([df["a"], df["b"]], ignore_index=True), sort=True)
-    n = len(df)
-    ac, bc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    ac, bc, nodes = _factorize_pairs(und.to_pandas(), "a", "b")
+    n = len(ac)
     n_nodes = len(nodes)
     alive = np.ones(n, dtype=bool)
     for _ in range(max_rounds + 1):
@@ -903,7 +928,7 @@ def _kcore_driver(und: rd.Dataset, k: int, max_rounds: int,
         if (nxt == alive).all():
             kept = deg >= k
             return rd.from_arrow(pa.table({
-                "node_id": pa.array(np.asarray(nodes)[kept]).cast(id_type),
+                "node_id": pa.array(nodes[kept]).cast(id_type),
                 "degree": pa.array(deg[kept].astype(np.int64))}))
         alive = nxt
     raise RuntimeError(
@@ -948,24 +973,10 @@ def neighbor_overlap(edges: rd.Dataset, *, src: str = "src",
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
 
-    def canon(t: pa.Table) -> pa.Table:
-        a, b = t.column(src), t.column(dst)
-        keep = pc.invert(pc.equal(a, b))
-        a, b = pc.filter(a, keep), pc.filter(b, keep)
-        lo = pc.if_else(pc.less(a, b), a, b)
-        hi = pc.if_else(pc.less(a, b), b, a)
-        return pa.table({"a": lo, "b": hi})
-
-    und = hash_aggregate(
-        edges.select_columns([src, dst]).map_batches(
-            canon, batch_format="pyarrow", zero_copy_batch=True),
-        ["a", "b"], [("a", "count")],
-        num_buckets=num_buckets, exchange="shuffle",
-    ).select_columns(["a", "b"]).materialize()
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
     n_und = und.count()
-    in_sch = edges.schema()
-    in_sch = getattr(in_sch, "base_schema", in_sch)
-    id_type = in_sch.field(src).type
+    id_type = _input_id_type(edges, src)
 
     def empty() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -1078,11 +1089,7 @@ def _neighbor_overlap_driver(und: rd.Dataset, id_type: pa.DataType, *,
     canonical-distinct, driver-gathered) skinny undirected edge list;
     returns None when the exact pre-computed wedge total exceeds
     ``wedge_limit`` (caller falls through to the distributed path)."""
-    df = und.to_pandas()
-    codes, nodes = pd.factorize(
-        pd.concat([df["a"], df["b"]], ignore_index=True), sort=True)
-    m = len(df)
-    ac, bc = codes[:m].astype(np.int64), codes[m:].astype(np.int64)
+    ac, bc, nodes = _factorize_pairs(und.to_pandas(), "a", "b")
     n_nodes = len(nodes)
     full_deg = np.bincount(ac, minlength=n_nodes) + np.bincount(
         bc, minlength=n_nodes)
@@ -1091,16 +1098,20 @@ def _neighbor_overlap_driver(und: rd.Dataset, id_type: pa.DataType, *,
     cs = np.concatenate([ac, bc])
     ns = np.concatenate([bc, ac])
     center_ok = full_deg[cs] <= max_center_degree
-    if not center_ok.all():
-        from .runstats import report_truncation
-
-        report_truncation("neighbor_overlap.hub_center",
-                          dropped=int((~center_ok).sum()))
+    n_hub_dropped = int((~center_ok).sum())
+    if n_hub_dropped:
         cs, ns = cs[center_ok], ns[center_ok]
     sizes = np.bincount(cs, minlength=n_nodes).astype(np.int64)
     total_wedges = int((sizes * (sizes - 1) // 2).sum())
     if total_wedges > wedge_limit:
-        return None
+        return None  # fall through; the distributed path re-measures
+    if n_hub_dropped:
+        # reported only on the COMMITTED path — a fallthrough would
+        # otherwise double-count with the distributed path's report
+        from .runstats import report_truncation
+
+        report_truncation("neighbor_overlap.hub_center",
+                          dropped=n_hub_dropped)
 
     order = np.lexsort((ns, cs))  # by center, neighbors ascending
     ns = ns[order]

@@ -85,12 +85,19 @@ def truncation_stats(*, reset: bool = False) -> dict:
     """Driver-side snapshot of all truncations reported this session:
     ``{kind: {"groups": n_truncated_groups, "dropped": n_rows_dropped}}``.
     Empty dict when nothing was truncated (the actor is only created on
-    the first report)."""
+    the first report).
+
+    ``reset=True`` is the end-of-run read: it KILLS the detached
+    counter actor after snapshotting instead of zeroing it — a detached
+    actor outlives the driver by design, so a long-lived cluster would
+    otherwise accumulate one per job forever.  A straggler report after
+    the kill simply re-creates the actor with fresh counts, the same
+    observable behavior a zeroing reset had."""
     try:
         actor = ray.get_actor(_scoped_name(), namespace=_NAMESPACE)
     except ValueError:
         return {}
     snap = ray.get(actor.snapshot.remote())
     if reset:
-        ray.get(actor.reset.remote())
+        ray.kill(actor, no_restart=True)
     return snap
