@@ -612,6 +612,231 @@ def _triangle_count_driver(und: rd.Dataset,
     return len(closed)
 
 
+# ------------------------------------------------------- clustering coefficient
+def clustering_coefficients(edges: rd.Dataset, *, src: str = "src",
+                            dst: str = "dst",
+                            num_buckets: int | None = None,
+                            driver_threshold: int = 500_000,
+                            driver_wedge_limit: int = 20_000_000
+                            ) -> rd.Dataset:
+    """Per-node triangle participation and local clustering coefficient
+    of the UNDIRECTED simple graph underlying ``edges``.
+
+    Output, one row per node of the simple graph:
+    ``(node_id, triangles:int64, wedges:int64, coeff:float64)`` with
+    ``wedges = deg * (deg - 1) / 2`` and ``coeff = triangles / wedges``
+    rounded to 6 decimals (NULL for degree-1 nodes, which close no
+    wedge).  Same degree-ordered orientation as :func:`triangle_count`
+    — oriented out-degree is O(sqrt(m)) even at hub nodes — but the
+    wedge CENTER rides through the closing join so each matched wedge
+    credits all three corners.  The triangle set is
+    orientation-invariant, so the driver fast path (measured edge-count
+    and exact wedge-count gates, the ``triangle_count`` policy) and the
+    distributed path agree bit-for-bit, and a plain 3-way SQL self-join
+    replays the counts.  All exchanges are skinny bucketed shuffles;
+    per-node credit aggregation is a two-stage hash sum seeded with a
+    zero row per node, so isolated-in-the-simple-graph nodes still
+    report.
+    """
+    sep = "\x1f"
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src).cast(pa.string())
+        b = t.column(dst).cast(pa.string())
+        keep = pc.invert(pc.equal(a, b))
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        lo = pc.if_else(pc.less(a, b), a, b)
+        hi = pc.if_else(pc.less(a, b), b, a)
+        return pa.table({"a": lo, "b": hi})
+
+    und = hash_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], [("a", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["a", "b"]).materialize()
+    id_type = _input_id_type(edges, src)
+
+    if und.count() == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "triangles": pa.array([], type=pa.int64()),
+            "wedges": pa.array([], type=pa.int64()),
+            "coeff": pa.array([], type=pa.float64())}))
+
+    if driver_threshold and und.count() <= driver_threshold:
+        res = _clustering_driver(und, driver_wedge_limit, id_type)
+        if res is not None:
+            return res
+
+    def und_deg(t: pa.Table) -> pa.Table:
+        d = pc.add(t.column("out_degree"), t.column("in_degree"))
+        return pa.table({"node_id": t.column("node_id"),
+                         "deg": pc.cast(d, pa.int64())})
+
+    deg = degree_table(und, src="a", dst="b",
+                       num_buckets=num_buckets).map_batches(
+        und_deg, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    deg_schema = pa.schema([("node_id", pa.string()),
+                            ("deg", pa.int64())])
+
+    und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    j1 = bucketed_join(und, deg, left_key="a", right_key="node_id",
+                       right_value_cols=["deg"], num_buckets=num_buckets,
+                       left_schema=und_schema, right_schema=deg_schema)
+
+    def name_deg_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["a", "b", "deg_a"])
+
+    j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("deg_a", pa.int64())])
+    j2 = bucketed_join(
+        j1.map_batches(name_deg_a, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        deg, left_key="b", right_key="node_id",
+        right_value_cols=["deg"], num_buckets=num_buckets,
+        left_schema=j1_schema, right_schema=deg_schema)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        da, db = t.column("deg_a"), t.column("deg")
+        a_first = pc.or_(pc.less(da, db),
+                         pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "o_src": pc.if_else(a_first, a, b),
+            "o_dst": pc.if_else(a_first, b, a),
+            "deg_dst": pc.if_else(a_first, db, da),
+        })
+
+    o = j2.map_batches(orient, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    o_schema = o.schema()
+    o_schema = getattr(o_schema, "base_schema", o_schema)
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["w_src", "w_dst", "w_deg"])
+
+    wedges_j = bucketed_join(
+        o, o.map_batches(as_right, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        left_key="o_src", right_key="w_src",
+        right_value_cols=["w_dst", "w_deg"],
+        num_buckets=num_buckets, left_schema=o_schema)
+
+    def ordered_pairs(t: pa.Table) -> pa.Table:
+        d1, d2 = t.column("deg_dst"), t.column("w_deg")
+        u = t.column("o_src")
+        v, w = t.column("o_dst"), t.column("w_dst")
+        keep = pc.or_(pc.less(d1, d2),
+                      pc.and_(pc.equal(d1, d2), pc.less(v, w)))
+        u = pc.filter(u, keep)
+        v, w = pc.filter(v, keep), pc.filter(w, keep)
+        key = pc.binary_join_element_wise(v, w, sep).cast(pa.string())
+        return pa.table({"key": key, "u": pc.cast(u, pa.string()),
+                         "v": pc.cast(v, pa.string()),
+                         "w": pc.cast(w, pa.string())})
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.binary_join_element_wise(
+                t.column("o_src"), t.column("o_dst"), sep),
+            "m": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    wedge_schema = pa.schema([("key", pa.string()), ("u", pa.string()),
+                              ("v", pa.string()), ("w", pa.string())])
+    closed = bucketed_join(
+        wedges_j.map_batches(ordered_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        o.map_batches(edge_keys, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        left_key="key", right_key="key", right_value_cols=["m"],
+        num_buckets=num_buckets, left_schema=wedge_schema)
+
+    def credits(t: pa.Table) -> pa.Table:
+        node = pa.chunked_array([t.column("u"), t.column("v"),
+                                 t.column("w")]).combine_chunks()
+        return pa.table({
+            "node_id": node,
+            "tri": pa.array(np.ones(len(node), dtype=np.int64))})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t.column("node_id"),
+            "tri": pa.array(np.zeros(t.num_rows, dtype=np.int64))})
+
+    tri = hash_aggregate(
+        closed.map_batches(credits, batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+            deg.map_batches(zero_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)),
+        ["node_id"], [("tri", "sum")], rename={"tri_sum": "triangles"},
+        num_buckets=num_buckets)
+
+    tri_schema = pa.schema([("node_id", pa.string()),
+                            ("triangles", pa.int64())])
+    out = bucketed_join(tri, deg, left_key="node_id",
+                        right_key="node_id", right_value_cols=["deg"],
+                        num_buckets=num_buckets, left_schema=tri_schema,
+                        right_schema=deg_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = t["triangles"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        wedges = d * (d - 1) // 2
+        coeff = np.round(tr.astype(np.float64)
+                         / np.maximum(wedges, 1).astype(np.float64), 6)
+        return pa.table({
+            "node_id": t["node_id"].cast(id_type),
+            "triangles": pa.array(tr),
+            "wedges": pa.array(wedges),
+            "coeff": pa.array(coeff, mask=wedges == 0)})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _clustering_driver(und: rd.Dataset, wedge_limit: int,
+                       id_type: pa.DataType) -> rd.Dataset | None:
+    """Vectorized numpy per-node triangle credit over the
+    driver-gathered distinct undirected edge list; None when the exact
+    oriented-wedge count exceeds ``wedge_limit`` (caller falls through
+    to the distributed path).  Orientation ties break by factorize code
+    — any strict total order yields the same triangle SET, which is
+    what per-node credits depend on."""
+    df = und.to_pandas()
+    ac, bc, nodes = _factorize_pairs(df, "a", "b")
+    deg = np.bincount(np.concatenate([ac, bc]),
+                      minlength=len(nodes)).astype(np.int64)
+    a_first = (deg[ac] < deg[bc]) | ((deg[ac] == deg[bc]) & (ac < bc))
+    s = np.where(a_first, ac, bc)
+    d = np.where(a_first, bc, ac)
+    od = np.bincount(s, minlength=len(deg)).astype(np.int64)
+    if int((od * (od - 1) // 2).sum()) > wedge_limit:
+        return None
+    o = pd.DataFrame({"s": s, "d": d, "dd": deg[d]})
+    w = o.merge(o, on="s")
+    keep = (w["dd_x"] < w["dd_y"]) | ((w["dd_x"] == w["dd_y"])
+                                      & (w["d_x"] < w["d_y"]))
+    w = w[keep]
+    closed = w.merge(o, left_on=["d_x", "d_y"], right_on=["s", "d"])
+    tri = np.bincount(
+        np.concatenate([closed["s_x"].to_numpy(),
+                        closed["d_x"].to_numpy(),
+                        closed["d_y"].to_numpy()]).astype(np.int64),
+        minlength=len(nodes)).astype(np.int64)
+    wedges = deg * (deg - 1) // 2
+    coeff = np.round(tri.astype(np.float64)
+                     / np.maximum(wedges, 1).astype(np.float64), 6)
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(nodes).cast(id_type),
+        "triangles": pa.array(tri),
+        "wedges": pa.array(wedges),
+        "coeff": pa.array(coeff, mask=wedges == 0)}))
+
+
 def _changed_count(new_labels: rd.Dataset, old_labels: rd.Dataset,
                    num_buckets: int | None,
                    value_col: str = "component_id") -> int:

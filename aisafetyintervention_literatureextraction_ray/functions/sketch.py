@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -318,3 +319,88 @@ def grouped_histogram_quantiles(ds, key: str, value_col: str,
         return out
 
     return bucketed_apply(hist, [key], extract, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------- heavy hitters
+def heavy_hitter_terms(ds: rd.Dataset, *, text_col: str = "text",
+                       counters: int = 199,
+                       broadcast_limit: int = 250_000,
+                       num_buckets: int | None = None) -> rd.Dataset:
+    """EXACT frequent terms without a full-vocabulary shuffle — the
+    Misra-Gries candidate-generation + exact-recount pattern.
+
+    Returns every term whose exact corpus frequency is STRICTLY above
+    ``N / (counters + 1)`` (N = total token count), with its exact
+    count: ``(term, n)``, at most ``counters`` rows by pigeonhole.
+
+    Why it is exact: a term with global count > N/(c+1) must exceed
+    n_b/(c+1) in at least one block (if it were at or below the
+    per-block threshold everywhere, summing gives count <= N/(c+1)),
+    and each block keeps at most ``c`` such survivors — so the union of
+    per-block Misra-Gries survivors is a SUPERSET of every global heavy
+    hitter, bounded at c rows per block.  The exact recount then runs
+    over the block HISTOGRAMS restricted to that candidate set: the
+    only rows that ever cross an exchange are per-block distinct-term
+    partials, and the final keyed sum reduces candidates only.  The
+    candidate semi-filter is measured — at or below ``broadcast_limit``
+    candidates the set ships once via ``ray.put`` and blocks filter
+    locally; above it the restriction is a partitioned bucketed join.
+
+    Tokenization matches ``term_count_partial`` (lowercase, split on
+    ``[^a-z]+``), so plain exact-count SQL replays the result.
+    """
+    import ray
+
+    from .agg import bucketed_join, hash_aggregate
+    from .text import term_count_partial
+
+    thresh = counters + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = term_count_partial(t, text_col=text_col)
+        n_block = int(pc.sum(h["n"]).as_py() or 0)
+        cand = pc.greater(pc.multiply(h["n"], thresh), n_block)
+        return h.append_column("cand", pc.cast(cand, pa.int8()))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=256,
+                              zero_copy_batch=True).materialize()
+    total = int(partials.sum("n") or 0)
+    if total == 0:
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "n": pa.array([], pa.int64())}))
+
+    def cand_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["cand"], 1)).select(["term"])
+
+    cands = hash_aggregate(
+        partials.map_batches(cand_only, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["term"], [("term", "count")],
+        num_buckets=num_buckets).select_columns(["term"]).materialize()
+
+    if cands.count() <= broadcast_limit:
+        cand_ref = ray.put(pa.concat_tables(
+            cands.iter_batches(batch_format="pyarrow",
+                               batch_size=65536))["term"].combine_chunks())
+
+        def semi(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["term"], value_set=ray.get(cand_ref))
+            return t.filter(keep).select(["term", "n"])
+
+        narrowed = partials.map_batches(semi, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        narrowed = bucketed_join(
+            partials.select_columns(["term", "n"]), cands,
+            left_key="term", right_key="term", right_value_cols=[],
+            num_buckets=num_buckets)
+
+    counts = hash_aggregate(narrowed, ["term"], [("n", "sum")],
+                            rename={"n_sum": "n"}, num_buckets=num_buckets)
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.multiply(t["n"], thresh), total))
+
+    return counts.map_batches(above, batch_format="pyarrow",
+                              zero_copy_batch=True)

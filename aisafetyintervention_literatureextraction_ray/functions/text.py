@@ -362,8 +362,11 @@ def term_count_partial(t: pa.Table, text_col: str = "text",
 
 
 def ngram_key_partial(t: pa.Table, *, key_col: str = "source",
-                      text_col: str = "text", n: int = 3) -> pa.Table:
-    """Per-block DISTINCT ``(key, gram)`` pairs of word ``n``-grams.
+                      text_col: str = "text", n: int = 3,
+                      keep_counts: bool = False) -> pa.Table:
+    """Per-block DISTINCT ``(key, gram)`` pairs of word ``n``-grams;
+    with ``keep_counts`` the per-key multiplicity survives as ``occ``
+    (the bigram-LM scorer's per-document term-frequency combiner).
 
     Tokenization is whitespace split of the trimmed text — byte-for-byte
     ``regexp_split_to_array(trim(text), '\\s+')`` in DuckDB, so the gram
@@ -392,8 +395,11 @@ def ngram_key_partial(t: pa.Table, *, key_col: str = "source",
     counts = np.maximum(lens - (n - 1), 0)
     total = int(counts.sum())
     if total == 0:
-        return pa.table({key_col: pa.array([], t[key_col].type),
-                         "gram": pa.array([], pa.string())})
+        out = {key_col: pa.array([], t[key_col].type),
+               "gram": pa.array([], pa.string())}
+        if keep_counts:
+            out["occ"] = pa.array([], pa.int64())
+        return pa.table(out)
     doc_idx = np.repeat(np.arange(len(lens)), counts)
     pos = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
     off = np.concatenate([[0], np.cumsum(lens)])[:-1]
@@ -402,8 +408,12 @@ def ngram_key_partial(t: pa.Table, *, key_col: str = "source",
     grams = pc.binary_join_element_wise(*parts, " ")
     keys = t[key_col].take(pa.array(doc_idx))
     pairs = pa.table({key_col: keys, "gram": grams})
-    return pa.TableGroupBy(pairs, [key_col, "gram"]).aggregate(
-        [([], "count_all")]).drop_columns(["count_all"])
+    agg = pa.TableGroupBy(pairs, [key_col, "gram"]).aggregate(
+        [([], "count_all")])
+    if keep_counts:
+        return agg.set_column(agg.schema.get_field_index("count_all"),
+                              "occ", pc.cast(agg["count_all"], pa.int64()))
+    return agg.drop_columns(["count_all"])
 
 
 def ngram_source_overlap(ds, *, key_col: str = "source",

@@ -51,8 +51,11 @@ BENCH_QUERIES = [
     # itself.
     "kg_pagerank", "kg_pagerank_seeded", "kg_degree_stats",
     "kg_triangles", "kg_bfs_hops", "kg_kcore", "kg_link_prediction",
+    "kg_clustering_coeff",
     # interleaved-source scheduling + cross-source contamination
     "doc_interleave", "source_overlap_matrix",
+    # bigram-LM quality scoring + exact heavy hitters
+    "doc_lm_score", "term_heavy_hitters",
 ]
 
 

@@ -3,6 +3,7 @@ the head-entity skew correctness check (SURVEY.md §7.4)."""
 
 import pytest
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from hypothesis import given, settings
@@ -770,3 +771,93 @@ def test_neighbor_overlap_wedge_limit_falls_back_to_distributed():
                            driver_wedge_limit=1).to_pandas()
     assert len(got) == 15  # C(6,2), computed on the distributed path
     assert (got["common"] == 1).all()
+
+
+# ------------------------------------------------------- clustering coefficient
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_clustering_coefficients_known_graph(driver_threshold):
+    """K3 plus a pendant: exact triangle credits, wedge counts, and the
+    rounded coefficient on BOTH the driver and distributed paths."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle a-b-c, pendant d-a; one duplicate + one self-loop noise
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "d", "a", "c"],
+        "dst": ["b", "c", "a", "a", "b", "c"]}))
+    out = clustering_coefficients(
+        ds, driver_threshold=driver_threshold).to_pandas()
+    got = {r.node_id: (r.triangles, r.wedges,
+                       None if pd.isna(r.coeff) else round(r.coeff, 6))
+           for r in out.itertuples()}
+    assert got == {
+        "a": (1, 3, 0.333333),
+        "b": (1, 1, 1.0),
+        "c": (1, 1, 1.0),
+        "d": (0, 0, None),
+    }
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (5, 18, 70, 0),         # forced DISTRIBUTED path
+    (5, 18, 70, 500_000),   # measured driver fast path, same input
+    (11, 12, 30, 0),
+])
+def test_clustering_coefficients_match_bruteforce(seed, n_nodes, n_edges,
+                                                  driver_threshold):
+    """Per-node triangle credits == brute-force triple enumeration;
+    wedges == deg*(deg-1)/2; coeff == round(tri/wedges, 6)."""
+    import itertools
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    out = clustering_coefficients(
+        ds, driver_threshold=driver_threshold).to_pandas()
+    assert len(out) == len(adj)
+    for r in out.itertuples():
+        deg = len(adj[r.node_id])
+        wedges = deg * (deg - 1) // 2
+        assert r.triangles == tri[r.node_id]
+        assert r.wedges == wedges
+        if wedges == 0:
+            assert pd.isna(r.coeff)
+        else:
+            assert r.coeff == round(tri[r.node_id] / wedges, 6)
+
+
+def test_clustering_coefficients_empty_and_selfloops():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        clustering_coefficients,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = clustering_coefficients(empty)
+    assert out.schema().names == ["node_id", "triangles", "wedges",
+                                  "coeff"]
+    assert out.count() == 0
+
+    loops = rd.from_arrow(pa.table({"src": ["x", "x"],
+                                    "dst": ["x", "x"]}))
+    assert clustering_coefficients(loops).count() == 0

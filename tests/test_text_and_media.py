@@ -189,3 +189,125 @@ def test_contamination_report_flags_overlap():
     out = contamination_report(t, pd.Index(bench))
     assert out["n_hits"].to_pylist() == [1, 0, 0]
     assert out["contaminated"].to_pylist() == [True, False, False]
+
+
+# ---------------------------------------------------------------- bigram LM
+def test_bigram_lm_scores_match_local_model():
+    """Engine scores == a straightforward local add-one bigram LM with
+    the same fixed-point reduction; degenerate docs (null / empty /
+    single-token) are excluded on both sides."""
+    import math
+
+    from aisafetyintervention_literatureextraction_ray.functions.lm import (
+        bigram_lm_scores,
+    )
+
+    texts = {
+        "d1": "a b a b c",
+        "d2": "a b",
+        "d3": "  c   a  ",       # ragged whitespace: tokens (c, a)
+        "d4": "solo",            # 1 token: no bigrams
+        "d5": "",                # empty: excluded
+        "d6": None,              # null: excluded
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": pa.array(list(texts.values()),
+                                                type=pa.string())}))
+    out = bigram_lm_scores(ds).to_pandas().set_index("doc_id")
+
+    # local reference model
+    bigrams: dict[str, dict[tuple, int]] = {}
+    cb: dict[tuple, int] = {}
+    cu: dict[str, int] = {}
+    vocab = set()
+    for d, t in texts.items():
+        toks = (t or "").strip().split()
+        bg = list(zip(toks, toks[1:]))
+        if not bg:
+            continue
+        bigrams[d] = {}
+        for g in bg:
+            bigrams[d][g] = bigrams[d].get(g, 0) + 1
+            cb[g] = cb.get(g, 0) + 1
+            cu[g[0]] = cu.get(g[0], 0) + 1
+            vocab.update(g)
+    v = len(vocab)
+
+    assert set(out.index) == set(bigrams)
+    for d, bg in bigrams.items():
+        fp = sum(math.floor(math.log((cb[g] + 1.0) / (cu[g[0]] + v))
+                            * 1e9) * occ for g, occ in bg.items())
+        nb = sum(bg.values())
+        assert out.loc[d, "n_bigrams"] == nb
+        assert out.loc[d, "lm_score"] == round(fp / (nb * 1e9), 6)
+
+
+def test_bigram_lm_scores_empty_corpus():
+    from aisafetyintervention_literatureextraction_ray.functions.lm import (
+        bigram_lm_scores,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    out = bigram_lm_scores(ds)
+    assert out.schema().names == ["doc_id", "n_bigrams", "lm_score"]
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------- heavy hitters
+def _hh_corpus():
+    # 'hot' appears 40/100 tokens, 'warm' 20/100; everything else is
+    # unique filler — with counters=4 the threshold is 100/5 = 20,
+    # so only 'hot' clears the STRICT > bar
+    rows = []
+    for i in range(10):
+        # letter-only fillers: the tokenizer splits on [^a-z]+
+        rows.append(" ".join(["hot"] * 4 + ["warm"] * 2
+                             + [f"w{chr(97 + i)}x{chr(97 + j)}"
+                                .replace("x", "q")  # unique, no digits
+                                for j in range(4)]))
+    return rd.from_arrow(pa.table({"text": rows}))
+
+
+def test_heavy_hitters_exact_threshold_broadcast_and_join_paths():
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        heavy_hitter_terms,
+    )
+
+    for limit in (250_000, 0):  # measured broadcast path / forced join
+        out = heavy_hitter_terms(_hh_corpus(), counters=4,
+                                 broadcast_limit=limit).to_pandas()
+        assert list(out.itertuples(index=False)) != []
+        got = {r.term: r.n for r in out.itertuples()}
+        assert got == {"hot": 40}
+
+
+def test_heavy_hitters_empty_and_superset_guarantee():
+    import collections
+
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        heavy_hitter_terms,
+    )
+
+    empty = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = heavy_hitter_terms(empty)
+    assert out.schema().names == ["term", "n"]
+    assert out.count() == 0
+
+    # randomized corpus: result == exact count + strict threshold
+    import random
+    rng = random.Random(7)
+    # letter-only vocabulary (the tokenizer splits on [^a-z]+)
+    vocab30 = [f"t{chr(97 + i)}{chr(97 + j)}"
+               for i in range(6) for j in range(5)]
+    words = [vocab30[rng.randrange(30)] for _ in range(2000)]
+    docs = [" ".join(words[i:i + 50]) for i in range(0, 2000, 50)]
+    ds = rd.from_arrow(pa.table({"text": docs}))
+    exact = collections.Counter(words)
+    n_total = sum(exact.values())
+    c = 24
+    expected = {t: k for t, k in exact.items() if k * (c + 1) > n_total}
+    got = {r.term: r.n for r in
+           heavy_hitter_terms(ds, counters=c).to_pandas().itertuples()}
+    assert got == expected
