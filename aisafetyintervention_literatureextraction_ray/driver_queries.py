@@ -3452,6 +3452,92 @@ def term_heavy_hitters(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ---------------------------------------------------------------- TF-IDF keywords
+@query(
+    "doc_tfidf_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t2 GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 ROUND(CAST(tf.tf AS DOUBLE)
+                       * LN(CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE)),
+                       6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN nn),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+          FROM s)
+    SELECT doc_id, term, tf, df, tfidf FROM r WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def doc_tfidf_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by TF-IDF
+    (functions/rank.py::tfidf_top_terms) — keyword extraction for
+    corpus exploration.  Per-doc term frequencies complete inside one
+    map (a document is one row); document frequency is one keyed count;
+    the vocabulary-sized df join is a partitioned bucketed exchange
+    (never assumed broadcastable); the per-doc cut is a grouped head.
+    Scores round to 6 BEFORE ranking with term-ascending tie-break, so
+    the SQL window-function oracle replays the cut exactly."""
+    from .functions.rank import tfidf_top_terms
+
+    out = tfidf_top_terms(_pq(sf_dir, "documents", ["doc_id", "text"]),
+                          k=3).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                             "term": pd.Series([], dtype=object),
+                             "tf": pd.Series([], dtype="int64"),
+                             "df": pd.Series([], dtype="int64"),
+                             "tfidf": pd.Series([], dtype="float64")})
+    out["tf"] = out["tf"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    return (out.sort_values(["doc_id", "tfidf", "term"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- KG components
+@query(
+    "kg_components",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    sym AS (SELECT s AS x, d AS y FROM e UNION SELECT d, s FROM e),
+    walk(n, m) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+      UNION
+      SELECT w.n, sym.y FROM walk w JOIN sym ON sym.x = w.m
+    )
+    SELECT n AS node_id, MIN(m) AS component_id
+    FROM walk GROUP BY n
+    ORDER BY node_id
+    """,
+)
+def kg_components(sf_dir: str):
+    """Weakly connected components of the resolved KG
+    (functions/graph.py::connected_components over the distinct edge
+    set): the thematic islands of the intervention graph — which
+    entity clusters share NO cross-references.  Min-label propagation
+    (or the measured numpy union-find below the 2M-pair gate); labels
+    are minimum reachable node ids, which the recursive-CTE oracle
+    replays exactly."""
+    from .functions.graph import connected_components
+
+    out = connected_components(_kg_simple_edges(sf_dir), id_a="src_id",
+                               id_b="dst_id").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "component_id": pd.Series([], dtype=object)})
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -3503,6 +3589,7 @@ _DRIVER_ORDER = [
     # round-5 additions (position 66+; every earlier entry keeps its
     # r3/r4 driver-artifact slot)
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
+    "doc_tfidf_terms", "kg_components",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -107,3 +107,96 @@ def bm25_topk(ds: rd.Dataset, terms: list[str], *, k: int = 10,
                            zero_copy_batch=True)
             .sort(["bm25", id_col], descending=[True, False])
             .limit(k))
+
+
+# ---------------------------------------------------------------- TF-IDF
+def tfidf_top_terms(ds: rd.Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    num_buckets: int | None = None) -> rd.Dataset:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    per-document keyword extraction behind corpus exploration and
+    cluster labeling.
+
+    Output: ``(id_col, term, tf:int64, df:int64, tfidf:float64)``, at
+    most ``k`` rows per document, ``tfidf = tf * ln(N / df)`` with
+    ``N`` = number of documents with at least one token, rounded to 6
+    decimals BEFORE the per-doc rank (ties break on term ascending) so
+    the SQL window-function oracle replays the cut exactly.
+
+    Shape at scale: a document is one row, so per-doc term frequencies
+    are complete inside one ``map_batches`` call — no cross-block
+    combine; document frequency is one keyed count over the already
+    per-doc-distinct (doc, term) rows; each scoring row joins its
+    ``df`` on a partitioned bucketed exchange (the vocabulary is never
+    assumed to fit a broadcast); the per-doc top-k is a grouped head
+    inside one keyed exchange.  Tokenization matches
+    ``term_count_partial`` (lowercase, split on ``[^a-z]+``).
+    """
+    from .agg import bucketed_apply, hash_aggregate
+
+    def per_doc_tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(t[text_col].cast(pa.string()), "")),
+            pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({
+            id_col: t[id_col].take(pa.array(doc_idx)).filter(keep),
+            "term": flat.filter(keep)})
+        agg = pa.TableGroupBy(pairs, [id_col, "term"]).aggregate(
+            [([], "count_all")])
+        return agg.set_column(agg.schema.get_field_index("count_all"),
+                              "tf", pc.cast(agg["count_all"], pa.int64()))
+
+    tf = ds.map_batches(per_doc_tf, batch_format="pyarrow",
+                        batch_size=1024, zero_copy_batch=True).materialize()
+    tf_schema = tf.schema()
+    tf_schema = getattr(tf_schema, "base_schema", tf_schema)
+    if tf.count() == 0:
+        id_type = ds.schema()
+        id_type = getattr(id_type, "base_schema", id_type).field(id_col).type
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "tfidf": pa.array([], type=pa.float64())}))
+
+    df = hash_aggregate(tf.select_columns(["term", "tf"]), ["term"],
+                        [("tf", "count")], rename={"tf_count": "df"},
+                        num_buckets=num_buckets).materialize()
+    n_docs = hash_aggregate(tf.select_columns([id_col, "tf"]), [id_col],
+                            [("tf", "count")],
+                            num_buckets=num_buckets).count()
+
+    from .agg import bucketed_join
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    joined = bucketed_join(tf, df, left_key="term", right_key="term",
+                           right_value_cols=["df"],
+                           num_buckets=num_buckets,
+                           left_schema=tf_schema, right_schema=df_schema)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_ = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # identical IEEE op tree to the oracle:
+        # tf * ln(N / df), exact-int doubles throughout
+        s = np.round(tf_ * np.log(float(n_docs) / df_), 6)
+        return t.append_column("tfidf", pa.array(s, type=pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "term"], ascending=[False, True])
+        return g.groupby(id_col, sort=False).head(k)
+
+    return bucketed_apply(scored, [id_col], topk, num_buckets=num_buckets)

@@ -54,8 +54,9 @@ BENCH_QUERIES = [
     "kg_clustering_coeff",
     # interleaved-source scheduling + cross-source contamination
     "doc_interleave", "source_overlap_matrix",
-    # bigram-LM quality scoring + exact heavy hitters
-    "doc_lm_score", "term_heavy_hitters",
+    # bigram-LM quality scoring + exact heavy hitters + TF-IDF keywords
+    "doc_lm_score", "term_heavy_hitters", "doc_tfidf_terms",
+    "kg_components",
 ]
 
 

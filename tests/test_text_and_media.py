@@ -311,3 +311,55 @@ def test_heavy_hitters_empty_and_superset_guarantee():
     got = {r.term: r.n for r in
            heavy_hitter_terms(ds, counters=c).to_pandas().itertuples()}
     assert got == expected
+
+
+# ---------------------------------------------------------------- TF-IDF
+def test_tfidf_top_terms_match_local():
+    import math
+
+    from aisafetyintervention_literatureextraction_ray.functions.rank import (
+        tfidf_top_terms,
+    )
+
+    texts = {
+        "d1": "apple apple banana core",
+        "d2": "banana core core date",
+        "d3": "apple date date date elm",
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+
+    tf = {(d, w): t.split().count(w)
+          for d, t in texts.items() for w in set(t.split())}
+    df = {}
+    for d, t in texts.items():
+        for w in set(t.split()):
+            df[w] = df.get(w, 0) + 1
+    n = len(texts)
+    scores = {
+        d: sorted(((round(tf[(d, w)] * math.log(n / df[w]), 6), w)
+                   for w in set(t.split())),
+                  key=lambda x: (-x[0], x[1]))[:2]
+        for d, t in texts.items()
+    }
+    got = {d: [] for d in texts}
+    for r in out.itertuples():
+        got[r.doc_id].append((r.tfidf, r.term))
+        assert r.df == df[r.term]
+        assert r.tf == tf[(r.doc_id, r.term)]
+    for d in texts:
+        assert sorted(got[d], key=lambda x: (-x[0], x[1])) == scores[d]
+
+
+def test_tfidf_top_terms_empty_corpus():
+    from aisafetyintervention_literatureextraction_ray.functions.rank import (
+        tfidf_top_terms,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    out = tfidf_top_terms(ds)
+    assert out.schema().names == ["doc_id", "term", "tf", "df", "tfidf"]
+    assert out.count() == 0
