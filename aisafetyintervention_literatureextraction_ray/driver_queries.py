@@ -3538,6 +3538,62 @@ def kg_components(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- hash walks
+_WALK_LEN = 4
+_WALK_SEEDS = 3
+
+
+def _hash_walks_sql(walk_len: int, n_seeds: int) -> str:
+    """Unroll the hash-derandomized walk recurrence
+    (functions/graph.py::hash_walks) into chained DuckDB CTEs: at step
+    t the successor is the MIN over neighbors of
+    ``md5(cur || '|' || t || '|' || n) || '|' || n`` — pure string
+    operations DuckDB replays byte-for-byte (md5 of the identical
+    UTF-8 string; substr(m, 34) strips the fixed-width 32-hex + '|'
+    prefix)."""
+    parts = [f"""
+    WITH {_KG_EDGE_SET_SQL},
+    sym AS (SELECT s AS c, d AS n FROM e WHERE s <> d
+            UNION SELECT d, s FROM e WHERE s <> d),
+    seeds AS (SELECT DISTINCT c AS node_id FROM sym
+              ORDER BY node_id LIMIT {n_seeds}),
+    w0 AS (SELECT node_id AS seed, node_id AS cur FROM seeds)"""]
+    for t in range(1, walk_len + 1):
+        parts.append(f"""
+    p{t} AS (SELECT w{t-1}.seed,
+                    MIN(md5(w{t-1}.cur || '|{t}|' || sym.n)
+                        || '|' || sym.n) AS m
+             FROM w{t-1} JOIN sym ON sym.c = w{t-1}.cur
+             GROUP BY w{t-1}.seed),
+    w{t} AS (SELECT seed, substr(m, 34) AS cur FROM p{t})""")
+    selects = " UNION ALL ".join(
+        f"SELECT seed, CAST({t} AS BIGINT) AS step, cur AS node_id "
+        f"FROM w{t}" for t in range(walk_len + 1))
+    return ",".join(parts) + f"\n    {selects}\n    ORDER BY seed, step"
+
+
+@query("kg_hash_walks", _hash_walks_sql(_WALK_LEN, _WALK_SEEDS))
+def kg_hash_walks(sf_dir: str):
+    """Walk-corpus generation for graph-embedding training
+    (functions/graph.py::hash_walks): reproducible DeepWalk-style walks
+    whose 'randomness' is a content hash — at each step the walker
+    moves to the md5-argmin neighbor, so the same corpus yields the
+    same walks on any cluster and the unrolled SQL oracle replays every
+    position.  One partitioned frontier join + one keyed string-min per
+    step; output bounded by seeds x walk length."""
+    from .functions.graph import hash_walks
+
+    out = hash_walks(_kg_simple_edges(sf_dir), src="src_id",
+                     dst="dst_id", n_auto_seeds=_WALK_SEEDS,
+                     walk_len=_WALK_LEN).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"seed": pd.Series([], dtype=object),
+                             "step": pd.Series([], dtype="int64"),
+                             "node_id": pd.Series([], dtype=object)})
+    out["step"] = out["step"].astype("int64")
+    return out.sort_values(["seed", "step"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -3589,7 +3645,7 @@ _DRIVER_ORDER = [
     # round-5 additions (position 66+; every earlier entry keeps its
     # r3/r4 driver-artifact slot)
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
-    "doc_tfidf_terms", "kg_components",
+    "doc_tfidf_terms", "kg_components", "kg_hash_walks",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

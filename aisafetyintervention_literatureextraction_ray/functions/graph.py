@@ -1364,3 +1364,181 @@ def _neighbor_overlap_driver(und: rd.Dataset, id_type: pa.DataType, *,
         "id_b": pa.array(node_arr[xb]).cast(id_type),
         "common": pa.array(counts.astype(np.int64)),
         "jaccard_fp": pa.array(fp.astype(np.int64))}))
+
+
+# ------------------------------------------------------------ hash walks
+def hash_walks(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+               seeds: list | None = None, n_auto_seeds: int = 0,
+               walk_len: int = 4, num_buckets: int | None = None,
+               driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """Deterministic hash-derandomized random walks over the undirected
+    simple graph — the walk-corpus generator behind DeepWalk/node2vec
+    embedding pipelines, with the randomness replaced by a content
+    hash so the walks are REPRODUCIBLE and SQL-replayable: at step
+    ``t`` the walker at ``cur`` moves to
+    ``argmin over neighbors n of md5(cur || '|' || t || '|' || n)``
+    (argmin realized as a string MIN over ``md5hex || '|' || n`` — the
+    hex prefix has fixed width 32, so the min orders by hash with a
+    deterministic neighbor tie-break, and the successor is
+    ``substr(min, 34)``).
+
+    Output: ``(seed, step:int64, node_id)`` — one row per visited
+    position, step 0 = the seed itself; a walk reaching an isolated
+    node simply ends.  Every step is one partitioned frontier-to-
+    adjacency ``bucketed_join`` plus one keyed string-min reduce — no
+    driver state, walk count bounded by the seed set.  A hub node's
+    expansion is its degree (one candidate row per neighbor); cap or
+    salt seeds near celebrity nodes the same way ``neighbor_overlap``
+    caps wedge centers if walks must start there.
+
+    ``seeds`` gives explicit start nodes; ``n_auto_seeds=k`` instead
+    starts from the ``k`` lexicographically-smallest nodes of the
+    simple graph (a deterministic set the SQL oracle derives
+    identically).
+    """
+    import hashlib
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if (seeds is None) == (n_auto_seeds == 0):
+        raise ValueError("pass exactly one of seeds / n_auto_seeds")
+
+    und = _undirected_simple_edges(
+        edges.map_batches(
+            lambda t: pa.table({src: t.column(src).cast(pa.string()),
+                                dst: t.column(dst).cast(pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        src, dst, num_buckets=num_buckets)
+    id_type = _input_id_type(edges, src)
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], type=id_type),
+            "step": pa.array([], type=pa.int64()),
+            "node_id": pa.array([], type=id_type)}))
+
+    if und.count() == 0:
+        return empty()
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": pa.chunked_array([t.column("a"),
+                                   t.column("b")]).combine_chunks(),
+            "n": pa.chunked_array([t.column("b"),
+                                   t.column("a")]).combine_chunks()})
+
+    adj = und.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    adj_schema = pa.schema([("c", pa.string()), ("n", pa.string())])
+
+    if seeds is None:
+        def seed_partial(t: pa.Table) -> pa.Table:
+            ids = pc.unique(t["c"].combine_chunks()
+                            if isinstance(t["c"], pa.ChunkedArray)
+                            else t["c"])
+            return pa.table({"s": ids.sort().slice(0, n_auto_seeds)})
+
+        parts = adj.map_batches(seed_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        seeds = sorted({r["s"] for r in parts})[:n_auto_seeds]
+    seeds = [str(s) for s in seeds]
+    if not seeds:
+        return empty()
+
+    if driver_threshold and adj.count() <= driver_threshold:
+        # MEASURED driver fast path (connected_components policy): a
+        # per-step distributed join+reduce over a frontier of a few
+        # rows is pure scheduling overhead; the gathered skinny
+        # adjacency replays the identical argmin recurrence
+        return _hash_walks_driver(adj, seeds, walk_len, id_type)
+
+    frontier = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, type=pa.string()),
+        "cur": pa.array(seeds, type=pa.string())}))
+    frontier_schema = pa.schema([("seed", pa.string()),
+                                 ("cur", pa.string())])
+    out_tables = [pa.table({
+        "seed": pa.array(seeds, type=pa.string()),
+        "step": pa.array(np.zeros(len(seeds), dtype=np.int64)),
+        "node_id": pa.array(seeds, type=pa.string())})]
+
+    for t_step in range(1, walk_len + 1):
+        cand = bucketed_join(frontier, adj, left_key="cur",
+                             right_key="c", right_value_cols=["n"],
+                             num_buckets=num_buckets,
+                             left_schema=frontier_schema,
+                             right_schema=adj_schema)
+
+        def pick(t: pa.Table, _t=t_step) -> pa.Table:
+            curs = t["cur"].to_pylist()
+            ns = t["n"].to_pylist()
+            m = [hashlib.md5(f"{c}|{_t}|{n}".encode()).hexdigest()
+                 + "|" + n for c, n in zip(curs, ns)]
+            return pa.table({"seed": t["seed"],
+                             "m": pa.array(m, type=pa.string())})
+
+        nxt = hash_aggregate(
+            cand.map_batches(pick, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["seed"], [("m", "min")], rename={"m_min": "m"},
+            num_buckets=num_buckets)
+
+        def strip(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "seed": t["seed"],
+                "cur": pc.utf8_slice_codeunits(t["m"], 33)})
+
+        frontier = nxt.map_batches(strip, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        step_tbl = pa.concat_tables(
+            frontier.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536))
+        if step_tbl.num_rows == 0:
+            break
+        out_tables.append(pa.table({
+            "seed": step_tbl["seed"],
+            "step": pa.array(np.full(step_tbl.num_rows, t_step,
+                                     dtype=np.int64)),
+            "node_id": step_tbl["cur"]}))
+
+    out = pa.concat_tables(out_tables)
+    return rd.from_arrow(pa.table({
+        "seed": out["seed"].cast(id_type),
+        "step": out["step"],
+        "node_id": out["node_id"].cast(id_type)}))
+
+
+def _hash_walks_driver(adj: rd.Dataset, seeds: list[str], walk_len: int,
+                       id_type: pa.DataType) -> rd.Dataset:
+    """Pandas/hashlib form of the hash-walk recurrence over the
+    driver-gathered symmetric adjacency — the identical
+    ``min(md5(cur|t|n) || '|' || n)`` argmin per (seed, step)."""
+    import hashlib
+
+    df = adj.to_pandas()
+    nbrs: dict[str, list[str]] = {
+        c: sorted(g["n"]) for c, g in df.groupby("c", sort=False)}
+    rows_seed: list[str] = list(seeds)
+    rows_step: list[int] = [0] * len(seeds)
+    rows_node: list[str] = list(seeds)
+    cur = {s: s for s in seeds}
+    for t in range(1, walk_len + 1):
+        nxt: dict[str, str] = {}
+        for s, c in cur.items():
+            cands = nbrs.get(c)
+            if not cands:
+                continue
+            m = min(hashlib.md5(f"{c}|{t}|{n}".encode()).hexdigest()
+                    + "|" + n for n in cands)
+            nxt[s] = m[33:]
+        if not nxt:
+            break
+        for s, n in nxt.items():
+            rows_seed.append(s)
+            rows_step.append(t)
+            rows_node.append(n)
+        cur = nxt
+    return rd.from_arrow(pa.table({
+        "seed": pa.array(rows_seed, type=pa.string()).cast(id_type),
+        "step": pa.array(np.array(rows_step, dtype=np.int64)),
+        "node_id": pa.array(rows_node, type=pa.string()).cast(id_type)}))

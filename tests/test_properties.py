@@ -861,3 +861,79 @@ def test_clustering_coefficients_empty_and_selfloops():
     loops = rd.from_arrow(pa.table({"src": ["x", "x"],
                                     "dst": ["x", "x"]}))
     assert clustering_coefficients(loops).count() == 0
+
+
+# ------------------------------------------------------------ hash walks
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_hash_walks_match_sequential_reference(driver_threshold):
+    """Engine walks == a sequential replay of the md5-argmin recurrence
+    on BOTH the driver and distributed paths; step 0 is the seed; a
+    dead-end (isolated seed) contributes only step 0."""
+    import hashlib
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        hash_walks,
+    )
+
+    rng = random.Random(13)
+    raw = [(f"v{rng.randrange(12)}", f"v{rng.randrange(12)}")
+           for _ in range(30)]
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    nbrs: dict[str, set[str]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    seeds = sorted(nbrs)[:3]
+
+    expected = []
+    for s in seeds:
+        cur = s
+        expected.append((s, 0, s))
+        for t in range(1, 5):
+            cands = nbrs.get(cur)
+            if not cands:
+                break
+            cur = min(hashlib.md5(f"{cur}|{t}|{n}".encode()).hexdigest()
+                      + "|" + n for n in cands)[33:]
+            expected.append((s, t, cur))
+
+    out = hash_walks(ds, seeds=seeds, walk_len=4,
+                     driver_threshold=driver_threshold).to_pandas()
+    got = sorted(map(tuple, out[["seed", "step", "node_id"]]
+                     .itertuples(index=False)))
+    assert got == sorted(expected)
+
+    # auto-seed selection picks the same smallest-3 set
+    auto = hash_walks(ds, n_auto_seeds=3, walk_len=4,
+                      driver_threshold=driver_threshold).to_pandas()
+    got_auto = sorted(map(tuple, auto[["seed", "step", "node_id"]]
+                          .itertuples(index=False)))
+    assert got_auto == sorted(expected)
+
+
+def test_hash_walks_edge_cases():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        hash_walks,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = hash_walks(empty, n_auto_seeds=2)
+    assert out.schema().names == ["seed", "step", "node_id"]
+    assert out.count() == 0
+
+    # isolated explicit seed: only its step-0 row
+    ds = rd.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
+    out = hash_walks(ds, seeds=["zzz"], walk_len=3).to_pandas()
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("zzz", 0, "zzz")]
+
+    with pytest.raises(ValueError):
+        hash_walks(ds, seeds=["a"], n_auto_seeds=2)
+    with pytest.raises(ValueError):
+        hash_walks(ds)
+    with pytest.raises(ValueError):
+        hash_walks(ds, seeds=["a"], walk_len=0)
