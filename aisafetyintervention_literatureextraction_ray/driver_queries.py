@@ -3594,6 +3594,41 @@ def kg_hash_walks(sf_dir: str):
     return out.sort_values(["seed", "step"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- SCC
+@query(
+    "kg_scc",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    vx AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+    reach(u, v) AS (
+      SELECT v, v FROM vx
+      UNION
+      SELECT r.u, e.d FROM reach r JOIN e ON e.s = r.v
+    )
+    SELECT r1.u AS node_id, MIN(r1.v) AS scc_id
+    FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+    GROUP BY r1.u ORDER BY node_id
+    """,
+)
+def kg_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED resolved KG
+    (functions/graph.py::strongly_connected_components): directed
+    cycles — an intervention that mitigates a risk that in turn
+    amplifies the intervention — surface as multi-node SCCs, the
+    feedback loops a safety-intervention graph audit looks for.
+    Min-label forward/backward peeling; the oracle is mutual
+    reachability by definition (recursive reach CTE joined with its
+    transpose, min per node)."""
+    from .functions.graph import strongly_connected_components
+
+    out = strongly_connected_components(
+        _kg_simple_edges(sf_dir), src="src_id", dst="dst_id").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "scc_id": pd.Series([], dtype=object)})
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -3645,7 +3680,7 @@ _DRIVER_ORDER = [
     # round-5 additions (position 66+; every earlier entry keeps its
     # r3/r4 driver-artifact slot)
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
-    "doc_tfidf_terms", "kg_components", "kg_hash_walks",
+    "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -1542,3 +1542,217 @@ def _hash_walks_driver(adj: rd.Dataset, seeds: list[str], walk_len: int,
         "seed": pa.array(rows_seed, type=pa.string()).cast(id_type),
         "step": pa.array(np.array(rows_step, dtype=np.int64)),
         "node_id": pa.array(rows_node, type=pa.string()).cast(id_type)}))
+
+
+# ----------------------------------------------------------------- SCC
+def strongly_connected_components(edges: rd.Dataset, *,
+                                  src: str = "src", dst: str = "dst",
+                                  max_rounds: int = 30,
+                                  max_iters: int = 50,
+                                  num_buckets: int | None = None,
+                                  driver_threshold: int = 2_000_000
+                                  ) -> rd.Dataset:
+    """Strongly connected components of the directed simple graph —
+    cycle detection over the KG's directed relations (an intervention
+    that mitigates a risk that amplifies the intervention is a feedback
+    loop entity-QA wants surfaced).
+
+    Output: ``(node_id, scc_id)``, one row per distinct endpoint,
+    ``scc_id`` = the minimum node id in the component (singleton nodes
+    never appearing in ``edges`` are their own implicit components,
+    the ``connected_components`` contract).
+
+    Algorithm (min-label forward/backward peeling — the standard
+    trim-free distributed SCC): per round compute ``F(u)`` = minimum
+    forward-reachable id and ``B(u)`` = minimum backward-reachable id
+    over the ACTIVE subgraph, each by monotone min-label propagation;
+    ``F(u) = B(u) = m`` certifies ``m`` is both a descendant and an
+    ancestor of ``u``, i.e. ``u ∈ SCC(m)`` — and every member of that
+    SCC carries the same certificate, so whole components peel at
+    once.  The SCC of the smallest active node is always detected
+    (its ``F = B = `` that node), so each round makes progress and the
+    round count is bounded by the number of SCCs along any id-chain;
+    ``max_rounds`` refuses rather than returning partial labels.  All
+    distributed stages are the ``connected_components`` machinery:
+    partitioned label joins + keyed min reduces, signature-gated
+    convergence, per-iteration block re-bounding; the MEASURED
+    ``driver_threshold`` gate picks a vectorized numpy peel below it.
+    """
+    e = _distinct_edges(edges.select_columns([src, dst]), src, dst,
+                        num_buckets=num_buckets).materialize()
+    id_type = _input_id_type(edges, src)
+    if e.count() == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "scc_id": pa.array([], type=id_type)}))
+    if driver_threshold and e.count() <= driver_threshold:
+        return _scc_driver(e, src, dst, max_rounds)
+    return _scc_distributed(e, src, dst, max_rounds=max_rounds,
+                            max_iters=max_iters, num_buckets=num_buckets)
+
+
+def _scc_driver(e: rd.Dataset, src: str, dst: str,
+                max_rounds: int) -> rd.Dataset:
+    """Vectorized numpy F/B min-label peel over the driver-gathered
+    distinct edge list.  ``sort=True`` factorize codes are monotone in
+    the id ordering, so code minima equal id minima."""
+    s, d, nodes = _factorize_pairs(e.to_pandas(), src, dst)
+    n = len(nodes)
+    sentinel = np.int64(n)
+    label = np.full(n, -1, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    base = np.arange(n, dtype=np.int64)
+
+    def min_prop(from_idx, to_idx):
+        lab = np.where(active, base, sentinel)
+        for _ in range(n + 1):
+            prev = lab.copy()
+            np.minimum.at(lab, to_idx, lab[from_idx])
+            if (lab == prev).all():
+                return lab
+        raise AssertionError("min propagation failed to converge")
+
+    for _ in range(max_rounds):
+        if not active.any():
+            break
+        em = active[s] & active[d]
+        ss, dd = s[em], d[em]
+        # F flows AGAINST edge direction (u adopts its successor's F);
+        # B flows along it
+        f = min_prop(dd, ss)
+        b = min_prop(ss, dd)
+        done = active & (f == b)
+        label[done] = f[done]
+        active &= ~done
+    if active.any():
+        raise RuntimeError(
+            f"strongly_connected_components did not finish within "
+            f"{max_rounds} rounds; raise max_rounds")
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(nodes),
+        "scc_id": pa.array(nodes[label])}))
+
+
+def _scc_distributed(e: rd.Dataset, src: str, dst: str, *,
+                     max_rounds: int, max_iters: int,
+                     num_buckets: int | None) -> rd.Dataset:
+    nblocks = max(e.num_blocks(), num_buckets or default_num_buckets())
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.chunked_array(
+            [t.column(src), t.column(dst)]).combine_chunks()})
+
+    active = hash_aggregate(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets).select_columns(
+        ["node_id"]).materialize()
+    act_edges = e.materialize()
+    results: list[rd.Dataset] = []
+    # schemas are invariant across pruning rounds; derive them ONCE from
+    # the original edge set — an empty pruned act_edges materializes
+    # with null-typed columns (empty pandas merge output), which would
+    # poison the next join's key cast if we re-derived from it
+    e_schema = e.schema()
+    e_schema = getattr(e_schema, "base_schema", e_schema)
+    nid_type = e_schema.field(src).type
+    lbl_schema = pa.schema([("node_id", nid_type),
+                            ("component_id", nid_type)])
+
+    def min_prop(direction: str) -> rd.Dataset:
+        def self_label(t: pa.Table) -> pa.Table:
+            return pa.table({"node_id": t["node_id"],
+                             "component_id": t["node_id"]})
+
+        labels = active.map_batches(
+            self_label, batch_format="pyarrow", zero_copy_batch=True
+        ).repartition(nblocks).materialize()
+        if act_edges.count() == 0:
+            # isolated actives: the self labels ARE the fixed point
+            return labels
+        prev_sig = _labels_sig(labels)
+        join_key, emit_key = ((dst, src) if direction == "fwd"
+                              else (src, dst))
+        for _ in range(max_iters):
+            prop = bucketed_join(
+                act_edges, labels, left_key=join_key,
+                right_key="node_id", right_value_cols=["component_id"],
+                num_buckets=num_buckets, left_schema=e_schema,
+                right_schema=lbl_schema)
+
+            def emit(t: pa.Table, _k=emit_key) -> pa.Table:
+                return pa.table({"node_id": t[_k],
+                                 "component_id": t["component_id"]})
+
+            cand = prop.map_batches(emit, batch_format="pyarrow",
+                                    zero_copy_batch=True).union(labels)
+            new_labels = hash_aggregate(
+                cand, ["node_id"], [("component_id", "min")],
+                rename={"component_id_min": "component_id"},
+                num_buckets=num_buckets, exchange="shuffle",
+            ).repartition(nblocks).materialize()
+            new_sig = _labels_sig(new_labels)
+            if new_sig == prev_sig and _changed_count(
+                    new_labels, labels, num_buckets) == 0:
+                return new_labels
+            labels, prev_sig = new_labels, new_sig
+        raise RuntimeError(
+            f"SCC {direction} min-label pass did not converge within "
+            f"{max_iters} iterations; raise max_iters")
+
+    for _ in range(max_rounds):
+        if active.count() == 0:
+            break
+        f = min_prop("fwd")
+
+        def bwd_name(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["node_id", "bwd"])
+
+        bwd_schema = pa.schema([("node_id", nid_type),
+                                ("bwd", nid_type)])
+        fb = bucketed_join(
+            f, min_prop("bwd").map_batches(
+                bwd_name, batch_format="pyarrow", zero_copy_batch=True),
+            left_key="node_id", right_key="node_id",
+            right_value_cols=["bwd"], num_buckets=num_buckets,
+            left_schema=lbl_schema, right_schema=bwd_schema).materialize()
+
+        def done_rows(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["component_id"], t["bwd"])
+            kept = t.filter(keep)
+            return pa.table({"node_id": kept["node_id"],
+                             "scc_id": kept["component_id"]})
+
+        def todo_rows(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.equal(t["component_id"], t["bwd"]))
+            return pa.table({"node_id": t.filter(keep)["node_id"]})
+
+        results.append(fb.map_batches(done_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize())
+        active = fb.map_batches(todo_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        if active.count() == 0:
+            break
+        # prune the edge set to active x active (two inner semi-joins
+        # against the deduped active node list)
+        act_schema = pa.schema([("node_id", nid_type)])
+        half = bucketed_join(act_edges, active, left_key=src,
+                             right_key="node_id", right_value_cols=[],
+                             num_buckets=num_buckets,
+                             left_schema=e_schema,
+                             right_schema=act_schema)
+        act_edges = bucketed_join(half, active, left_key=dst,
+                                  right_key="node_id",
+                                  right_value_cols=[],
+                                  num_buckets=num_buckets,
+                                  left_schema=e_schema,
+                                  right_schema=act_schema).materialize()
+    if active.count() != 0:
+        raise RuntimeError(
+            f"strongly_connected_components did not finish within "
+            f"{max_rounds} rounds; raise max_rounds")
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out

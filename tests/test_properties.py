@@ -937,3 +937,91 @@ def test_hash_walks_edge_cases():
         hash_walks(ds)
     with pytest.raises(ValueError):
         hash_walks(ds, seeds=["a"], walk_len=0)
+
+
+# ----------------------------------------------------------------- SCC
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_scc_known_graph_multi_round(driver_threshold):
+    """Two 2-cycles bridged by a DAG path + a self-loop + a pendant:
+    the {c,d} cycle is only detectable after the {a,b} cycle peels
+    (its round-1 B label is 'a'), so this exercises the multi-ROUND
+    path on both the driver and distributed variants."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"),
+             ("e", "e"), ("f", "a")]
+    ds = rd.from_arrow(pa.table({"src": [x for x, _ in edges],
+                                 "dst": [y for _, y in edges]}))
+    out = strongly_connected_components(
+        ds, driver_threshold=driver_threshold).to_pandas()
+    got = dict(zip(out["node_id"], out["scc_id"]))
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c",
+                   "e": "e", "f": "f"}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (2, 10, 25, 0),
+    (2, 10, 25, 2_000_000),
+    (8, 14, 40, 2_000_000),
+])
+def test_scc_matches_bruteforce(seed, n_nodes, n_edges, driver_threshold):
+    """SCC labels == brute-force mutual-reachability closure."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(seed)
+    raw = {(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)}
+    nodes = sorted({x for p in raw for x in p})
+    reach = {v: {v} for v in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in raw:
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    expected = {u: min(v for v in reach[u] if u in reach[v])
+                for u in nodes}
+
+    ds = rd.from_arrow(pa.table({"src": [x for x, _ in raw],
+                                 "dst": [y for _, y in raw]}))
+    out = strongly_connected_components(
+        ds, driver_threshold=driver_threshold).to_pandas()
+    got = dict(zip(out["node_id"], out["scc_id"]))
+    assert got == expected
+
+
+def test_scc_empty_and_refusal():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        strongly_connected_components,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = strongly_connected_components(empty)
+    assert out.schema().names == ["node_id", "scc_id"]
+    assert out.count() == 0
+
+    # a chain of 2-cycles where each round can only peel the smallest:
+    # max_rounds=1 must REFUSE, never emit partial labels
+    edges = []
+    for i in range(3):
+        a, b = f"n{2*i}", f"n{2*i+1}"
+        edges += [(a, b), (b, a)]
+        if i:
+            edges.append((f"n{2*i-2}", a))
+    ds = rd.from_arrow(pa.table({"src": [x for x, _ in edges],
+                                 "dst": [y for _, y in edges]}))
+    with pytest.raises(RuntimeError):
+        strongly_connected_components(ds, max_rounds=1)
+    full = strongly_connected_components(ds).to_pandas()
+    assert dict(zip(full["node_id"], full["scc_id"])) == {
+        "n0": "n0", "n1": "n0", "n2": "n2", "n3": "n2",
+        "n4": "n4", "n5": "n4"}
