@@ -3629,6 +3629,70 @@ def kg_scc(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- co-occurrence PMI
+@query(
+    "kg_pmi_cooccurrence",
+    f"""
+    WITH nodes AS (
+      SELECT DISTINCT node_id, name_norm
+      FROM read_parquet('{_KG_ORACLE_DIR}/node_mentions/*.parquet')
+    ),
+    endpoints AS (
+      SELECT doc_id, {_NORM_SQL.format(col='subj')} AS nn
+      FROM read_parquet('{_KG_ORACLE_DIR}/triples/*.parquet')
+      UNION ALL
+      SELECT doc_id, {_NORM_SQL.format(col='obj')} AS nn
+      FROM read_parquet('{_KG_ORACLE_DIR}/triples/*.parquet')
+    ),
+    m AS (SELECT DISTINCT e.doc_id, n.node_id
+          FROM endpoints e JOIN nodes n ON e.nn = n.name_norm),
+    nn2 AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM m),
+    ca AS (SELECT node_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM m GROUP BY node_id),
+    p AS (SELECT a.node_id AS id_a, b.node_id AS id_b
+          FROM m a JOIN m b
+            ON a.doc_id = b.doc_id AND a.node_id < b.node_id),
+    cab AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM p GROUP BY id_a, id_b),
+    s AS (SELECT cab.id_a, cab.id_b, cab.c_ab,
+                 ROUND(LN(CAST(nn2.n * cab.c_ab AS DOUBLE)
+                          / CAST(ca1.c * ca2.c AS DOUBLE)), 6) AS pmi
+          FROM cab CROSS JOIN nn2
+          JOIN ca ca1 ON ca1.node_id = cab.id_a
+          JOIN ca ca2 ON ca2.node_id = cab.id_b)
+    SELECT id_a, id_b, c_ab, pmi FROM s
+    ORDER BY pmi DESC, id_a, id_b LIMIT 50
+    """,
+)
+def kg_pmi_cooccurrence(sf_dir: str):
+    """Document-level entity co-occurrence PMI
+    (functions/graph.py::cooccurrence_pmi): the statistical
+    edge-weighting / link-candidate channel — entities sharing
+    documents far beyond their marginals are related even with no
+    extracted triple between them.  Per-doc pair expansion is bounded
+    by the extraction volume cap; counts are keyed sums; the two
+    marginal joins are partitioned; pmi is an exact-integer-double op
+    tree rounded before the global top-50 cut."""
+    from .functions.graph import cooccurrence_pmi
+    from .pipelines.graph_build import build_mentions, build_nodes, node_id_map
+
+    out = _materialize_kg_inputs(sf_dir)
+    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
+    nmap = node_id_map(build_nodes(extr))
+    triples = rd.read_parquet(f"{out}/triples")
+    res = cooccurrence_pmi(build_mentions(triples, nmap),
+                           top_k=50).to_pandas()
+    if len(res) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "c_ab": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype="float64")})
+    res["c_ab"] = res["c_ab"].astype("int64")
+    return (res.sort_values(["pmi", "id_a", "id_b"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -3681,6 +3745,7 @@ _DRIVER_ORDER = [
     # r3/r4 driver-artifact slot)
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
+    "kg_pmi_cooccurrence",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -1756,3 +1756,118 @@ def _scc_distributed(e: rd.Dataset, src: str, dst: str, *,
     for r in results[1:]:
         out = out.union(r)
     return out
+
+
+# -------------------------------------------------------- co-occurrence PMI
+def cooccurrence_pmi(mentions: rd.Dataset, *, doc_col: str = "doc_id",
+                     node_col: str = "node_id", top_k: int = 50,
+                     num_buckets: int | None = None) -> rd.Dataset:
+    """Pointwise mutual information over document-level entity
+    co-occurrence — the statistical edge-weighting / link-candidate
+    channel of KG construction: two entities that share documents far
+    more often than their marginals predict are related even when no
+    extracted triple connects them.
+
+    Input: one row per (document, entity) mention (duplicates collapse
+    internally).  Output: the global top-``top_k`` unordered entity
+    pairs by ``pmi = ln((N * c_ab) / (c_a * c_b))`` with their doc
+    counts — ``(id_a, id_b, c_ab:int64, pmi:float64)``, pmi rounded to
+    6 decimals BEFORE the sort (ties break on the pair ids), every
+    factor an exact-integer double so the SQL oracle replays the
+    ranking bit-for-bit.
+
+    Shape at scale: the only super-linear step is the per-document
+    pair expansion — C(k, 2) in the document's DISTINCT entity count,
+    which the extraction volume cap (SURVEY §2.5 A6) bounds at the
+    source; everything else is keyed counts and two partitioned
+    ``bucketed_join``s against the marginal table (never assumed
+    broadcastable).
+    """
+    from .agg import bucketed_apply
+
+    m = hash_aggregate(
+        mentions.select_columns([doc_col, node_col]),
+        [doc_col, node_col], [(node_col, "count")],
+        num_buckets=num_buckets).select_columns(
+        [doc_col, node_col]).materialize()
+
+    from .agg import pa_type_of
+
+    in_sch = mentions.schema()  # may be a PandasBlockSchema
+    nid_type = pa_type_of(dict(zip(in_sch.names, in_sch.types))[node_col])
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=nid_type),
+            "id_b": pa.array([], type=nid_type),
+            "c_ab": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64())}))
+
+    if m.count() == 0:
+        return empty()
+
+    n_docs = hash_aggregate(
+        m.select_columns([doc_col]), [doc_col], [(doc_col, "count")],
+        num_buckets=num_buckets).count()
+    ca = hash_aggregate(
+        m.select_columns([node_col]), [node_col],
+        [(node_col, "count")], rename={f"{node_col}_count": "c"},
+        num_buckets=num_buckets).materialize()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby(doc_col, sort=False):
+            ids = np.sort(grp[node_col].to_numpy())
+            k = len(ids)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            outs_a.append(ids[iu[0]])
+            outs_b.append(ids[iu[1]])
+        if not outs_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"id_a": np.concatenate(outs_a),
+                             "id_b": np.concatenate(outs_b)})
+
+    cab = hash_aggregate(
+        bucketed_apply(m, [doc_col], pairs, num_buckets=num_buckets),
+        ["id_a", "id_b"], [("id_a", "count")],
+        rename={"id_a_count": "c_ab"}, num_buckets=num_buckets)
+
+    cab_schema = pa.schema([("id_a", nid_type), ("id_b", nid_type),
+                            ("c_ab", pa.int64())])
+    ca_schema = pa.schema([(node_col, nid_type), ("c", pa.int64())])
+    j1 = bucketed_join(cab, ca, left_key="id_a", right_key=node_col,
+                       right_value_cols=["c"], num_buckets=num_buckets,
+                       left_schema=cab_schema, right_schema=ca_schema)
+
+    def name_ca(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["id_a", "id_b", "c_ab", "c_a"])
+
+    j1_schema = pa.schema([("id_a", nid_type), ("id_b", nid_type),
+                           ("c_ab", pa.int64()), ("c_a", pa.int64())])
+    j2 = bucketed_join(
+        j1.map_batches(name_ca, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ca, left_key="id_b", right_key=node_col,
+        right_value_cols=["c"], num_buckets=num_buckets,
+        left_schema=j1_schema, right_schema=ca_schema)
+
+    def score(t: pa.Table) -> pa.Table:
+        cab_ = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca_ = t["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb_ = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # identical IEEE op tree to the oracle: integer products are
+        # exact in int64 and exact as doubles, one division, one ln
+        pmi = np.round(np.log((n_docs * cab_).astype(np.float64)
+                              / (ca_ * cb_).astype(np.float64)), 6)
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "c_ab": t["c_ab"],
+                         "pmi": pa.array(pmi, type=pa.float64())})
+
+    return (j2.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["pmi", "id_a", "id_b"],
+                  descending=[True, False, False])
+            .limit(top_k))

@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "doc_interleave", "source_overlap_matrix",
     # bigram-LM quality scoring + exact heavy hitters + TF-IDF keywords
     "doc_lm_score", "term_heavy_hitters", "doc_tfidf_terms",
-    "kg_components", "kg_hash_walks", "kg_scc",
+    "kg_components", "kg_hash_walks", "kg_scc", "kg_pmi_cooccurrence",
 ]
 
 

@@ -1025,3 +1025,48 @@ def test_scc_empty_and_refusal():
     assert dict(zip(full["node_id"], full["scc_id"])) == {
         "n0": "n0", "n1": "n0", "n2": "n2", "n3": "n2",
         "n4": "n4", "n5": "n4"}
+
+
+# -------------------------------------------------------- co-occurrence PMI
+def test_cooccurrence_pmi_matches_local():
+    import itertools
+    import math
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        cooccurrence_pmi,
+    )
+
+    docs = {
+        "p1": ["rlhf", "alignment", "oversight"],
+        "p2": ["rlhf", "alignment"],
+        "p3": ["rlhf", "audits"],
+        "p4": ["alignment"],
+    }
+    rows = [(d, n) for d, ns in docs.items() for n in ns]
+    # duplicate mention rows must collapse
+    rows += [("p1", "rlhf"), ("p2", "alignment")]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in rows],
+        "node_id": [n for _, n in rows]}))
+
+    n = len(docs)
+    ca: dict[str, int] = {}
+    cab: dict[tuple, int] = {}
+    for d, ns in docs.items():
+        for x in set(ns):
+            ca[x] = ca.get(x, 0) + 1
+        for a, b in itertools.combinations(sorted(set(ns)), 2):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    expected = {p: (k, round(math.log((n * k) / (ca[p[0]] * ca[p[1]])), 6))
+                for p, k in cab.items()}
+
+    out = cooccurrence_pmi(ds, top_k=50).to_pandas()
+    got = {(r.id_a, r.id_b): (r.c_ab, r.pmi) for r in out.itertuples()}
+    assert got == expected
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "node_id": pa.array([], pa.string())}))
+    out = cooccurrence_pmi(empty)
+    assert out.schema().names == ["id_a", "id_b", "c_ab", "pmi"]
+    assert out.count() == 0
