@@ -776,13 +776,7 @@ def kg_mentions(sf_dir: str):
     """PAPER -[mentions]-> node provenance edges (legacy-schema fold);
     oracle: endpoint-normalize + join + count in DuckDB over the
     materialized flat triples."""
-    from .pipelines.graph_build import build_mentions, build_nodes, node_id_map
-
-    out = _materialize_kg_inputs(sf_dir)
-    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
-    nmap = node_id_map(build_nodes(extr))
-    triples = rd.read_parquet(f"{out}/triples")
-    return build_mentions(triples, nmap).to_pandas()
+    return _kg_mentions_ds(sf_dir).to_pandas()
 
 
 _CYPHER_ESC = ("replace(replace(coalesce({col}, ''), chr(92), "
@@ -2997,6 +2991,36 @@ def _kg_simple_edges(sf_dir: str) -> rd.Dataset:
     return ds
 
 
+_KG_MENTIONS_CACHE: dict[str, rd.Dataset] = {}
+
+
+def _kg_mentions_ds(sf_dir: str) -> rd.Dataset:
+    """Materialized ``build_mentions`` output, cached with the same
+    (job, sf_dir, mtime, code version) policy as ``_kg_simple_edges``
+    — kg_mentions and kg_pmi_cooccurrence share the node-map rebuild
+    that otherwise dominates each query's wall time."""
+    import json as _json
+
+    import ray
+
+    from .pipelines.graph_build import build_mentions, build_nodes, node_id_map
+
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else "no-ray")
+    key = job + _json.dumps(_kg_cache_key(sf_dir), sort_keys=True)
+    ds = _KG_MENTIONS_CACHE.get(key)
+    if ds is None:
+        out = _materialize_kg_inputs(sf_dir)
+        extr = rd.read_parquet(f"{out}/extractions",
+                               columns=["doc_id", "nodes"])
+        nmap = node_id_map(build_nodes(extr))
+        triples = rd.read_parquet(f"{out}/triples")
+        ds = build_mentions(triples, nmap).materialize()
+        _KG_MENTIONS_CACHE.clear()  # one live sf at a time
+        _KG_MENTIONS_CACHE[key] = ds
+    return ds
+
+
 @query("kg_pagerank", _pagerank_sql(5, _GRAPH_PAGERANK_SCALE, 85, 100))
 def kg_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (functions/graph.py::pagerank) over
@@ -3674,14 +3698,8 @@ def kg_pmi_cooccurrence(sf_dir: str):
     marginal joins are partitioned; pmi is an exact-integer-double op
     tree rounded before the global top-50 cut."""
     from .functions.graph import cooccurrence_pmi
-    from .pipelines.graph_build import build_mentions, build_nodes, node_id_map
 
-    out = _materialize_kg_inputs(sf_dir)
-    extr = rd.read_parquet(f"{out}/extractions", columns=["doc_id", "nodes"])
-    nmap = node_id_map(build_nodes(extr))
-    triples = rd.read_parquet(f"{out}/triples")
-    res = cooccurrence_pmi(build_mentions(triples, nmap),
-                           top_k=50).to_pandas()
+    res = cooccurrence_pmi(_kg_mentions_ds(sf_dir), top_k=50).to_pandas()
     if len(res) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                              "id_b": pd.Series([], dtype=object),

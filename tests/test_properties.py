@@ -1028,7 +1028,8 @@ def test_scc_empty_and_refusal():
 
 
 # -------------------------------------------------------- co-occurrence PMI
-def test_cooccurrence_pmi_matches_local():
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_cooccurrence_pmi_matches_local(driver_threshold):
     import itertools
     import math
 
@@ -1060,7 +1061,8 @@ def test_cooccurrence_pmi_matches_local():
     expected = {p: (k, round(math.log((n * k) / (ca[p[0]] * ca[p[1]])), 6))
                 for p, k in cab.items()}
 
-    out = cooccurrence_pmi(ds, top_k=50).to_pandas()
+    out = cooccurrence_pmi(ds, top_k=50,
+                           driver_threshold=driver_threshold).to_pandas()
     got = {(r.id_a, r.id_b): (r.c_ab, r.pmi) for r in out.itertuples()}
     assert got == expected
 
