@@ -2908,14 +2908,17 @@ _KG_EDGE_SET_SQL = f"""
 
 
 def _pagerank_sql(n_iters: int, scale: int, num: int, den: int,
-                  n_seeds: int = 0) -> str:
+                  n_seeds: int = 0, weighted: bool = False) -> str:
     """Unroll the fixed-point integer PageRank recurrence
     (functions/graph.py::pagerank) into chained DuckDB CTEs — every
     operation is integer, so the SQL replays the engine BIT-EXACTLY
     (no float-summation-order caveats, no rounding).  With
     ``n_seeds > 0`` the restart mass goes to the ``n_seeds``
     lexicographically-smallest node ids (a deterministic seed set both
-    engines can derive), replaying the PERSONALIZED variant."""
+    engines can derive), replaying the PERSONALIZED variant.  With
+    ``weighted`` the edge weight is the resolved-triple multiplicity
+    per endpoint pair (the engine's summed ``n_provenance``) and each
+    contribution becomes ``(r * w) // W(u)`` — still pure integer."""
     if n_seeds:
         mass = f"({scale} // (SELECT cnt FROM ns))"
         in_seeds = "vx.node_id IN (SELECT node_id FROM seeds)"
@@ -2926,9 +2929,24 @@ def _pagerank_sql(n_iters: int, scale: int, num: int, den: int,
         mass = f"({scale} // (SELECT cnt FROM nn))"
         r0 = mass
         base = f"({den - num} * {mass}) // {den}"
-    parts = [
-        f"WITH {_KG_EDGE_SET_SQL},",
-        "deg AS (SELECT s, COUNT(*) AS c FROM e GROUP BY s),",
+    parts = [f"WITH {_KG_EDGE_SET_SQL},"]
+    if weighted:
+        parts += [
+            f"""ewr AS (
+              SELECT ns.node_id AS s, nd2.node_id AS d
+              FROM read_parquet('{_KG_ORACLE_DIR}/triples/*.parquet') t
+              JOIN nodes_m ns ON {_NORM_SQL.format(col='t.subj')} = ns.name_norm
+              JOIN nodes_m nd2 ON {_NORM_SQL.format(col='t.obj')} = nd2.name_norm
+            ),""",
+            "ew AS (SELECT s, d, CAST(COUNT(*) AS BIGINT) AS w"
+            " FROM ewr GROUP BY s, d),",
+            "deg AS (SELECT s, SUM(w) AS c FROM ew GROUP BY s),",
+        ]
+    else:
+        parts += [
+            "deg AS (SELECT s, COUNT(*) AS c FROM e GROUP BY s),",
+        ]
+    parts += [
         "vx AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),",
         "nn AS (SELECT COUNT(*) AS cnt FROM vx),",
     ]
@@ -2939,12 +2957,15 @@ def _pagerank_sql(n_iters: int, scale: int, num: int, den: int,
             "ns AS (SELECT COUNT(*) AS cnt FROM seeds),",
         ]
     parts.append(f"p0 AS (SELECT node_id, {r0} AS r FROM vx),")
+    etbl = "ew" if weighted else "e"
+    share = (f"(p{{prev}}.r * {etbl}.w) // deg.c" if weighted
+             else f"p{{prev}}.r // deg.c")
     for i in range(1, n_iters + 1):
         parts.append(
-            f"c{i} AS (SELECT e.d AS node_id,"
-            f" SUM(p{i - 1}.r // deg.c) AS s"
-            f" FROM e JOIN p{i - 1} ON e.s = p{i - 1}.node_id"
-            f" JOIN deg ON deg.s = e.s GROUP BY e.d),")
+            f"c{i} AS (SELECT {etbl}.d AS node_id,"
+            f" SUM({share.format(prev=i - 1)}) AS s"
+            f" FROM {etbl} JOIN p{i - 1} ON {etbl}.s = p{i - 1}.node_id"
+            f" JOIN deg ON deg.s = {etbl}.s GROUP BY {etbl}.d),")
         parts.append(
             f"p{i} AS (SELECT vx.node_id, {base}"
             f" + ({num} * CAST(COALESCE(c{i}.s, 0) AS BIGINT)) // {den}"
@@ -2988,6 +3009,36 @@ def _kg_simple_edges(sf_dir: str) -> rd.Dataset:
             ["src_id", "dst_id"]).materialize()
         _KG_EDGES_CACHE.clear()  # one live sf at a time
         _KG_EDGES_CACHE[key] = ds
+    return ds
+
+
+_KG_WEDGES_CACHE: dict[str, rd.Dataset] = {}
+
+
+def _kg_weighted_edges(sf_dir: str) -> rd.Dataset:
+    """Resolved-KG ``(src_id, dst_id, n_provenance)`` weighted edge
+    rows (one per predicate; ``pagerank(weight=...)`` sums them per
+    endpoint pair), cached with the ``_kg_simple_edges`` policy."""
+    import json as _json
+
+    import ray
+
+    from .pipelines.graph_build import build_edges, build_nodes, node_id_map
+
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else "no-ray")
+    key = job + _json.dumps(_kg_cache_key(sf_dir), sort_keys=True)
+    ds = _KG_WEDGES_CACHE.get(key)
+    if ds is None:
+        out = _materialize_kg_inputs(sf_dir)
+        extr = rd.read_parquet(f"{out}/extractions",
+                               columns=["doc_id", "nodes"])
+        nmap = node_id_map(build_nodes(extr))
+        triples = rd.read_parquet(f"{out}/triples")
+        ds = build_edges(triples, nmap).select_columns(
+            ["src_id", "dst_id", "n_provenance"]).materialize()
+        _KG_WEDGES_CACHE.clear()  # one live sf at a time
+        _KG_WEDGES_CACHE[key] = ds
     return ds
 
 
@@ -3653,6 +3704,28 @@ def kg_scc(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+@query("kg_pagerank_weighted",
+       _pagerank_sql(5, _GRAPH_PAGERANK_SCALE, 85, 100, weighted=True))
+def kg_pagerank_weighted(sf_dir: str):
+    """Provenance-WEIGHTED fixed-point PageRank: each edge's vote is
+    proportional to how many extracted triples support it
+    (functions/graph.py::pagerank(weight=...)), so heavily-evidenced
+    relations dominate the rank flow — the edge-confidence weighting a
+    literature KG actually wants.  Contributions are
+    ``(r * w) // W(u)``, pure integer, so the unrolled weighted oracle
+    matches rows+schema+hash bit-exactly."""
+    from .functions.graph import pagerank
+
+    out = pagerank(_kg_weighted_edges(sf_dir), src="src_id",
+                   dst="dst_id", n_iters=5,
+                   weight="n_provenance").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "rank_fp": pd.Series([], dtype="int64")})
+    out["rank_fp"] = out["rank_fp"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- co-occurrence PMI
 @query(
     "kg_pmi_cooccurrence",
@@ -3763,7 +3836,7 @@ _DRIVER_ORDER = [
     # r3/r4 driver-artifact slot)
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
-    "kg_pmi_cooccurrence",
+    "kg_pmi_cooccurrence", "kg_pagerank_weighted",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

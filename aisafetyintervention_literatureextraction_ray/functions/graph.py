@@ -251,6 +251,7 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
              n_iters: int = 5, damping: tuple[int, int] = (85, 100),
              scale: int = PAGERANK_SCALE,
              seeds: list | None = None,
+             weight: str | None = None,
              num_buckets: int | None = None,
              driver_threshold: int = 2_000_000) -> rd.Dataset:
     """Fixed-point integer PageRank over the DISTINCT simple digraph.
@@ -290,9 +291,23 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
     both the initial vector and the per-iteration teleport term — so
     rank concentrates in the seeds' neighborhoods.  Same integer
     arithmetic, same bit-exactness, both paths.
+
+    ``weight`` names an int64 edge-weight column (e.g. provenance
+    counts): duplicate ``(src, dst)`` rows SUM their weights, the
+    outdeg denominator becomes the node's weighted out-sum, and each
+    edge's contribution is ``(r_t(u) * w) // W(u)`` — still pure
+    integer, still bit-exact under any shuffle order.  Caller
+    contract: ``max(w) * scale`` must stay below 2^63 (provenance
+    counts against the default 1e12 scale allow weights to ~9e6).
     """
     num, den = damping
-    e = _distinct_edges(edges, src, dst, num_buckets=num_buckets)
+    if weight is None:
+        e = _distinct_edges(edges, src, dst, num_buckets=num_buckets)
+    else:
+        e = hash_aggregate(
+            edges.select_columns([src, dst, weight]), [src, dst],
+            [(weight, "sum")], rename={f"{weight}_sum": "w"},
+            num_buckets=num_buckets, exchange="shuffle")
     e = e.materialize()
     n_edges = e.count()
     if n_edges == 0:
@@ -312,12 +327,19 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
         # distributed path, just without 5 rounds of exchange scheduling
         return _pagerank_driver(e, src, dst, n_iters=n_iters,
                                 damping=damping, scale=scale,
-                                seeds=seeds)
+                                seeds=seeds,
+                                weighted=weight is not None)
 
-    deg = hash_aggregate(
-        e, [src], [(src, "count")],
-        rename={f"{src}_count": "outdeg"},
-        num_buckets=num_buckets, exchange="shuffle")
+    if weight is None:
+        deg = hash_aggregate(
+            e, [src], [(src, "count")],
+            rename={f"{src}_count": "outdeg"},
+            num_buckets=num_buckets, exchange="shuffle")
+    else:
+        deg = hash_aggregate(
+            e.select_columns([src, "w"]), [src], [("w", "sum")],
+            rename={"w_sum": "outdeg"},
+            num_buckets=num_buckets, exchange="shuffle")
     # per-edge share denominators, joined ONCE (outdeg is iteration-
     # invariant); the per-iteration join then only moves the rank column
     share = bucketed_join(
@@ -380,9 +402,12 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
             left_schema=share_schema, right_schema=ranks_schema)
 
         def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("r")
+            if weight is not None:
+                r = pc.multiply(r, pc.cast(t.column("w"), pa.int64()))
             return pa.table({
                 "node_id": t.column(dst),
-                "s": pc.divide(t.column("r"), t.column("outdeg"))})
+                "s": pc.divide(r, t.column("outdeg"))})
 
         cand = joined.map_batches(
             contrib, batch_format="pyarrow", zero_copy_batch=True,
@@ -417,7 +442,8 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
 
 def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
                      n_iters: int, damping: tuple[int, int],
-                     scale: int, seeds: list | None = None) -> rd.Dataset:
+                     scale: int, seeds: list | None = None,
+                     weighted: bool = False) -> rd.Dataset:
     """Vectorized numpy form of the identical integer recurrence over
     the (already-distinct, driver-gathered) skinny edge list."""
     num, den = damping
@@ -427,7 +453,13 @@ def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
     n = len(df)
     sc, dc = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
     n_nodes = len(nodes)
-    outdeg = np.bincount(sc, minlength=n_nodes).astype(np.int64)
+    if weighted:
+        w = df["w"].to_numpy(dtype=np.int64)
+        outdeg = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(outdeg, sc, w)
+    else:
+        w = None
+        outdeg = np.bincount(sc, minlength=n_nodes).astype(np.int64)
     if seeds is not None:
         seed_mask = np.isin(np.asarray(nodes), np.asarray(list(set(seeds))))
         n_mass = int(seed_mask.sum())
@@ -445,7 +477,8 @@ def _pagerank_driver(e: rd.Dataset, src: str, dst: str, *,
         base_vec = np.where(seed_mask, np.int64(base), np.int64(0))
     for _ in range(n_iters):
         s = np.zeros(n_nodes, dtype=np.int64)
-        np.add.at(s, dc, r[sc] // outdeg[sc])
+        share_num = r[sc] * w if weighted else r[sc]
+        np.add.at(s, dc, share_num // outdeg[sc])
         r = base_vec + (num * s) // den
     from .agg import pa_type_of
 

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # bigram-LM quality scoring + exact heavy hitters + TF-IDF keywords
     "doc_lm_score", "term_heavy_hitters", "doc_tfidf_terms",
     "kg_components", "kg_hash_walks", "kg_scc", "kg_pmi_cooccurrence",
+    "kg_pagerank_weighted",
 ]
 
 

@@ -1072,3 +1072,62 @@ def test_cooccurrence_pmi_matches_local(driver_threshold):
     out = cooccurrence_pmi(empty)
     assert out.schema().names == ["id_a", "id_b", "c_ab", "pmi"]
     assert out.count() == 0
+
+
+# -------------------------------------------------------- weighted PageRank
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_weighted_pagerank_matches_sequential(driver_threshold):
+    """Weighted fixed-point PageRank == the sequential integer
+    recurrence with summed duplicate-edge weights, on BOTH paths; and
+    unit weights reproduce the unweighted ranks bit-for-bit."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        pagerank,
+    )
+
+    rng = random.Random(21)
+    rows = [(f"v{rng.randrange(8)}", f"v{rng.randrange(8)}",
+             rng.randrange(1, 9)) for _ in range(24)]
+    ds = rd.from_arrow(pa.table({
+        "src": [a for a, _, _ in rows],
+        "dst": [b for _, b, _ in rows],
+        "w": pa.array([w for _, _, w in rows], type=pa.int64())}))
+
+    # sequential reference: sum duplicate (src, dst) weights
+    wsum: dict[tuple, int] = {}
+    for a, b, w in rows:
+        wsum[(a, b)] = wsum.get((a, b), 0) + w
+    nodes = sorted({x for p in wsum for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    wout = {v: 0 for v in nodes}
+    for (a, _), w in wsum.items():
+        wout[a] += w
+    scale, num, den, n_iters = 10**12, 85, 100, 5
+    r = {v: scale // len(nodes) for v in nodes}
+    base = ((den - num) * (scale // len(nodes))) // den
+    for _ in range(n_iters):
+        s = {v: 0 for v in nodes}
+        for (a, b), w in wsum.items():
+            s[b] += (r[a] * w) // wout[a]
+        r = {v: base + (num * s[v]) // den for v in nodes}
+
+    out = pagerank(ds, weight="w",
+                   driver_threshold=driver_threshold).to_pandas()
+    got = dict(zip(out["node_id"], out["rank_fp"]))
+    assert got == r
+
+    # unit weights over the DEDUPED pair set == unweighted, bit-for-bit
+    # (duplicate rows with w=1 would sum to the pair multiplicity,
+    # which is the documented weighted semantics, not the unweighted
+    # distinct-edge graph)
+    pairs = sorted(wsum)
+    unit = rd.from_arrow(pa.table({
+        "src": [a for a, _ in pairs],
+        "dst": [b for _, b in pairs],
+        "w": pa.array([1] * len(pairs), type=pa.int64())}))
+    a = pagerank(unit, weight="w",
+                 driver_threshold=driver_threshold).to_pandas()
+    b = pagerank(ds, driver_threshold=driver_threshold).to_pandas()
+    assert dict(zip(a["node_id"], a["rank_fp"])) == \
+        dict(zip(b["node_id"], b["rank_fp"]))
