@@ -379,6 +379,12 @@ def heavy_hitter_terms(ds: rd.Dataset, *, text_col: str = "text",
         ["term"], [("term", "count")],
         num_buckets=num_buckets).select_columns(["term"]).materialize()
 
+    if cands.count() == 0:
+        # no block-level survivor anywhere: by the pigeonhole bound no
+        # GLOBAL heavy hitter can exist either — typed empty result
+        # (and pa.concat_tables below would reject an empty iterator)
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "n": pa.array([], pa.int64())}))
     if cands.count() <= broadcast_limit:
         cand_ref = ray.put(pa.concat_tables(
             cands.iter_batches(batch_format="pyarrow",

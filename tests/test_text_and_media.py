@@ -363,3 +363,20 @@ def test_tfidf_top_terms_empty_corpus():
     out = tfidf_top_terms(ds)
     assert out.schema().names == ["doc_id", "term", "tf", "df", "tfidf"]
     assert out.count() == 0
+
+
+def test_heavy_hitters_no_block_survivors():
+    """A corpus where NO block produces a Misra-Gries survivor: the
+    pigeonhole bound proves no global heavy hitter exists either, and
+    the engine returns a typed empty result instead of crashing on the
+    empty candidate gather."""
+    from aisafetyintervention_literatureextraction_ray.functions.sketch import (
+        heavy_hitter_terms,
+    )
+
+    # every term is exactly 1/3 of its doc and of the corpus:
+    # with counters=1 the strict > n/2 bar is never met anywhere
+    ds = rd.from_arrow(pa.table({"text": ["alpha beta gamma"] * 4}))
+    out = heavy_hitter_terms(ds, counters=1)
+    assert out.schema().names == ["term", "n"]
+    assert out.count() == 0
