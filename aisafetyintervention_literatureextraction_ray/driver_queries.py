@@ -3392,6 +3392,55 @@ def kg_link_prediction(sf_dir: str):
             .head(50).reset_index(drop=True))
 
 
+@query(
+    "kg_adamic_adar",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    u AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+          FROM e WHERE s <> d),
+    adj AS (SELECT a AS c, b AS n FROM u
+            UNION ALL SELECT b AS c, a AS n FROM u),
+    dg AS (SELECT c, COUNT(*) AS deg FROM adj GROUP BY c),
+    p AS (SELECT a1.n AS id_a, a2.n AS id_b,
+                 CAST(FLOOR(1000000000000.0
+                            / LN(CAST(dg.deg AS DOUBLE))) AS BIGINT) AS w
+          FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n
+          JOIN dg ON dg.c = a1.c AND dg.deg <= {_LINKPRED_HUB_CAP})
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS common,
+           CAST(SUM(w) AS BIGINT) AS aa_fp
+    FROM p GROUP BY id_a, id_b
+    ORDER BY aa_fp DESC, id_a, id_b
+    LIMIT 50
+    """,
+)
+def kg_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the resolved KG
+    (functions/graph.py::adamic_adar) — the rare-shared-neighbor merge
+    channel complementing kg_link_prediction's Jaccard: each shared
+    neighbor z contributes floor(1e12 / ln(deg(z))) in exact int64
+    fixed point, so niche co-mentions outweigh hub co-mentions.  The
+    hub-center cap is modeled in the SQL (dg semi-join on the wedge
+    center); np.log and DuckDB LN agree bitwise on identical double
+    inputs, and the int64 weight sum is order-independent, so the
+    replay is exact; (aa_fp, id_a, id_b) totally orders unique pairs,
+    so the top-50 cut is deterministic."""
+    from .functions.graph import adamic_adar
+
+    out = adamic_adar(_kg_simple_edges(sf_dir), src="src_id",
+                      dst="dst_id", min_common=1,
+                      max_center_degree=_LINKPRED_HUB_CAP).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "common": pd.Series([], dtype="int64"),
+                             "aa_fp": pd.Series([], dtype="int64")})
+    for c in ("common", "aa_fp"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["aa_fp", "id_a", "id_b"],
+                            ascending=[False, True, True])
+            .head(50).reset_index(drop=True))
+
+
 @query("kg_kcore", _kcore_sql(2, 31))
 def kg_kcore(sf_dir: str):
     """2-core of the resolved KG's undirected simple graph
@@ -3836,7 +3885,7 @@ _DRIVER_ORDER = [
     # r3/r4 driver-artifact slot)
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
-    "kg_pmi_cooccurrence", "kg_pagerank_weighted",
+    "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -1399,6 +1399,192 @@ def _neighbor_overlap_driver(und: rd.Dataset, id_type: pa.DataType, *,
         "jaccard_fp": pa.array(fp.astype(np.int64))}))
 
 
+_AA_SCALE = 1_000_000_000_000  # 1e12 fixed-point scale for 1/ln(deg)
+
+
+def adamic_adar(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+                min_common: int = 1, max_center_degree: int = 10_000,
+                num_buckets: int | None = None,
+                driver_threshold: int = 500_000,
+                driver_wedge_limit: int = 20_000_000) -> rd.Dataset:
+    """``(id_a, id_b, common, aa_fp)`` — the Adamic–Adar link-prediction
+    score over the UNDIRECTED simple graph:
+    ``aa_fp = sum over shared neighbors z of floor(1e12 / ln(deg(z)))``
+    (int64 fixed point).  Unlike :func:`neighbor_overlap`'s Jaccard,
+    shared RARE neighbors dominate the score — exactly the KG
+    entity-merge signal (two aliases co-mentioned with one niche method
+    outrank two entities that merely share the field's hub concepts).
+
+    Same scale shape as ``neighbor_overlap``: hub CENTERS above
+    ``max_center_degree`` are skipped as wedge centers (reported via
+    ``functions/runstats``), every exchange moves skinny id columns,
+    and the per-center weight is a scalar ``floor(1e12 / ln(deg_c))``
+    computed from the FULL degree (``deg_c >= 2`` for any wedge
+    center, so ``ln`` is positive) — summed as exact int64, so the
+    result is bit-identical under any blocking and replays in SQL as
+    ``CAST(FLOOR(1e12 / LN(CAST(deg AS DOUBLE))) AS BIGINT)`` (np.log
+    and DuckDB LN agree bitwise on identical double inputs).  Below
+    ``driver_threshold`` distinct undirected edges (MEASURED) a numpy
+    kernel runs the identical arithmetic, doubly gated by the exact
+    wedge total computed from degrees BEFORE any expansion.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
+    n_und = und.count()
+    id_type = _input_id_type(edges, src)
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "common": pa.array([], type=pa.int64()),
+            "aa_fp": pa.array([], type=pa.int64())}))
+
+    if n_und == 0:
+        return empty()
+    if driver_threshold and n_und <= driver_threshold:
+        res = _adamic_adar_driver(
+            und, id_type, min_common=min_common,
+            max_center_degree=max_center_degree,
+            wedge_limit=driver_wedge_limit)
+        if res is not None:
+            return res
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": pa.chunked_array([t.column("a"),
+                                   t.column("b")]).combine_chunks(),
+            "n": pa.chunked_array([t.column("b"),
+                                   t.column("a")]).combine_chunks()})
+
+    adj = und.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    deg = hash_aggregate(
+        adj.select_columns(["c"]), ["c"], [("c", "count")],
+        rename={"c_count": "deg"},
+        num_buckets=num_buckets, exchange="shuffle").materialize()
+    adj_schema = pa.schema([("c", id_type), ("n", id_type)])
+    deg_schema = pa.schema([("c", id_type), ("deg", pa.int64())])
+
+    with_deg = bucketed_join(
+        adj, deg, left_key="c", right_key="c", right_value_cols=["deg"],
+        num_buckets=num_buckets, left_schema=adj_schema,
+        right_schema=deg_schema).materialize()
+    kept = with_deg.map_batches(
+        lambda t: t.filter(pc.less_equal(
+            t["deg"], pa.scalar(max_center_degree, pa.int64()))),
+        batch_format="pyarrow").materialize()
+    n_dropped = with_deg.count() - kept.count()
+    if n_dropped:
+        from .runstats import report_truncation
+
+        report_truncation("adamic_adar.hub_center", dropped=n_dropped)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # schema probe / filtered-empty bucket
+            return pd.DataFrame({"id_a": g["n"], "id_b": g["n"],
+                                 "w": pd.Series([], dtype="int64")}).iloc[:0]
+        # full degree of the wedge center is constant within the group;
+        # >= 2 because the group has >= 2 neighbor rows
+        w = int(np.floor(_AA_SCALE / np.log(float(g["deg"].iloc[0]))))
+        ns = np.sort(g["n"].to_numpy())
+        ia, ib = np.triu_indices(len(ns), k=1)
+        return pd.DataFrame({"id_a": ns[ia], "id_b": ns[ib],
+                             "w": np.full(len(ia), w, dtype=np.int64)})
+
+    from .agg import bucketed_group_map
+
+    pairs = bucketed_group_map(kept, ["c"], expand, min_group_size=2,
+                               num_buckets=num_buckets,
+                               exchange="shuffle")
+    scored = hash_aggregate(
+        pairs, ["id_a", "id_b"],
+        [("id_a", "count"), ("w", "sum")],
+        rename={"id_a_count": "common", "w_sum": "aa_fp"},
+        num_buckets=num_buckets, exchange="shuffle")
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["common"], pa.scalar(min_common, pa.int64()))),
+        batch_format="pyarrow")
+
+
+def _adamic_adar_driver(und: rd.Dataset, id_type: pa.DataType, *,
+                        min_common: int, max_center_degree: int,
+                        wedge_limit: int) -> rd.Dataset | None:
+    """Vectorized numpy wedge expansion with exact-int64 weight sums
+    (sort + ``np.add.reduceat`` — a float ``bincount`` would lose
+    exactness past 2^53); returns None above ``wedge_limit`` (caller
+    falls through to the distributed path)."""
+    ac, bc, nodes = _factorize_pairs(und.to_pandas(), "a", "b")
+    n_nodes = len(nodes)
+    full_deg = np.bincount(ac, minlength=n_nodes) + np.bincount(
+        bc, minlength=n_nodes)
+
+    cs = np.concatenate([ac, bc])
+    ns = np.concatenate([bc, ac])
+    center_ok = full_deg[cs] <= max_center_degree
+    n_hub_dropped = int((~center_ok).sum())
+    if n_hub_dropped:
+        cs, ns = cs[center_ok], ns[center_ok]
+    sizes = np.bincount(cs, minlength=n_nodes).astype(np.int64)
+    total_wedges = int((sizes * (sizes - 1) // 2).sum())
+    if total_wedges > wedge_limit:
+        return None
+    if n_hub_dropped:
+        from .runstats import report_truncation
+
+        report_truncation("adamic_adar.hub_center",
+                          dropped=n_hub_dropped)
+
+    # per-node fixed-point weight; only wedge centers (deg >= 2) are
+    # ever read, but compute defensively for deg >= 2 only
+    wtab = np.zeros(n_nodes, dtype=np.int64)
+    multi = full_deg >= 2
+    wtab[multi] = np.floor(
+        _AA_SCALE / np.log(full_deg[multi].astype(np.float64))
+    ).astype(np.int64)
+
+    order = np.lexsort((ns, cs))
+    ns = ns[order]
+    cs = cs[order]
+    starts = np.repeat(np.cumsum(sizes) - sizes, sizes)
+    rep = (np.repeat(sizes, sizes) - 1
+           - (np.arange(len(ns)) - starts)) if len(ns) else np.zeros(
+               0, dtype=np.int64)
+    first = np.repeat(np.arange(len(ns)), rep)
+    cum = np.concatenate([[0], np.cumsum(rep)])
+    second = (np.arange(int(cum[-1])) - np.repeat(cum[:-1], rep)
+              + first + 1)
+    key = ns[first] * np.int64(n_nodes) + ns[second]
+    w = wtab[cs[first]]  # the wedge's center weight
+
+    if len(key) == 0:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "common": pa.array([], type=pa.int64()),
+            "aa_fp": pa.array([], type=pa.int64())}))
+
+    order3 = np.argsort(key, kind="stable")
+    ks, ws = key[order3], w[order3]
+    bounds = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    uniq = ks[bounds]
+    counts = np.diff(np.concatenate([bounds, [len(ks)]]))
+    sums = np.add.reduceat(ws, bounds)  # exact int64 adds
+    keepm = counts >= min_common
+    uniq, counts, sums = uniq[keepm], counts[keepm], sums[keepm]
+    xa, xb = uniq // n_nodes, uniq % n_nodes
+    node_arr = np.asarray(nodes)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(node_arr[xa]).cast(id_type),
+        "id_b": pa.array(node_arr[xb]).cast(id_type),
+        "common": pa.array(counts.astype(np.int64)),
+        "aa_fp": pa.array(sums.astype(np.int64))}))
+
+
 # ------------------------------------------------------------ hash walks
 def hash_walks(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
                seeds: list | None = None, n_auto_seeds: int = 0,

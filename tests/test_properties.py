@@ -773,6 +773,102 @@ def test_neighbor_overlap_wedge_limit_falls_back_to_distributed():
     assert (got["common"] == 1).all()
 
 
+# ------------------------------------------------------------- Adamic-Adar
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (7, 20, 60, 0),         # forced DISTRIBUTED path
+    (7, 20, 60, 500_000),   # measured driver fast path, same input
+    (11, 15, 40, 0),
+    (11, 15, 40, 500_000),
+])
+def test_adamic_adar_matches_bruteforce(seed, n_nodes, n_edges,
+                                        driver_threshold):
+    """Adamic-Adar fixed-point sums (BOTH paths) == brute-force
+    per-shared-neighbor floor(1e12/ln(deg)) accumulation."""
+    import itertools
+    import math
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        adamic_adar,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        shared = adj[x] & adj[y]
+        if shared:
+            aa = sum(math.floor(1e12 / math.log(len(adj[z])))
+                     for z in shared)
+            ref[(x, y)] = (len(shared), aa)
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = adamic_adar(ds, driver_threshold=driver_threshold).to_pandas()
+    got_map = ({} if len(got) == 0 else
+               {(r.id_a, r.id_b): (r.common, r.aa_fp)
+                for r in got.itertuples()})
+    assert got_map == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_adamic_adar_hub_cap_and_empty(driver_threshold):
+    """Hub centers above max_center_degree contribute no wedges; weights
+    always use the FULL degree; empty input gives a typed empty."""
+    import math
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        adamic_adar,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = adamic_adar(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["id_a", "id_b", "common", "aa_fp"]
+    assert out.count() == 0
+
+    # star: hub h joins leaves l0..l4; plus one triangle edge l0-l1
+    ds = rd.from_arrow(pa.table({
+        "src": ["h"] * 5 + ["l0"],
+        "dst": [f"l{i}" for i in range(5)] + ["l1"],
+    }))
+    capped = adamic_adar(ds, max_center_degree=3,
+                         driver_threshold=driver_threshold).to_pandas()
+    got = {(r.id_a, r.id_b): (r.common, r.aa_fp)
+           for r in capped.itertuples()}
+    w2 = math.floor(1e12 / math.log(2))  # centers l0/l1 have degree 2
+    # hub (degree 5 > 3) never a wedge center; h's pairs via l0/l1 stay
+    assert got == {("h", "l1"): (1, w2), ("h", "l0"): (1, w2)}
+
+    with pytest.raises(ValueError):
+        adamic_adar(ds, min_common=0, driver_threshold=driver_threshold)
+
+
+def test_adamic_adar_wedge_limit_falls_back_to_distributed():
+    """Above the exact pre-computed wedge limit the driver path refuses
+    and the distributed path returns identical results."""
+    import math
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        adamic_adar,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["h"] * 6, "dst": [f"l{i}" for i in range(6)]}))
+    got = adamic_adar(ds, driver_threshold=500_000,
+                      driver_wedge_limit=1).to_pandas()
+    assert len(got) == 15  # C(6,2), computed on the distributed path
+    w6 = math.floor(1e12 / math.log(6))
+    assert (got["common"] == 1).all()
+    assert (got["aa_fp"] == w6).all()
+
+
 # ------------------------------------------------------- clustering coefficient
 @pytest.mark.parametrize("driver_threshold", [0, 500_000])
 def test_clustering_coefficients_known_graph(driver_threshold):
