@@ -3392,6 +3392,58 @@ def kg_link_prediction(sf_dir: str):
             .head(50).reset_index(drop=True))
 
 
+def _lpa_sql(n_rounds: int) -> str:
+    """Unroll the synchronous label-propagation vote
+    (functions/graph.py::label_propagation) into chained DuckDB CTEs:
+    per round one (node, label) count over the symmetric adjacency and
+    one ROW_NUMBER argmax (cnt DESC, label ASC) — the identical
+    integer/total-order recurrence, so the replay is exact."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "u AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b"
+        " FROM e WHERE s <> d),",
+        "adj AS MATERIALIZED (SELECT a AS c, b AS n FROM u"
+        " UNION ALL SELECT b, a FROM u),",
+        "l0 AS (SELECT DISTINCT c AS node_id, c AS label FROM adj),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts += [
+            f"g{i} AS (SELECT a.c AS node_id, l.label,"
+            f" COUNT(*) AS cnt FROM adj a"
+            f" JOIN l{i - 1} l ON l.node_id = a.n"
+            f" GROUP BY a.c, l.label),",
+            f"l{i} AS MATERIALIZED (SELECT node_id, label FROM ("
+            f"SELECT node_id, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node_id ORDER BY cnt DESC, label ASC) AS rn"
+            f" FROM g{i}) WHERE rn = 1),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node_id, label FROM l{n_rounds}"
+                 " ORDER BY node_id")
+    return "\n".join(parts)
+
+
+@query("kg_lpa_communities", _lpa_sql(4))
+def kg_lpa_communities(sf_dir: str):
+    """Synchronous label-propagation communities over the resolved KG
+    (functions/graph.py::label_propagation): 4 rounds of
+    most-frequent-neighbor-label voting with a lexicographic
+    tie-break — the community signal that splits dense entity
+    clusters from their bridges, where connected components would
+    report one blob.  Counts are exact integers and the tie-break is
+    a total order, so the synchronous update is bit-identical under
+    any shuffle order and the oracle unrolls the identical recurrence
+    into window CTEs."""
+    from .functions.graph import label_propagation
+
+    out = label_propagation(_kg_simple_edges(sf_dir), src="src_id",
+                            dst="dst_id", n_rounds=4).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "label": pd.Series([], dtype=object)})
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 @query(
     "kg_adamic_adar",
     f"""
@@ -3886,6 +3938,7 @@ _DRIVER_ORDER = [
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
+    "kg_lpa_communities",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -1763,6 +1763,132 @@ def _hash_walks_driver(adj: rd.Dataset, seeds: list[str], walk_len: int,
         "node_id": pa.array(rows_node, type=pa.string()).cast(id_type)}))
 
 
+# ------------------------------------------------- label propagation
+def label_propagation(edges: rd.Dataset, *, src: str = "src",
+                      dst: str = "dst", n_rounds: int = 4,
+                      num_buckets: int | None = None,
+                      driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, label)`` — deterministic SYNCHRONOUS label
+    propagation (community detection) over the undirected simple
+    graph: every node starts labeled with its own id; each round every
+    node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by the LEXICOGRAPHICALLY SMALLEST label.
+    Unlike :func:`connected_components` (which converges to one label
+    per component), a FIXED ``n_rounds`` of frequency voting splits
+    dense regions from their bridges — the community signal KG QA
+    reads to spot over-merged entity clusters.
+
+    Determinism contract: the update is synchronous (all nodes read
+    round t-1 labels), counts are exact integers, and the tie-break is
+    a total order, so the result is bit-identical under any blocking /
+    shuffle order and the recurrence unrolls verbatim into SQL window
+    CTEs (``ROW_NUMBER() OVER (ORDER BY cnt DESC, label ASC)``).
+    Synchronous LPA can oscillate on bipartite structures; a fixed
+    round count makes that a well-defined (and replayable) output
+    rather than a convergence hazard.
+
+    Scale shape per round: one partitioned join (labels into the
+    symmetric adjacency on the neighbor key) + one ``(node, label)``
+    keyed count + one per-node vectorized argmax inside hash buckets —
+    all skinny id/int columns.  Below ``driver_threshold`` distinct
+    undirected edges (MEASURED, the ``connected_components`` 2M
+    policy) an identical numpy recurrence runs on the driver.
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
+    n_und = und.count()
+    id_type = _input_id_type(edges, src)
+    if n_und == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "label": pa.array([], type=id_type)}))
+    if driver_threshold and n_und <= driver_threshold:
+        return _label_propagation_driver(und, id_type,
+                                         n_rounds=n_rounds)
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": pa.chunked_array([t.column("a"),
+                                   t.column("b")]).combine_chunks(),
+            "n": pa.chunked_array([t.column("b"),
+                                   t.column("a")]).combine_chunks()})
+
+    adj = und.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    adj_schema = pa.schema([("c", id_type), ("n", id_type)])
+    labels_schema = pa.schema([("node_id", id_type),
+                               ("label", id_type)])
+
+    def self_label(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("c"))
+        return pa.table({"node_id": u, "label": u})
+
+    labels = hash_aggregate(
+        adj.map_batches(self_label, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["node_id", "label"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id", "label"]).materialize()
+    nblocks = max(adj.num_blocks(),
+                  num_buckets or default_num_buckets())
+
+    from .agg import bucketed_apply
+
+    def argmax_label(df: pd.DataFrame) -> pd.DataFrame:
+        # max count first, then smallest label — vectorized per bucket
+        out = (df.sort_values(["node_id", "cnt", "label"],
+                              ascending=[True, False, True])
+               .drop_duplicates("node_id"))
+        return out[["node_id", "label"]]
+
+    for _ in range(n_rounds):
+        joined = bucketed_join(
+            adj, labels, left_key="n", right_key="node_id",
+            right_value_cols=["label"], num_buckets=num_buckets,
+            left_schema=adj_schema, right_schema=labels_schema)
+        votes = hash_aggregate(
+            joined.select_columns(["c", "label"]), ["c", "label"],
+            [("c", "count")], rename={"c_count": "cnt", "c": "node_id"},
+            num_buckets=num_buckets, exchange="shuffle")
+        labels = bucketed_apply(
+            votes, ["node_id"], argmax_label,
+            num_buckets=num_buckets, exchange="shuffle",
+        ).repartition(nblocks).materialize()
+
+    return labels
+
+
+def _label_propagation_driver(und: rd.Dataset, id_type: pa.DataType, *,
+                              n_rounds: int) -> rd.Dataset:
+    """Numpy form of the identical synchronous vote: factorized codes
+    are order-isomorphic to the id strings (``sort=True``), so the
+    min-code tie-break equals the min-label tie-break bit-for-bit."""
+    ac, bc, nodes = _factorize_pairs(und.to_pandas(), "a", "b")
+    n_nodes = len(nodes)
+    cs = np.concatenate([ac, bc])
+    ns = np.concatenate([bc, ac])
+    labels = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(n_rounds):
+        key = cs * np.int64(n_nodes) + labels[ns]
+        uniq, counts = np.unique(key, return_counts=True)
+        c_part, lab_part = uniq // n_nodes, uniq % n_nodes
+        order = np.lexsort((lab_part, -counts, c_part))
+        cp, lp = c_part[order], lab_part[order]
+        firsts = np.concatenate([[True], cp[1:] != cp[:-1]])
+        new_labels = labels.copy()
+        new_labels[cp[firsts]] = lp[firsts]
+        labels = new_labels
+    node_arr = np.asarray(nodes)
+    present = np.zeros(n_nodes, dtype=bool)
+    present[cs] = True  # every endpoint; all nodes of the edge set
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(node_arr[present]).cast(id_type),
+        "label": pa.array(node_arr[labels[present]]).cast(id_type)}))
+
+
 # ----------------------------------------------------------------- SCC
 def strongly_connected_components(edges: rd.Dataset, *,
                                   src: str = "src", dst: str = "dst",

@@ -773,6 +773,88 @@ def test_neighbor_overlap_wedge_limit_falls_back_to_distributed():
     assert (got["common"] == 1).all()
 
 
+# -------------------------------------------------------- label propagation
+def _lpa_reference(und_edges, n_rounds):
+    """Synchronous LPA: most-frequent neighbor label, ties -> min."""
+    adj: dict[str, list[str]] = {}
+    for a, b in und_edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_rounds):
+        new = {}
+        for v, ns in adj.items():
+            cnt: dict[str, int] = {}
+            for n in ns:
+                cnt[labels[n]] = cnt.get(labels[n], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,n_rounds,driver_threshold", [
+    (5, 20, 50, 4, 0),         # forced DISTRIBUTED path
+    (5, 20, 50, 4, 2_000_000),  # measured driver fast path, same input
+    (9, 12, 25, 2, 0),
+    (9, 12, 25, 2, 2_000_000),
+])
+def test_label_propagation_matches_reference(seed, n_nodes, n_edges,
+                                             n_rounds, driver_threshold):
+    """Both paths == a dict-based synchronous LPA reference."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}", f"v{rng.randrange(n_nodes):02d}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    ref = _lpa_reference(und, n_rounds)
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = label_propagation(ds, n_rounds=n_rounds,
+                            driver_threshold=driver_threshold).to_pandas()
+    assert dict(zip(got["node_id"], got["label"])) == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_label_propagation_two_communities(driver_threshold):
+    """Two triangles joined by one bridge keep two distinct labels
+    (where connected_components would report one blob); empty input
+    gives a typed empty; n_rounds < 1 raises."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        label_propagation,
+    )
+
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    ds = rd.from_arrow(pa.table({
+        "src": [a for a, _ in tri1 + tri2] + ["a3"],
+        "dst": [b for _, b in tri1 + tri2] + ["b1"]}))
+    got = label_propagation(ds, n_rounds=4,
+                            driver_threshold=driver_threshold).to_pandas()
+    lab = dict(zip(got["node_id"], got["label"]))
+    assert len(got) == 6
+    ref = _lpa_reference({tuple(sorted(p)) for p in
+                          tri1 + tri2 + [("a3", "b1")]}, 4)
+    assert lab == ref
+    # the two triangle cores keep separate labels
+    assert lab["a1"] != lab["b2"]
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = label_propagation(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "label"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        label_propagation(ds, n_rounds=0,
+                          driver_threshold=driver_threshold)
+
+
 # ------------------------------------------------------------- Adamic-Adar
 @pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
     (7, 20, 60, 0),         # forced DISTRIBUTED path
