@@ -3392,6 +3392,72 @@ def kg_link_prediction(sf_dir: str):
             .head(50).reset_index(drop=True))
 
 
+_HITS_SCALE = 1_000_000_000_000
+
+
+def _hits_sql(n: int, scale: int = _HITS_SCALE) -> str:
+    """Unroll the integer HITS recurrence
+    (functions/graph.py::hits) into chained DuckDB CTEs: per round two
+    keyed sums over the distinct simple digraph and two divisor
+    normalizations ``v // GREATEST(1, (MAX(v)+scale-1)//scale)`` — the
+    identical integer op tree, so the replay is exact."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "ed AS MATERIALIZED (SELECT DISTINCT s, d FROM e WHERE s <> d),",
+        "nd AS MATERIALIZED (SELECT s AS node_id FROM ed"
+        " UNION SELECT d FROM ed),",
+        f"h0 AS (SELECT node_id, CAST({scale} AS BIGINT) AS v FROM nd),",
+    ]
+    for i in range(1, n + 1):
+        parts += [
+            f"ar{i} AS MATERIALIZED (SELECT n.node_id,"
+            f" CAST(COALESCE(s.v, 0) AS BIGINT) AS v FROM nd n LEFT JOIN"
+            f" (SELECT e.d AS node_id, CAST(SUM(h.v) AS BIGINT) AS v"
+            f" FROM ed e JOIN h{i - 1} h ON h.node_id = e.s"
+            f" GROUP BY e.d) s USING (node_id)),",
+            f"a{i} AS MATERIALIZED (SELECT node_id, v // GREATEST(1,"
+            f" ((SELECT MAX(v) FROM ar{i}) + {scale - 1}) // {scale})"
+            f" AS v FROM ar{i}),",
+            f"hr{i} AS MATERIALIZED (SELECT n.node_id,"
+            f" CAST(COALESCE(s.v, 0) AS BIGINT) AS v FROM nd n LEFT JOIN"
+            f" (SELECT e.s AS node_id, CAST(SUM(a.v) AS BIGINT) AS v"
+            f" FROM ed e JOIN a{i} a ON a.node_id = e.d"
+            f" GROUP BY e.s) s USING (node_id)),",
+            f"h{i} AS MATERIALIZED (SELECT node_id, v // GREATEST(1,"
+            f" ((SELECT MAX(v) FROM hr{i}) + {scale - 1}) // {scale})"
+            f" AS v FROM hr{i}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h.node_id, CAST(h.v AS BIGINT) AS hub_fp,"
+        f" CAST(a.v AS BIGINT) AS auth_fp"
+        f" FROM h{n} h JOIN a{n} a USING (node_id) ORDER BY node_id")
+    return "\n".join(parts)
+
+
+@query("kg_hits", _hits_sql(8))
+def kg_hits(sf_dir: str):
+    """HITS hubs/authorities over the resolved KG digraph
+    (functions/graph.py::hits): separates reference entities
+    (authorities, pointed at by many well-sourced claims) from survey
+    entities (hubs, whose outgoing edges cover the authorities) —
+    the two-sided centrality PageRank conflates.  Eight rounds of the
+    divisor-normalized integer recurrence; sums, maxes and divisions
+    are all exact int64, so both paths and the unrolled-CTE oracle
+    agree bit-for-bit."""
+    from .functions.graph import hits
+
+    out = hits(_kg_simple_edges(sf_dir), src="src_id", dst="dst_id",
+               n_iters=8).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "hub_fp": pd.Series([], dtype="int64"),
+                             "auth_fp": pd.Series([], dtype="int64")})
+    for c in ("hub_fp", "auth_fp"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -3938,7 +4004,7 @@ _DRIVER_ORDER = [
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
-    "kg_lpa_communities",
+    "kg_lpa_communities", "kg_hits",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

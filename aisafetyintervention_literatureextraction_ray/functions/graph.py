@@ -1763,6 +1763,160 @@ def _hash_walks_driver(adj: rd.Dataset, seeds: list[str], walk_len: int,
         "node_id": pa.array(rows_node, type=pa.string()).cast(id_type)}))
 
 
+# ----------------------------------------------------------------- HITS
+HITS_SCALE = 1_000_000_000_000
+
+
+def hits(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+         n_iters: int = 8, scale: int = HITS_SCALE,
+         num_buckets: int | None = None,
+         driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, hub_fp, auth_fp)`` — Kleinberg's HITS over the
+    DISTINCT simple digraph (self-loops dropped) in exact integer
+    fixed point.  Per iteration::
+
+        a_raw(i) = sum_{j->i} h(j);  a = a_raw // ceil(max(a_raw)/scale)
+        h_raw(j) = sum_{j->i} a(i);  h = h_raw // ceil(max(h_raw)/scale)
+
+    The divisor normalization (instead of the float L2 norm) keeps
+    every value in ``[0, scale]`` using ONLY integer sum / max /
+    division — associative, commutative, and exactly replayable in SQL
+    (``v // GREATEST(1, (MAX(v) + scale - 1) // scale)``), so the
+    result is bit-identical under any blocking or summation order.
+    KG use: separates REFERENCE entities (authorities — pointed at by
+    many well-sourced claims) from SURVEY entities (hubs — whose
+    outgoing edges cover the authorities), which PageRank's single
+    score conflates.  ``n_iters`` is fixed (HITS converges
+    geometrically; 8 rounds is the standard ranking choice).
+
+    Caller contract: ``max(in_deg, out_deg) * scale < 2^63`` — degrees
+    to ~9.2e6 at the default scale (the ``pagerank`` weighted bound).
+    Scale shape per iteration: two partitioned skinny joins (scores
+    into the edge list) + two keyed sums + two driver-scalar maxes.
+    Below ``driver_threshold`` distinct edges (MEASURED, the 2M
+    policy) the identical recurrence runs vectorized on the driver.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t[src], t[dst])))
+
+    e = _distinct_edges(
+        edges.map_batches(drop_self, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        src, dst, num_buckets=num_buckets).materialize()
+    n_edges = e.count()
+    id_type = _input_id_type(edges, src)
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "hub_fp": pa.array([], type=pa.int64()),
+            "auth_fp": pa.array([], type=pa.int64())}))
+    if driver_threshold and n_edges <= driver_threshold:
+        return _hits_driver(e, src, dst, n_iters=n_iters, scale=scale,
+                            id_type=id_type)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.chunked_array(
+            [t.column(src), t.column(dst)]).combine_chunks()})
+
+    nodes = hash_aggregate(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id"]).materialize()
+    e_schema = pa.schema([(src, id_type), (dst, id_type)])
+    score_schema = pa.schema([("node_id", id_type), ("v", pa.int64())])
+    nblocks = max(e.num_blocks(), num_buckets or default_num_buckets())
+
+    def const_score(value: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node_id": t.column("node_id"),
+                "v": pa.array(np.full(t.num_rows, value, np.int64))})
+        return f
+
+    def half_step(scores: rd.Dataset, join_key: str,
+                  emit_key: str) -> rd.Dataset:
+        """sum the ``join_key``-side scores onto ``emit_key`` nodes,
+        then divisor-normalize back into [0, scale]."""
+        joined = bucketed_join(
+            e, scores, left_key=join_key, right_key="node_id",
+            right_value_cols=["v"], num_buckets=num_buckets,
+            left_schema=e_schema, right_schema=score_schema)
+
+        def emit(t: pa.Table) -> pa.Table:
+            return pa.table({"node_id": t.column(emit_key),
+                             "v": t.column("v")})
+
+        cand = joined.map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True,
+        ).union(nodes.map_batches(const_score(0),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        raw = hash_aggregate(
+            cand, ["node_id"], [("v", "sum")], rename={"v_sum": "v"},
+            num_buckets=num_buckets, exchange="shuffle").materialize()
+        m = raw.max("v")
+        div = max(1, (int(m) + scale - 1) // scale)
+
+        def norm(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node_id": t.column("node_id"),
+                "v": pc.divide(t.column("v").cast(pa.int64()),
+                               pa.scalar(div, pa.int64()))})
+
+        return raw.map_batches(norm, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               ).repartition(nblocks).materialize()
+
+    hub = nodes.map_batches(const_score(scale), batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    auth = hub
+    for _ in range(n_iters):
+        auth = half_step(hub, src, dst)    # authorities gather hub mass
+        hub = half_step(auth, dst, src)    # hubs gather authority mass
+
+    out = bucketed_join(
+        hub.map_batches(lambda t: t.rename_columns(["node_id", "hub_fp"]),
+                        batch_format="pyarrow", zero_copy_batch=True),
+        auth.map_batches(lambda t: t.rename_columns(["node_id", "auth_fp"]),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        left_key="node_id", right_key="node_id",
+        right_value_cols=["auth_fp"], num_buckets=num_buckets,
+        left_schema=pa.schema([("node_id", id_type),
+                               ("hub_fp", pa.int64())]),
+        right_schema=pa.schema([("node_id", id_type),
+                                ("auth_fp", pa.int64())]))
+    return out
+
+
+def _hits_driver(e: rd.Dataset, src: str, dst: str, *, n_iters: int,
+                 scale: int, id_type: pa.DataType) -> rd.Dataset:
+    """Numpy form of the identical integer recurrence."""
+    sc, dc, nodes = _factorize_pairs(e.to_pandas(), src, dst)
+    n_nodes = len(nodes)
+    hub = np.full(n_nodes, scale, dtype=np.int64)
+
+    def half(sval: np.ndarray, from_idx: np.ndarray,
+             to_idx: np.ndarray) -> np.ndarray:
+        raw = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(raw, to_idx, sval[from_idx])
+        div = max(1, (int(raw.max()) + scale - 1) // scale)
+        return raw // np.int64(div)
+
+    auth = hub
+    for _ in range(n_iters):
+        auth = half(hub, sc, dc)
+        hub = half(auth, dc, sc)
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(np.asarray(nodes)).cast(id_type),
+        "hub_fp": pa.array(hub),
+        "auth_fp": pa.array(auth)}))
+
+
 # ------------------------------------------------- label propagation
 def label_propagation(edges: rd.Dataset, *, src: str = "src",
                       dst: str = "dst", n_rounds: int = 4,

@@ -773,6 +773,85 @@ def test_neighbor_overlap_wedge_limit_falls_back_to_distributed():
     assert (got["common"] == 1).all()
 
 
+# ------------------------------------------------------------------ HITS
+def _hits_reference(dir_edges, n_iters, scale=10**12):
+    """Pure-python-int HITS with divisor normalization."""
+    nodes = sorted({v for e in dir_edges for v in e})
+    hub = {v: scale for v in nodes}
+
+    def half(sval, pairs):
+        raw = {v: 0 for v in nodes}
+        for a, b in pairs:
+            raw[b] += sval[a]
+        div = max(1, (max(raw.values()) + scale - 1) // scale)
+        return {v: raw[v] // div for v in nodes}
+
+    auth = hub
+    for _ in range(n_iters):
+        auth = half(hub, dir_edges)
+        hub = half(auth, [(b, a) for a, b in dir_edges])
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,n_iters,driver_threshold", [
+    (13, 20, 60, 8, 0),          # forced DISTRIBUTED path
+    (13, 20, 60, 8, 2_000_000),  # measured driver fast path, same input
+    (4, 10, 25, 3, 0),
+    (4, 10, 25, 3, 2_000_000),
+])
+def test_hits_matches_reference(seed, n_nodes, n_edges, n_iters,
+                                driver_threshold):
+    """Both paths == a dict-based exact-int HITS reference (self-loops
+    and duplicate edges dropped on both sides)."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import hits
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}", f"v{rng.randrange(n_nodes):02d}")
+           for _ in range(n_edges)]
+    dedup = sorted({p for p in raw if p[0] != p[1]})
+    ref = _hits_reference(dedup, n_iters)
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = hits(ds, n_iters=n_iters,
+               driver_threshold=driver_threshold).to_pandas()
+    got_map = {r.node_id: (r.hub_fp, r.auth_fp)
+               for r in got.itertuples()}
+    assert got_map == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_hits_star_graph(driver_threshold):
+    """Star h -> l0..l3: the center is the only hub (auth 0), leaves
+    are pure authorities; empty input gives a typed empty; n_iters < 1
+    raises."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import hits
+
+    scale = 10**12
+    ds = rd.from_arrow(pa.table({
+        "src": ["h"] * 4 + ["h"],  # duplicate edge collapses
+        "dst": [f"l{i}" for i in range(4)] + ["l0"]}))
+    got = hits(ds, n_iters=8, driver_threshold=driver_threshold
+               ).to_pandas()
+    m = {r.node_id: (r.hub_fp, r.auth_fp) for r in got.itertuples()}
+    # h emits to 4 leaves: every leaf auth = scale (max-normalized),
+    # h's hub = 4*scale normalized back to scale; cross scores are 0
+    assert m["h"] == (scale, 0)
+    for i in range(4):
+        assert m[f"l{i}"] == (0, scale)
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = hits(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "hub_fp", "auth_fp"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        hits(ds, n_iters=0, driver_threshold=driver_threshold)
+
+
 # -------------------------------------------------------- label propagation
 def _lpa_reference(und_edges, n_rounds):
     """Synchronous LPA: most-frequent neighbor label, ties -> min."""
