@@ -3392,6 +3392,46 @@ def kg_link_prediction(sf_dir: str):
             .head(50).reset_index(drop=True))
 
 
+@query(
+    "doc_sorted_neighbors",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap
+    FROM s a JOIN s b
+      ON a.source = b.source AND b.rn - a.rn BETWEEN 1 AND 3
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_sorted_neighbors(sf_dir: str):
+    """Sorted-neighborhood blocking (stages/dedup.py::
+    sorted_neighborhood_pairs): per source, rank documents by
+    (n_chars, doc_id) and pair each with the next 3 — the classic
+    entity-resolution candidate channel for near-identical-size
+    records that hash blocking misses.  The rank pass is one keyed
+    shuffle; each row then explodes to 3 skinny probe keys joined
+    once against the unique ranked side, so candidates stream out
+    with no quadratic block expansion.  (n_chars, doc_id) is a total
+    order, so ranks — and the SQL window replay — are deterministic."""
+    from .stages.dedup import sorted_neighborhood_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = sorted_neighborhood_pairs(
+        ds, group_col="source", order_cols=["n_chars", "doc_id"],
+        id_col="doc_id", window=3).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "gap": pd.Series([], dtype="int64")})
+    for c in ("id_a", "id_b", "gap"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 _HITS_SCALE = 1_000_000_000_000
 
 
@@ -4004,7 +4044,7 @@ _DRIVER_ORDER = [
     "kg_clustering_coeff", "doc_lm_score", "term_heavy_hitters",
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
-    "kg_lpa_communities", "kg_hits",
+    "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -862,3 +862,83 @@ def exact_dup_pairs(ds: rd.Dataset, *, id_col: str = "doc_id",
                              "id_b": df[id_col].to_numpy()[mask]})
 
     return bucketed_apply(cand, ["__h"], star, num_buckets=num_buckets)
+
+
+# ------------------------------------------------- sorted neighborhood
+def sorted_neighborhood_pairs(ds: rd.Dataset, *, group_col: str,
+                              order_cols: list[str], id_col: str,
+                              window: int = 3,
+                              num_buckets: int | None = None
+                              ) -> rd.Dataset:
+    """``(id_a, id_b, gap)`` — the classic sorted-neighborhood blocking
+    pass of entity resolution: within each ``group_col`` partition,
+    rows are ranked by ``order_cols`` and every row is paired with the
+    ``window`` rows after it (``gap`` = rank distance, 1..window).
+    The candidate channel for "almost the same size/sort key" records
+    that hash blocking misses; feed the pairs to a verifier (MinHash /
+    edit distance / embedding cosine).
+
+    Caller contract: ``order_cols`` must end in a unique tie-breaker
+    (e.g. the id) so ranks are a total order — same contract as
+    ``grouped_running``, which computes them.  Scale shape: one keyed
+    shuffle for the rank pass, then each row EXPLODES to ``window``
+    skinny probe keys joined once against the ranked table — no sort
+    of pairs, no quadratic block expansion, and the join key
+    ``group#rank`` is unique on the build side, so the join output is
+    exactly the candidate set.  SQL replay:
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...)`` self-join on
+    ``rn_b - rn_a BETWEEN 1 AND window``.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from ..functions.agg import bucketed_join, grouped_running
+
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys([group_col, *order_cols, id_col]))
+    ranked = grouped_running(
+        ds.select_columns(cols),
+        [group_col], order_cols, seq_col="__seq",
+        num_buckets=num_buckets).materialize()
+
+    def jk(t: pa.Table, seq: pa.Array) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(t[group_col], pa.string()),
+            pc.cast(seq, pa.string()), "#")
+
+    def build_side(t: pa.Table) -> pa.Table:
+        return pa.table({"__jk": jk(t, t["__seq"]),
+                         "id_b": t[id_col]})
+
+    def probe_side(t: pa.Table) -> pa.Table:
+        parts = []
+        for o in range(1, window + 1):
+            target = pc.add(t["__seq"], pa.scalar(o, pa.int64()))
+            parts.append(pa.table({
+                "__jk": jk(t, target),
+                "id_a": t[id_col],
+                "gap": pa.array(np.full(t.num_rows, o, np.int64))}))
+        return pa.concat_tables(parts)
+
+    build = ranked.map_batches(build_side, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    probe = ranked.map_batches(probe_side, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    id_type = _col_type(ds, id_col)
+    joined = bucketed_join(
+        probe, build, left_key="__jk", right_key="__jk",
+        right_value_cols=["id_b"], num_buckets=num_buckets,
+        left_schema=pa.schema([("__jk", pa.string()),
+                               ("id_a", id_type),
+                               ("gap", pa.int64())]),
+        right_schema=pa.schema([("__jk", pa.string()),
+                                ("id_b", id_type)]))
+    return joined.select_columns(["id_a", "id_b", "gap"])
+
+
+def _col_type(ds: rd.Dataset, col: str) -> pa.DataType:
+    from ..functions.agg import pa_type_of
+
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    return pa_type_of(dict(zip(sch.names, sch.types))[col])

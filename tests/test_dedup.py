@@ -218,3 +218,40 @@ def test_truncation_is_reported_not_silent():
     assert stat["groups"] == 4
     assert stat["dropped"] == 4 * (n - cap)
     truncation_stats(reset=True)
+
+
+# ------------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_pairs_matches_bruteforce():
+    """Window pairs == brute-force rank-window over a per-group sort;
+    gaps are exact rank distances; window < 1 raises."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(21)
+    rows = [{"g": f"s{rng.randrange(4)}", "k": rng.randrange(10),
+             "id": i} for i in range(60)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = sorted_neighborhood_pairs(
+        ds, group_col="g", order_cols=["k", "id"], id_col="id",
+        window=3).to_pandas()
+
+    ref = set()
+    bygroup: dict[str, list] = {}
+    for r in rows:
+        bygroup.setdefault(r["g"], []).append(r)
+    for g, rs in bygroup.items():
+        rs = sorted(rs, key=lambda r: (r["k"], r["id"]))
+        for i, a in enumerate(rs):
+            for o in range(1, 4):
+                if i + o < len(rs):
+                    ref.add((a["id"], rs[i + o]["id"], o))
+    assert {(r.id_a, r.id_b, r.gap) for r in got.itertuples()} == ref
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(ds, group_col="g",
+                                  order_cols=["k", "id"], id_col="id",
+                                  window=0)
