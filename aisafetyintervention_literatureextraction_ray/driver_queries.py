@@ -3498,6 +3498,60 @@ def kg_hits(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+def _katz_sql(n: int, beta: int = _HITS_SCALE) -> str:
+    """Unroll the integer Katz recurrence
+    (functions/graph.py::katz_centrality) into chained DuckDB CTEs:
+    the attenuation divisor is measured in SQL exactly as the engine
+    measures it (``GREATEST(2, 2 * MAX(in_degree))``), then each round
+    is one keyed sum over the distinct simple digraph plus the affine
+    ``beta + v // den`` — the identical integer op tree, so the replay
+    is exact."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "ed AS MATERIALIZED (SELECT DISTINCT s, d FROM e WHERE s <> d),",
+        "nd AS MATERIALIZED (SELECT s AS node_id FROM ed"
+        " UNION SELECT d FROM ed),",
+        "dv AS (SELECT GREATEST(2, 2 * MAX(c)) AS den FROM"
+        " (SELECT COUNT(*) AS c FROM ed GROUP BY d)),",
+        f"k0 AS (SELECT node_id, CAST({beta} AS BIGINT) AS v FROM nd),",
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT n.node_id,"
+            f" CAST({beta} AS BIGINT)"
+            f" + CAST(COALESCE(s.v, 0) AS BIGINT) // (SELECT den FROM dv)"
+            f" AS v FROM nd n LEFT JOIN"
+            f" (SELECT e2.d AS node_id, CAST(SUM(k.v) AS BIGINT) AS v"
+            f" FROM ed e2 JOIN k{i - 1} k ON k.node_id = e2.s"
+            f" GROUP BY e2.d) s USING (node_id)),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node_id, CAST(v AS BIGINT) AS katz_fp FROM k{n}"
+        f" ORDER BY node_id")
+    return "\n".join(parts)
+
+
+@query("kg_katz", _katz_sql(8))
+def kg_katz(sf_dir: str):
+    """Katz centrality over the resolved KG digraph
+    (functions/graph.py::katz_centrality): credits a node for ALL
+    walks that reach it, attenuated per hop by a MEASURED
+    ``1 / (2 * max_in_degree)`` — unlike PageRank it does not divide
+    endorsement by the endorser's out-degree, the standard choice for
+    citation-style graphs.  Eight rounds of the integer fixed-point
+    recurrence; sums and floor-divisions are exact int64, so both
+    engine paths and the unrolled-CTE oracle agree bit-for-bit."""
+    from .functions.graph import katz_centrality
+
+    out = katz_centrality(_kg_simple_edges(sf_dir), src="src_id",
+                          dst="dst_id", n_iters=8).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "katz_fp": pd.Series([], dtype="int64")})
+    out["katz_fp"] = out["katz_fp"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4045,6 +4099,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
+    "kg_katz",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -1388,3 +1388,75 @@ def test_weighted_pagerank_matches_sequential(driver_threshold):
     b = pagerank(ds, driver_threshold=driver_threshold).to_pandas()
     assert dict(zip(a["node_id"], a["rank_fp"])) == \
         dict(zip(b["node_id"], b["rank_fp"]))
+
+
+# -------------------------------------------------------- katz centrality
+def _katz_reference(dir_edges, n_iters, beta=10**12):
+    """Dict-based exact-int Katz: den = max(2, 2*max_in_degree)."""
+    nodes = sorted({v for e in dir_edges for v in e})
+    indeg = {v: 0 for v in nodes}
+    for _, b in dir_edges:
+        indeg[b] += 1
+    den = max(2, 2 * max(indeg.values(), default=0))
+    x = {v: beta for v in nodes}
+    for _ in range(n_iters):
+        raw = {v: 0 for v in nodes}
+        for a, b in dir_edges:
+            raw[b] += x[a]
+        x = {v: beta + raw[v] // den for v in nodes}
+    return x
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,n_iters,driver_threshold", [
+    (13, 20, 60, 8, 0),          # forced DISTRIBUTED path
+    (13, 20, 60, 8, 2_000_000),  # measured driver fast path, same input
+    (7, 10, 25, 3, 0),
+    (7, 10, 25, 3, 2_000_000),
+])
+def test_katz_matches_reference(seed, n_nodes, n_edges, n_iters,
+                                driver_threshold):
+    """Both paths == a dict-based exact-int Katz reference (self-loops
+    and duplicate edges dropped on both sides)."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import katz_centrality
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}", f"v{rng.randrange(n_nodes):02d}")
+           for _ in range(n_edges)]
+    dedup = sorted({p for p in raw if p[0] != p[1]})
+    ref = _katz_reference(dedup, n_iters)
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = katz_centrality(ds, n_iters=n_iters,
+                          driver_threshold=driver_threshold).to_pandas()
+    got_map = {r.node_id: r.katz_fp for r in got.itertuples()}
+    assert got_map == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_katz_chain_graph(driver_threshold):
+    """Chain a -> b -> c (max in-degree 1, den = 2): two iterations
+    give exactly (B, 1.5B, 1.75B); empty input gives a typed empty;
+    n_iters < 1 raises."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import katz_centrality
+
+    beta = 10**12
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "b", "a"],  # duplicate edge collapses
+        "dst": ["b", "c", "b"]}))
+    got = katz_centrality(ds, n_iters=2,
+                          driver_threshold=driver_threshold).to_pandas()
+    m = {r.node_id: r.katz_fp for r in got.itertuples()}
+    assert m == {"a": beta, "b": beta + beta // 2,
+                 "c": beta + (beta + beta // 2) // 2}
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = katz_centrality(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "katz_fp"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        katz_centrality(ds, n_iters=0, driver_threshold=driver_threshold)
