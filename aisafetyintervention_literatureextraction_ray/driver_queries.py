@@ -3552,6 +3552,88 @@ def kg_katz(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+def _sssp_sql(n: int) -> str:
+    """Unroll the bounded-hop min-plus relaxation
+    (functions/graph.py::shortest_paths) into chained DuckDB CTEs:
+    edge cost = ``1000000 // provenance_count`` per distinct endpoint
+    pair (strongly-evidenced links are cheaper), seeds = the two
+    lexicographically-smallest node ids, and each round is one keyed
+    MIN over (carried dists UNION ALL relaxed candidates) — the
+    identical integer op tree, so the replay is exact."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        f"""ewr AS (
+          SELECT ns.node_id AS s, nd2.node_id AS d
+          FROM read_parquet('{_KG_ORACLE_DIR}/triples/*.parquet') t
+          JOIN nodes_m ns ON {_NORM_SQL.format(col='t.subj')} = ns.name_norm
+          JOIN nodes_m nd2 ON {_NORM_SQL.format(col='t.obj')} = nd2.name_norm
+        ),""",
+        "ec AS MATERIALIZED (SELECT s, d,"
+        " 1000000 // CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM ewr GROUP BY s, d),",
+        "vx AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),",
+        "seeds AS (SELECT node_id FROM vx ORDER BY node_id LIMIT 2),",
+        "d0 AS (SELECT node_id, CAST(0 AS BIGINT) AS dist FROM seeds),",
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node_id, MIN(dist) AS dist"
+            f" FROM (SELECT node_id, dist FROM d{i - 1}"
+            f" UNION ALL SELECT ec.d AS node_id, dd.dist + ec.c AS dist"
+            f" FROM ec JOIN d{i - 1} dd ON dd.node_id = ec.s) AS u"
+            f" GROUP BY node_id),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node_id, CAST(dist AS BIGINT) AS dist FROM d{n}"
+        f" ORDER BY node_id")
+    return "\n".join(parts)
+
+
+@query("kg_sssp", _sssp_sql(8))
+def kg_sssp(sf_dir: str):
+    """Provenance-discounted evidence distance over the resolved KG
+    (functions/graph.py::shortest_paths): bounded-hop multi-source
+    Bellman-Ford from the two lexicographically-smallest node ids,
+    with edge cost ``1000000 // provenance_count`` per endpoint pair —
+    claim chains backed by more sources are cheaper to traverse, the
+    KG's 'how well-evidenced is the connection' metric.  Eight
+    min-plus rounds in exact int64, so both engine paths and the
+    unrolled-CTE oracle agree bit-for-bit."""
+    from .functions.agg import hash_aggregate
+    from .functions.graph import shortest_paths
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    seeds = _smallest_node_ids(edges, 2)
+    if not seeds:  # empty graph: typed empty result
+        id_type = dict(zip(edges.schema().names,
+                           edges.schema().types))["src_id"]
+        return pa.table({"node_id": pa.array([], type=id_type),
+                         "dist": pa.array([], type=pa.int64())}
+                        ).to_pandas()
+    pair = hash_aggregate(
+        _kg_weighted_edges(sf_dir), ["src_id", "dst_id"],
+        [("n_provenance", "sum")], rename={"n_provenance_sum": "w"},
+        exchange="shuffle")
+
+    def cost(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_id": t.column("src_id"),
+            "dst_id": t.column("dst_id"),
+            "cost": pc.divide(pa.scalar(1_000_000, pa.int64()),
+                              t.column("w").cast(pa.int64()))})
+
+    out = shortest_paths(
+        pair.map_batches(cost, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        src="src_id", dst="dst_id", weight="cost", seeds=seeds,
+        n_rounds=8).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype="int64")})
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4099,7 +4181,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
-    "kg_katz",
+    "kg_katz", "kg_sssp",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -2566,3 +2566,156 @@ def _katz_driver(e: rd.Dataset, src: str, dst: str, *, n_iters: int,
     return rd.from_arrow(pa.table({
         "node_id": pa.array(np.asarray(nodes)).cast(id_type),
         "katz_fp": pa.array(x)}))
+
+
+def shortest_paths(edges: rd.Dataset, *, src: str = "src",
+                   dst: str = "dst", weight: str | None = None,
+                   seeds: list, n_rounds: int = 8,
+                   num_buckets: int | None = None,
+                   driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, dist)`` — cheapest DIRECTED path cost from the seed
+    set over at most ``n_rounds`` edges (bounded-hop multi-source
+    Bellman-Ford; KG use: provenance-discounted evidence distance —
+    how cheaply a claim chain connects query entities to a target).
+
+    ``weight`` names a NON-NEGATIVE int64 edge-cost column; parallel
+    edges collapse to their MIN cost (``weight=None`` costs every
+    distinct edge 1, the hop metric).  The relaxation is pure min-plus
+    integer arithmetic::
+
+        d_0      = 0 on seeds (absent elsewhere)
+        d_{t+1}(v) = min(d_t(v), min_{u->v}(d_t(u) + c(u, v)))
+
+    min and + over int64 are associative / commutative / exact, so the
+    result is bit-identical under any blocking or summation order and
+    the recurrence unrolls verbatim into DuckDB integer SQL.
+    ``n_rounds`` is FIXED (not convergence-tested): the output is the
+    well-defined "cheapest path using <= n_rounds edges", which is the
+    full SSSP whenever n_rounds >= the weighted-path hop diameter.
+    Only REACHED nodes appear (same contract as ``bfs_hops``);
+    self-loops are harmless (``d + c >= d`` for ``c >= 0``) and are
+    left in.  Caller contract: ``n_rounds * max_cost < 2^63``.
+
+    Scale shape per round: one partitioned skinny join (dists into the
+    edge list on ``src``) + one keyed min — bucketed exchanges over
+    int columns only; the frontier dataset is re-bounded per round.
+    Below ``driver_threshold`` distinct edges (MEASURED, the 2M
+    policy) the identical relaxation runs vectorized on the driver.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+
+    if weight is None:
+        e = _distinct_edges(edges.select_columns([src, dst]), src, dst,
+                            num_buckets=num_buckets)
+
+        def const_w(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "c", pa.array(np.ones(t.num_rows, np.int64)))
+
+        e = e.map_batches(const_w, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    else:
+        e = hash_aggregate(
+            edges.select_columns([src, dst, weight]), [src, dst],
+            [(weight, "min")], rename={f"{weight}_min": "c"},
+            num_buckets=num_buckets, exchange="shuffle")
+    e = e.materialize()
+    n_edges = e.count()
+    id_type = _input_id_type(edges, src)
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "dist": pa.array([], type=pa.int64())}))
+    seed_arr = pa.array(sorted(set(seeds))).cast(id_type)
+    if driver_threshold and n_edges <= driver_threshold:
+        return _sssp_driver(e, src, dst, seed_arr, n_rounds)
+    return _sssp_distributed(e, src, dst, seed_arr, n_rounds,
+                             id_type=id_type, num_buckets=num_buckets)
+
+
+def _sssp_driver(e: rd.Dataset, src: str, dst: str,
+                 seed_arr: pa.Array, n_rounds: int) -> rd.Dataset:
+    """Vectorized numpy min-plus relaxation over the (already
+    cost-reduced, driver-gathered) skinny edge list."""
+    df = e.to_pandas()
+    sc, dc, nodes = _factorize_pairs(df, src, dst)
+    w = df["c"].to_numpy(dtype=np.int64)
+    if (w < 0).any():
+        raise ValueError("edge costs must be non-negative")
+    INF = np.int64(2**62)
+    dist = np.full(len(nodes), INF, dtype=np.int64)
+    seed_mask = np.isin(nodes, np.asarray(seed_arr))
+    if not seed_mask.any():
+        raise ValueError("no seed appears as a graph node")
+    dist[seed_mask] = 0
+    for _ in range(n_rounds):
+        valid = dist[sc] < INF
+        np.minimum.at(dist, dc[valid], dist[sc][valid] + w[valid])
+    reached = dist < INF
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(nodes[reached]).cast(seed_arr.type),
+        "dist": pa.array(dist[reached])}))
+
+
+def _sssp_distributed(e: rd.Dataset, src: str, dst: str,
+                      seed_arr: pa.Array, n_rounds: int, *,
+                      id_type: pa.DataType,
+                      num_buckets: int | None) -> rd.Dataset:
+    """Bounded-round distributed relaxation: the dist dataset holds
+    ONLY reached nodes, so no infinity sentinels travel the wire."""
+    neg = e.map_batches(
+        lambda t: t.filter(pc.less(t["c"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).count()
+    if neg:
+        raise ValueError("edge costs must be non-negative")
+    # seeds absent from the graph contribute nothing (bfs_hops
+    # contract): reduce the endpoint multiset against the seed set —
+    # the gathered result is bounded by len(seeds), never by the graph
+    def seed_endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array([t.column(src),
+                                 t.column(dst)]).combine_chunks()
+        return pa.table({"node_id": both.filter(
+            pc.is_in(both, value_set=seed_arr))})
+
+    present = hash_aggregate(
+        e.map_batches(seed_endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id"]).take_all()
+    if not present:
+        raise ValueError("no seed appears as a graph node")
+    seed_arr = pa.array(sorted(r["node_id"] for r in present)
+                        ).cast(id_type)
+    e_schema = pa.schema([(src, id_type), (dst, id_type),
+                          ("c", pa.int64())])
+    dist_schema = pa.schema([("node_id", id_type),
+                             ("dist", pa.int64())])
+    nblocks = max(e.num_blocks(), num_buckets or default_num_buckets())
+    dists = rd.from_arrow(pa.table({
+        "node_id": seed_arr,
+        "dist": pa.array(np.zeros(len(seed_arr), np.int64))})
+    ).materialize()
+    for _ in range(n_rounds):
+        joined = bucketed_join(
+            e, dists, left_key=src, right_key="node_id",
+            right_value_cols=["dist"], num_buckets=num_buckets,
+            left_schema=e_schema, right_schema=dist_schema)
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node_id": t.column(dst),
+                "dist": pc.add(t.column("dist"), t.column("c"))})
+
+        cand = joined.map_batches(
+            relax, batch_format="pyarrow", zero_copy_batch=True,
+        ).union(dists)
+        dists = hash_aggregate(
+            cand, ["node_id"], [("dist", "min")],
+            rename={"dist_min": "dist"},
+            num_buckets=num_buckets, exchange="shuffle",
+        ).repartition(nblocks).materialize()
+    return dists

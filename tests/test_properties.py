@@ -1460,3 +1460,99 @@ def test_katz_chain_graph(driver_threshold):
 
     with pytest.raises(ValueError):
         katz_centrality(ds, n_iters=0, driver_threshold=driver_threshold)
+
+
+# -------------------------------------------------------- shortest paths
+def _sssp_reference(wedges, seeds, n_rounds):
+    """Dict-based bounded-hop Bellman-Ford (min cost per pair first)."""
+    cost: dict[tuple, int] = {}
+    for a, b, c in wedges:
+        k = (a, b)
+        cost[k] = min(cost.get(k, c), c)
+    nodes = {v for k in cost for v in k}
+    dist = {v: 0 for v in seeds if v in nodes}
+    for _ in range(n_rounds):
+        new = dict(dist)
+        for (a, b), c in cost.items():
+            if a in dist and (b not in new or dist[a] + c < new[b]):
+                new[b] = dist[a] + c
+        dist = new
+    return dist
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,n_rounds,driver_threshold", [
+    (13, 20, 60, 8, 0),          # forced DISTRIBUTED path
+    (13, 20, 60, 8, 2_000_000),  # measured driver fast path, same input
+    (5, 12, 30, 3, 0),
+    (5, 12, 30, 3, 2_000_000),
+])
+def test_sssp_matches_reference(seed, n_nodes, n_edges, n_rounds,
+                                driver_threshold):
+    """Both paths == a dict-based exact-int Bellman-Ford reference
+    (parallel edges collapse to min cost; only reached nodes emitted;
+    a seed absent from the graph contributes nothing)."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import shortest_paths
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}",
+            f"v{rng.randrange(n_nodes):02d}",
+            rng.randrange(1, 10)) for _ in range(n_edges)]
+    seeds = ["v00", "v01", "zz_not_a_node"]
+    ref = _sssp_reference(raw, seeds, n_rounds)
+
+    ds = rd.from_arrow(pa.table({
+        "src": [a for a, _, _ in raw],
+        "dst": [b for _, b, _ in raw],
+        "c": pa.array([c for _, _, c in raw], pa.int64())}))
+    got = shortest_paths(ds, weight="c", seeds=seeds, n_rounds=n_rounds,
+                         driver_threshold=driver_threshold).to_pandas()
+    got_map = {r.node_id: r.dist for r in got.itertuples()}
+    assert got_map == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_sssp_chain_and_contracts(driver_threshold):
+    """Weighted chain a -2-> b -3-> c plus a costly shortcut a -9-> c:
+    the 2-hop route wins within 2 rounds but NOT within 1 (bounded-hop
+    semantics); weight=None is the hop metric; empty input gives a
+    typed empty; no seed in graph / negative cost / n_rounds < 1
+    raise."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import shortest_paths
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "b", "a"], "dst": ["b", "c", "c"],
+        "c": pa.array([2, 3, 9], pa.int64())}))
+    two = shortest_paths(ds, weight="c", seeds=["a"], n_rounds=2,
+                         driver_threshold=driver_threshold).to_pandas()
+    assert {r.node_id: r.dist for r in two.itertuples()} == \
+        {"a": 0, "b": 2, "c": 5}
+    one = shortest_paths(ds, weight="c", seeds=["a"], n_rounds=1,
+                         driver_threshold=driver_threshold).to_pandas()
+    assert {r.node_id: r.dist for r in one.itertuples()} == \
+        {"a": 0, "b": 2, "c": 9}
+
+    hops = shortest_paths(ds, seeds=["a"], n_rounds=8,
+                          driver_threshold=driver_threshold).to_pandas()
+    assert {r.node_id: r.dist for r in hops.itertuples()} == \
+        {"a": 0, "b": 1, "c": 1}
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = shortest_paths(empty, seeds=["a"],
+                         driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "dist"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        shortest_paths(ds, weight="c", seeds=["nope"],
+                       driver_threshold=driver_threshold).to_pandas()
+    neg = rd.from_arrow(pa.table({
+        "src": ["a"], "dst": ["b"], "c": pa.array([-1], pa.int64())}))
+    with pytest.raises(ValueError):
+        shortest_paths(neg, weight="c", seeds=["a"],
+                       driver_threshold=driver_threshold).to_pandas()
+    with pytest.raises(ValueError):
+        shortest_paths(ds, seeds=["a"], n_rounds=0,
+                       driver_threshold=driver_threshold)
