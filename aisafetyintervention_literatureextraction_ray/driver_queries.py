@@ -3634,6 +3634,74 @@ def kg_sssp(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+def _mis_sql(n: int) -> str:
+    """Unroll the hash-derandomized Luby rounds
+    (functions/graph.py::luby_mis) into chained DuckDB CTEs: per round
+    one priority-key table ``md5(v || '|r') || '|' || v`` over the
+    undecided nodes, residual edges via two inner joins against it,
+    one keyed MIN for the neighborhood minima, winner/removal marks,
+    and a left-join anti filter — the identical keyed op tree (md5 and
+    string MIN replay exactly), so the oracle is bit-equal."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "sym AS MATERIALIZED (SELECT s AS x, d AS y FROM e WHERE s <> d"
+        " UNION SELECT d, s FROM e WHERE s <> d),",
+        "u0 AS (SELECT DISTINCT x AS node_id FROM sym),",
+    ]
+    for r in range(1, n + 1):
+        parts += [
+            f"k{r} AS MATERIALIZED (SELECT node_id,"
+            f" md5(node_id || '|{r}') || '|' || node_id AS k"
+            f" FROM u{r - 1}),",
+            f"er{r} AS MATERIALIZED (SELECT sym.x, sym.y, kx.k AS kx,"
+            f" ky.k AS ky FROM sym JOIN k{r} kx ON kx.node_id = sym.x"
+            f" JOIN k{r} ky ON ky.node_id = sym.y),",
+            f"mn{r} AS MATERIALIZED (SELECT node_id, MIN(k) AS mk FROM"
+            f" (SELECT node_id, k FROM k{r}"
+            f" UNION ALL SELECT x, ky FROM er{r}) AS c{r}"
+            f" GROUP BY node_id),",
+            f"mis{r} AS MATERIALIZED (SELECT kk.node_id FROM k{r} kk"
+            f" JOIN mn{r} m ON m.node_id = kk.node_id"
+            f" WHERE kk.k = m.mk),",
+            f"rem{r} AS (SELECT DISTINCT t.y AS node_id FROM er{r} t"
+            f" JOIN mn{r} m ON m.node_id = t.x WHERE t.kx = m.mk),",
+            f"u{r} AS MATERIALIZED (SELECT u.node_id FROM u{r - 1} u"
+            f" LEFT JOIN (SELECT node_id FROM mis{r}"
+            f" UNION ALL SELECT node_id FROM rem{r}) dec{r}"
+            f" ON dec{r}.node_id = u.node_id"
+            f" WHERE dec{r}.node_id IS NULL),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT node_id, CAST({r} AS BIGINT) AS mis_round FROM mis{r}"
+        for r in range(1, n + 1))
+    parts.append(
+        f"SELECT node_id, mis_round FROM ({selects}) AS allm"
+        f" ORDER BY node_id")
+    return "\n".join(parts)
+
+
+@query("kg_mis", _mis_sql(12))
+def kg_mis(sf_dir: str):
+    """Hash-derandomized Luby maximal independent set over the
+    resolved KG (functions/graph.py::luby_mis): a set of mutually
+    NON-adjacent entities — diversity-sampling seeds where no two
+    picked concepts are directly related, or a conflict-free batch for
+    parallel per-entity updates.  md5 priority keys make every round
+    deterministic and SQL-replayable; ``mis_round`` records when each
+    node joined."""
+    from .functions.graph import luby_mis
+
+    out = luby_mis(_kg_simple_edges(sf_dir), src="src_id",
+                   dst="dst_id", n_rounds=12).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "mis_round": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"round": "mis_round"})
+    out["mis_round"] = out["mis_round"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4181,7 +4249,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
-    "kg_katz", "kg_sssp",
+    "kg_katz", "kg_sssp", "kg_mis",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

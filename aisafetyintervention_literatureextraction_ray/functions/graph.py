@@ -2719,3 +2719,198 @@ def _sssp_distributed(e: rd.Dataset, src: str, dst: str,
             num_buckets=num_buckets, exchange="shuffle",
         ).repartition(nblocks).materialize()
     return dists
+
+
+def luby_mis(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+             n_rounds: int = 12, num_buckets: int | None = None,
+             driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, round)`` — hash-derandomized Luby maximal
+    independent set over the UNDIRECTED distinct simple graph
+    (self-loops dropped; KG use: pick a set of mutually NON-adjacent
+    representative entities — e.g. diversity-sampling survey seeds so
+    no two picked concepts are directly related, or a conflict-free
+    batch for parallel per-entity updates).
+
+    Luby's round ``r`` gives every undecided node the deterministic
+    priority key ``md5(str(v) + '|' + str(r)) + '|' + str(v)`` (the
+    repo's md5 idiom — replayable as ``md5(v || '|r') || '|' || v`` in
+    SQL; the id suffix makes keys UNIQUE, so comparisons are strict).
+    A node joins the set iff its key is smaller than every undecided
+    neighbor's; joined nodes' neighbors are removed.  Each round the
+    globally-smallest undecided key always joins, so the undecided set
+    strictly shrinks and the result is maximal once it empties
+    (expected O(log n) rounds; with ``n_rounds`` FIXED the output is
+    the well-defined "independent set after n_rounds Luby rounds" on
+    both engine paths and in the oracle, maximal whenever the rounds
+    sufficed).  ``round`` records when each node joined.
+
+    Scale shape per round: residual edges are recovered by joining the
+    static symmetric edge list with the undecided-key table (inner
+    joins double as the residual filter), then one keyed min for the
+    neighborhood minima, two mark joins, and one left-join anti filter
+    — all bucketed exchanges with hoisted schemas (empty late rounds
+    must not re-derive types from empty blocks).  Below
+    ``driver_threshold`` distinct edges (MEASURED, the 2M policy) the
+    identical recurrence runs on the driver.
+    """
+    import hashlib
+
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({
+            "s": pa.chunked_array([a, b]).combine_chunks(),
+            "d": pa.chunked_array([b, a]).combine_chunks()})
+
+    e = _distinct_edges(
+        edges.select_columns([src, dst]).map_batches(
+            sym, batch_format="pyarrow", zero_copy_batch=True),
+        "s", "d", num_buckets=num_buckets).materialize()
+    n_edges = e.count()
+    id_type = _input_id_type(edges, src)
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "round": pa.array([], type=pa.int64())}))
+    if driver_threshold and n_edges <= driver_threshold:
+        return _luby_driver(e, n_rounds, id_type=id_type)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": t.column("s")})
+
+    und = hash_aggregate(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id"]).materialize()
+
+    e_schema = pa.schema([("s", id_type), ("d", id_type)])
+    und_schema = pa.schema([("node_id", id_type)])
+    k_schema = pa.schema([("node_id", id_type), ("k", pa.string())])
+    mis_rounds: list[rd.Dataset] = []
+    for r in range(1, n_rounds + 1):
+        if und.count() == 0:
+            break
+
+        def with_key(t: pa.Table, _r=r) -> pa.Table:
+            ids = t.column("node_id").to_pylist()
+            ks = [hashlib.md5(f"{v}|{_r}".encode()).hexdigest()
+                  + f"|{v}" for v in ids]
+            return pa.table({"node_id": t.column("node_id"),
+                             "k": pa.array(ks, pa.string())})
+
+        kt = und.map_batches(with_key, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+        kx = kt.map_batches(lambda t: t.rename_columns(["node_id", "kx"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        ky = kt.map_batches(lambda t: t.rename_columns(["node_id", "ky"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        kx_schema = pa.schema([("node_id", id_type), ("kx", pa.string())])
+        ky_schema = pa.schema([("node_id", id_type), ("ky", pa.string())])
+        # inner joins against the undecided-key table double as the
+        # residual-subgraph filter
+        er1 = bucketed_join(e, kx, left_key="s", right_key="node_id",
+                            right_value_cols=["kx"],
+                            num_buckets=num_buckets,
+                            left_schema=e_schema, right_schema=kx_schema)
+        er1_schema = pa.schema([("s", id_type), ("d", id_type),
+                                ("kx", pa.string())])
+        er = bucketed_join(er1, ky, left_key="d", right_key="node_id",
+                           right_value_cols=["ky"],
+                           num_buckets=num_buckets,
+                           left_schema=er1_schema,
+                           right_schema=ky_schema).materialize()
+        er_schema = pa.schema([("s", id_type), ("d", id_type),
+                               ("kx", pa.string()), ("ky", pa.string())])
+
+        def nb_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node_id": t.column("s"),
+                             "k": t.column("ky")})
+
+        mn = hash_aggregate(
+            kt.union(er.map_batches(nb_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)),
+            ["node_id"], [("k", "min")], rename={"k_min": "mk"},
+            num_buckets=num_buckets, exchange="shuffle").materialize()
+        mn_schema = pa.schema([("node_id", id_type), ("mk", pa.string())])
+
+        mis = bucketed_join(
+            kt, mn, left_key="node_id", right_key="node_id",
+            right_value_cols=["mk"], num_buckets=num_buckets,
+            left_schema=k_schema, right_schema=mn_schema,
+        ).map_batches(
+            lambda t: pa.table({"node_id": t.column("node_id").filter(
+                pc.equal(t.column("k"), t.column("mk")))}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+        def rem_rows(t: pa.Table) -> pa.Table:
+            won = pc.equal(t.column("kx"), t.column("mk"))
+            return pa.table({"node_id": t.column("d").filter(won)})
+
+        rem = bucketed_join(
+            er, mn, left_key="s", right_key="node_id",
+            right_value_cols=["mk"], num_buckets=num_buckets,
+            left_schema=er_schema, right_schema=mn_schema,
+        ).map_batches(rem_rows, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        decided = hash_aggregate(
+            mis.union(rem), ["node_id"], [("node_id", "count")],
+            num_buckets=num_buckets, exchange="shuffle",
+        ).select_columns(["node_id"]).map_batches(
+            lambda t: t.append_column(
+                "f", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        und = bucketed_join(
+            und, decided, left_key="node_id", right_key="node_id",
+            right_value_cols=["f"], how="left",
+            num_buckets=num_buckets, left_schema=und_schema,
+            right_schema=pa.schema([("node_id", id_type),
+                                    ("f", pa.int8())]),
+        ).map_batches(
+            lambda t: pa.table({"node_id": t.column("node_id").filter(
+                pc.is_null(t.column("f")))}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+        mis_rounds.append(mis.map_batches(
+            lambda t, _r=r: t.append_column(
+                "round", pa.array(np.full(t.num_rows, _r, np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize())
+
+    out = mis_rounds[0]
+    for m in mis_rounds[1:]:
+        out = out.union(m)
+    return out
+
+
+def _luby_driver(e: rd.Dataset, n_rounds: int, *,
+                 id_type: pa.DataType) -> rd.Dataset:
+    """Dict-based form of the identical keyed recurrence over the
+    (already symmetrized, distinct, driver-gathered) edge list."""
+    import hashlib
+
+    df = e.to_pandas()
+    adj: dict = {}
+    for a, b in zip(df["s"], df["d"]):
+        adj.setdefault(a, set()).add(b)
+    und = set(adj)
+    picked: list = []
+    rounds: list[int] = []
+    for r in range(1, n_rounds + 1):
+        if not und:
+            break
+        key = {v: hashlib.md5(f"{v}|{r}".encode()).hexdigest() + f"|{v}"
+               for v in und}
+        mis = [v for v in und
+               if all(key[v] < key[n] for n in adj[v] if n in und)]
+        rem = {n for v in mis for n in adj[v] if n in und}
+        picked.extend(mis)
+        rounds.extend([r] * len(mis))
+        und -= set(mis) | rem
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(picked).cast(id_type),
+        "round": pa.array(rounds, pa.int64())}))

@@ -1556,3 +1556,88 @@ def test_sssp_chain_and_contracts(driver_threshold):
     with pytest.raises(ValueError):
         shortest_paths(ds, seeds=["a"], n_rounds=0,
                        driver_threshold=driver_threshold)
+
+
+# -------------------------------------------------------- Luby MIS
+def _mis_reference(und_edges, n_rounds):
+    """Dict-based Luby MIS with the md5-key derandomization."""
+    import hashlib
+
+    adj: dict[str, set] = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    und, out = set(adj), {}
+    for r in range(1, n_rounds + 1):
+        if not und:
+            break
+        key = {v: hashlib.md5(f"{v}|{r}".encode()).hexdigest() + f"|{v}"
+               for v in und}
+        mis = [v for v in und
+               if all(key[v] < key[n] for n in adj[v] if n in und)]
+        rem = {n for v in mis for n in adj[v] if n in und}
+        out.update({v: r for v in mis})
+        und -= set(mis) | rem
+    return out, und
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (13, 20, 40, 0),          # forced DISTRIBUTED path (the expensive
+                              # one: ~6 exchanges per Luby round)
+    (13, 20, 40, 2_000_000),  # measured driver fast path, same input
+    (5, 12, 20, 2_000_000),
+])
+def test_luby_mis_matches_reference(seed, n_nodes, n_edges,
+                                    driver_threshold):
+    """Both paths == the dict-based md5-keyed Luby reference, and the
+    converged result is a genuine MIS: independent (no edge inside)
+    and maximal (every other node has a neighbor inside)."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import luby_mis
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}", f"v{rng.randrange(n_nodes):02d}")
+           for _ in range(n_edges)]
+    dedup = sorted({(a, b) for a, b in raw if a != b})
+    ref, leftover = _mis_reference(dedup, 12)
+    assert not leftover  # 12 rounds converge at this size
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = luby_mis(ds, n_rounds=12,
+                   driver_threshold=driver_threshold).to_pandas()
+    got_map = {r.node_id: getattr(r, "round") for r in got.itertuples()}
+    assert got_map == ref
+
+    mis = set(got_map)
+    nbr = {}
+    for a, b in dedup:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    assert all(not (nbr[v] & mis) for v in mis)          # independent
+    assert all(nbr[v] & mis for v in nbr if v not in mis)  # maximal
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_luby_mis_contracts(driver_threshold):
+    """Triangle: exactly one node joins (round 1).  Self-loop-only
+    nodes don't participate; empty input gives a typed empty;
+    n_rounds < 1 raises."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import luby_mis
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "x"], "dst": ["b", "c", "a", "x"]}))
+    got = luby_mis(ds, n_rounds=12,
+                   driver_threshold=driver_threshold).to_pandas()
+    assert len(got) == 1 and got["round"].iloc[0] == 1
+    assert got["node_id"].iloc[0] in {"a", "b", "c"}  # never the loop
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = luby_mis(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["node_id", "round"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        luby_mis(ds, n_rounds=0, driver_threshold=driver_threshold)
