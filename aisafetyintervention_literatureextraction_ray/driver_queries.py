@@ -3702,6 +3702,49 @@ def kg_mis(sf_dir: str):
     return out.sort_values("node_id").reset_index(drop=True)
 
 
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus AS orderstatus,
+           o_orderpriority AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(sf_dir: str):
+    """SQL GROUP BY ROLLUP as the cube-lattice one-shuffle plan
+    (functions/agg.py::rollup_aggregate): the finest (status,
+    priority) aggregate is the only pass over the data; the
+    per-status and grand-total levels re-aggregate the tiny finest
+    partials, with typed-NULL rollup markers.  Money in exact integer
+    cents on both sides."""
+    from .functions.agg import rollup_aggregate
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderstatus": t["o_orderstatus"],
+            "orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())})
+
+    out = rollup_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["orderstatus", "orderpriority"], "cents").to_pandas()
+    out = out.rename(columns={"v_sum": "sum_cents"})
+    for c in ("n_rows", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["orderstatus", "orderpriority"],
+                            na_position="first")
+            .reset_index(drop=True))
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4249,7 +4292,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_terms", "kg_components", "kg_hash_walks", "kg_scc",
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
-    "kg_katz", "kg_sssp", "kg_mis",
+    "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

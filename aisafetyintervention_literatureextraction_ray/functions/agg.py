@@ -584,3 +584,70 @@ def bucketed_group_map(ds: rd.Dataset, keys: list[str],
         .groupby("__bucket")
         .map_groups(group_rows, batch_format=batch_format)
     )
+
+
+def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
+                     *, num_buckets: int | None = None) -> rd.Dataset:
+    """Multi-level ROLLUP in ONE data shuffle (the OLAP cube-lattice
+    optimization): the finest level ``GROUP BY keys`` is the only
+    aggregate that touches the input; every coarser level —
+    ``keys[:n-1]`` ... ``()`` — re-aggregates the (key-cardinality-
+    bounded) finest partials, so a 100 TB input pays exactly one
+    exchange no matter how many rollup levels it reports.  Rolled-up
+    key columns carry typed NULLs, matching SQL ``GROUP BY ROLLUP``
+    markers.  Output: ``keys + [n_rows, v_sum]``.
+
+    Caller contract: key columns are NON-NULL (real null keys would
+    collide with the rollup markers — same ambiguity SQL resolves with
+    GROUPING(), which this deliberately omits) and ``value_col`` is
+    non-null (``n_rows`` counts it).
+    """
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    finest = hash_aggregate(
+        ds.select_columns(keys + [value_col]), keys,
+        [(value_col, "count"), (value_col, "sum")],
+        rename={f"{value_col}_count": "n_rows",
+                f"{value_col}_sum": "v_sum"},
+        num_buckets=num_buckets, exchange="shuffle").materialize()
+    sch = finest.schema()
+    sch = getattr(sch, "base_schema", sch)
+    ktypes = {n: pa_type_of(t) for n, t in zip(sch.names, sch.types)}
+
+    def pad(dropped: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (pa.nulls(t.num_rows, ktypes[k])
+                           if k in dropped else t.column(k))
+            cols["n_rows"] = t.column("n_rows").cast(pa.int64())
+            cols["v_sum"] = t.column("v_sum").cast(pa.int64())
+            return pa.table(cols)
+        return f
+
+    out = finest.map_batches(pad([]), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    for lvl in range(len(keys) - 1, -1, -1):
+        sub = keys[:lvl]
+        if sub:
+            coarse = hash_aggregate(
+                finest.select_columns(sub + ["n_rows", "v_sum"]), sub,
+                [("n_rows", "sum"), ("v_sum", "sum")],
+                rename={"n_rows_sum": "n_rows", "v_sum_sum": "v_sum"},
+                num_buckets=num_buckets, exchange="shuffle")
+        else:
+            coarse = hash_aggregate(
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array(np.zeros(t.num_rows, np.int8))),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                ["__all"], [("n_rows", "sum"), ("v_sum", "sum")],
+                rename={"n_rows_sum": "n_rows", "v_sum_sum": "v_sum"},
+                num_buckets=num_buckets, exchange="shuffle")
+            coarse = coarse.map_batches(
+                lambda t: t.drop_columns(["__all"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        out = out.union(coarse.map_batches(
+            pad(keys[lvl:]), batch_format="pyarrow",
+            zero_copy_batch=True))
+    return out

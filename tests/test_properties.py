@@ -1641,3 +1641,31 @@ def test_luby_mis_contracts(driver_threshold):
 
     with pytest.raises(ValueError):
         luby_mis(ds, n_rounds=0, driver_threshold=driver_threshold)
+
+
+# -------------------------------------------------------- rollup aggregate
+def test_rollup_aggregate_levels():
+    """All rollup levels from one shuffle: finest groups, per-prefix
+    subtotals with typed-NULL markers, and the grand total; sums and
+    counts are exact int64."""
+    from aisafetyintervention_literatureextraction_ray.functions.agg import rollup_aggregate
+
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "x", "y", "y"],
+        "b": ["p", "p", "q", "p", "q"],
+        "v": pa.array([1, 2, 4, 8, 16], pa.int64())}))
+    out = rollup_aggregate(ds, ["a", "b"], "v").to_pandas()
+    rows = {(r.a, r.b): (r.n_rows, r.v_sum) for r in out.itertuples()}
+    assert rows == {
+        ("x", "p"): (2, 3), ("x", "q"): (1, 4),
+        ("y", "p"): (1, 8), ("y", "q"): (1, 16),
+        ("x", None): (3, 7), ("y", None): (2, 24),
+        (None, None): (5, 31)}
+    assert len(out) == 7
+
+    single = rollup_aggregate(ds, ["a"], "v").to_pandas()
+    srows = {r.a: (r.n_rows, r.v_sum) for r in single.itertuples()}
+    assert srows == {"x": (3, 7), "y": (2, 24), None: (5, 31)}
+
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, [], "v")
