@@ -3745,6 +3745,47 @@ def orders_rollup(sf_dir: str):
             .reset_index(drop=True))
 
 
+@query(
+    "embedding_label_centroids",
+    """
+    WITH x AS (
+      SELECT label,
+             UNNEST(range(len(embedding))) AS dim,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                        * 1000000000) AS BIGINT) AS fp
+      FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(fp) AS BIGINT) AS sum_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(fp) // COUNT(*) AS BIGINT) AS centroid_fp
+    FROM x GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in exact integer fixed point
+    (stages/similarity.py::embedding_centroids): components snap to
+    int64 BEFORE summation so the per-label mean is associative and
+    shuffle-order-independent — the class-profile / k-means-M-step /
+    SemDeDup-cluster-summary aggregate.  Exchange volume is labels x
+    dims skinny int rows, never the vectors."""
+    from .stages.similarity import embedding_centroids
+
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+    out = embedding_centroids(ds, group_col="label").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "dim": pd.Series([], dtype="int64"),
+            "sum_fp": pd.Series([], dtype="int64"),
+            "n_vecs": pd.Series([], dtype="int64"),
+            "centroid_fp": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["label", "dim"]).reset_index(drop=True)
+            [["label", "dim", "sum_fp", "n_vecs", "centroid_fp"]])
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4293,6 +4334,7 @@ _DRIVER_ORDER = [
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
+    "embedding_label_centroids",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -326,3 +326,66 @@ def embedding_neardup_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
         lambda t: t.filter(pc.less_equal(t["distance"], 1.0 - cosine_threshold)),
         batch_format="pyarrow",
     )
+
+
+def embedding_centroids(ds: rd.Dataset, *, group_col: str,
+                        emb_col: str = "embedding",
+                        scale: int = 1_000_000_000,
+                        num_buckets: int | None = None) -> rd.Dataset:
+    """``(group, dim, sum_fp, n_vecs, centroid_fp)`` — per-group
+    embedding centroid in exact integer fixed point (the class-mean /
+    cluster-summary aggregate: per-source semantic profiles, k-means
+    M-steps, SemDeDup cluster centers).
+
+    Every component is snapped to ``floor(float64(v) * scale)`` int64
+    BEFORE any summation, so per-group sums are associative /
+    shuffle-order-independent and replay exactly in SQL (float
+    centroids cannot promise that on a cluster: fp addition is not
+    associative).  ``centroid_fp = sum_fp trunc-div n_vecs`` uses
+    TRUNCATING division to match DuckDB's ``//``-on-BIGINT semantics
+    for negative sums.
+
+    Scale shape: one vectorized partial per batch (a ``(groups x dim)``
+    ``np.add.at`` scatter — the batch's vectors never leave the task)
+    emitting ``groups_in_batch * dim`` SKINNY int rows, then ONE keyed
+    sum over ``(group, dim)``; the exchange volume is bounded by the
+    group-count x dimension, not by the row count.
+    """
+    from ..functions.agg import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = embeddings_to_numpy(t[emb_col])
+        fp = np.floor(M.astype(np.float64) * scale).astype(np.int64)
+        lab = t[group_col].to_pandas()
+        codes, uniq = pd.factorize(lab, sort=False)
+        d = fp.shape[1] if fp.size else 0
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, codes, fp)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(np.repeat(np.asarray(uniq), d)).cast(
+                t.schema.field(group_col).type),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "sum_fp": pa.array(sums.ravel()),
+            "n_vecs": pa.array(np.repeat(cnt, d))})
+
+    agg = hash_aggregate(
+        ds.select_columns([group_col, emb_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "dim"], [("sum_fp", "sum"), ("n_vecs", "sum")],
+        rename={"sum_fp_sum": "sum_fp", "n_vecs_sum": "n_vecs"},
+        num_buckets=num_buckets, exchange="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # DuckDB's BIGINT // truncates toward zero; numpy floors
+        cent = np.where(s >= 0, s // n, -((-s) // n))
+        return pa.table({
+            group_col: t[group_col], "dim": t["dim"],
+            "sum_fp": pa.array(s), "n_vecs": pa.array(n),
+            "centroid_fp": pa.array(cent)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1669,3 +1669,27 @@ def test_rollup_aggregate_levels():
 
     with pytest.raises(ValueError):
         rollup_aggregate(ds, [], "v")
+
+
+# -------------------------------------------------------- embedding centroids
+def test_embedding_centroids_exact():
+    """Fixed-point per-group centroid: snap-then-sum is exact across
+    blocks, and negative sums use TRUNCATING division (the DuckDB //
+    semantics)."""
+    from aisafetyintervention_literatureextraction_ray.stages.similarity import embedding_centroids
+
+    vecs = [[0.5, -0.3], [0.25, -0.3], [1.0, 2.0]]
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "b"],
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+    )).repartition(3)  # force multi-block partials
+    out = embedding_centroids(ds, group_col="g").to_pandas()
+    rows = {(r.g, r.dim): (r.sum_fp, r.n_vecs, r.centroid_fp)
+            for r in out.itertuples()}
+    s_a1 = int(np.floor(np.float64(np.float32(-0.3)) * 1e9)) * 2
+    assert rows[("a", 0)] == (750000000, 2, 375000000)
+    # negative: trunc(-599999994.../2) == -(599999.../2 floored on abs)
+    assert rows[("a", 1)] == (s_a1, 2, -((-s_a1) // 2))
+    assert rows[("b", 0)] == (10**9, 1, 10**9)
+    assert rows[("b", 1)] == (2 * 10**9, 1, 2 * 10**9)
+    assert len(rows) == 4
