@@ -3786,6 +3786,78 @@ def embedding_label_centroids(sf_dir: str):
             [["label", "dim", "sum_fp", "n_vecs", "centroid_fp"]])
 
 
+def _kmeans_sql(k: int, n_iters: int, scale: int = 1_000_000) -> str:
+    """Unroll the fixed-point Lloyd recurrence
+    (stages/similarity.py::kmeans_fixed_point) into chained DuckDB
+    CTEs: snap-once fp components, integer squared distances, argmin
+    via ``ROW_NUMBER() ... ORDER BY dist, cid``, truncating-division
+    centroid means with empty clusters COALESCEd to their previous
+    centroid — the identical integer op tree, so the replay is
+    exact."""
+    parts = [
+        "WITH x AS MATERIALIZED (",
+        "  SELECT vec_id, UNNEST(range(len(embedding))) AS dim,",
+        f"         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)"
+        f" * {scale}) AS BIGINT) AS fp",
+        "  FROM embeddings),",
+        "sv AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)"
+        " - 1 AS BIGINT) AS cid FROM (SELECT vec_id FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k}) AS s0),",
+        "cc0 AS MATERIALIZED (SELECT sv.cid, x.dim, x.fp FROM sv"
+        " JOIN x USING (vec_id)),",
+    ]
+    for i in range(1, n_iters + 1):
+        parts += [
+            f"d{i} AS MATERIALIZED (SELECT x.vec_id, c.cid,"
+            f" SUM((x.fp - c.fp) * (x.fp - c.fp)) AS dist"
+            f" FROM x JOIN cc{i - 1} c USING (dim)"
+            f" GROUP BY x.vec_id, c.cid),",
+            f"a{i} AS MATERIALIZED (SELECT vec_id, cid FROM"
+            f" (SELECT vec_id, cid, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+            f" FROM d{i}) AS r{i} WHERE rn = 1),",
+        ]
+        if i < n_iters:
+            parts += [
+                f"s{i} AS MATERIALIZED (SELECT a.cid, x.dim,"
+                f" CAST(SUM(x.fp) AS BIGINT) AS s,"
+                f" CAST(COUNT(*) AS BIGINT) AS n FROM a{i} a"
+                f" JOIN x ON x.vec_id = a.vec_id GROUP BY a.cid, x.dim),",
+                f"cc{i} AS MATERIALIZED (SELECT p.cid, p.dim,"
+                f" CAST(COALESCE(s.s // s.n, p.fp) AS BIGINT) AS fp"
+                f" FROM cc{i - 1} p LEFT JOIN s{i} s"
+                f" ON s.cid = p.cid AND s.dim = p.dim),",
+            ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{n_iters}"
+        f" ORDER BY vec_id")
+    return "\n".join(parts)
+
+
+@query("embedding_kmeans", _kmeans_sql(8, 3))
+def embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table in exact
+    integer fixed point (stages/similarity.py::kmeans_fixed_point) —
+    the clustering backbone under SemDeDup/IVF, here in the
+    oracle-checkable form: centroids broadcast per iteration,
+    assignment vectorized per batch, updates via one skinny
+    (cluster, dim) exchange bounded by k x dims.  k=8, 3 assignment
+    passes; every step is integer, so assignments are bit-identical
+    under any blocking and match the unrolled-CTE oracle."""
+    from .stages.similarity import kmeans_fixed_point
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_fixed_point(ds, id_col="vec_id", k=8,
+                             n_iters=3).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
+    for c in ("vec_id", "cluster"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4334,7 +4406,7 @@ _DRIVER_ORDER = [
     "kg_pmi_cooccurrence", "kg_pagerank_weighted", "kg_adamic_adar",
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
-    "embedding_label_centroids",
+    "embedding_label_centroids", "embedding_kmeans",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

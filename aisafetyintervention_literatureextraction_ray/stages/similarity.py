@@ -389,3 +389,114 @@ def embedding_centroids(ds: rd.Dataset, *, group_col: str,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def kmeans_fixed_point(ds: rd.Dataset, *, id_col: str = "vec_id",
+                       emb_col: str = "embedding", k: int = 8,
+                       n_iters: int = 3, scale: int = 1_000_000,
+                       num_buckets: int | None = None) -> rd.Dataset:
+    """``(id_col, cluster)`` — Lloyd's k-means over an embedding
+    column in EXACT integer fixed point (the clustering backbone under
+    SemDeDup / IVF; this is the oracle-checkable distributed form).
+
+    Components snap to ``floor(float64(v) * scale)`` int64 once;
+    distances are exact integer ``sum((x - c)^2)``; ties break to the
+    smallest cluster id (numpy argmin == SQL ``ORDER BY dist, cid``);
+    centroid updates are truncating-division means with empty clusters
+    keeping their previous centroid.  Every step is associative /
+    order-independent integer arithmetic, so assignments are
+    bit-identical under any blocking and the whole recurrence unrolls
+    into DuckDB SQL.  Init: the ``k`` smallest ids' vectors
+    (deterministic, replayable).  ``n_iters`` assignment passes with
+    ``n_iters - 1`` centroid updates between them, FIXED (the standard
+    bounded-cost choice; convergence testing would make cost
+    data-dependent).
+
+    Scale shape: centroids (k x d int64, tiny) broadcast per
+    iteration; assignment is a per-batch vectorized scatter (vectors
+    never leave their task); the update is the
+    ``embedding_centroids`` partial trick — per-batch (cluster, dim)
+    sums, ONE keyed exchange of k*d-bounded skinny rows, and a k*d
+    driver gather that is bounded by design, never by the data.
+    Caller contract: ``n_dims * (2 * max|fp|)^2 < 2^63`` (dims to ~1e4
+    at the default scale for unit-range embeddings) and unique ids.
+    """
+    from ..functions.agg import hash_aggregate
+
+    if k < 1 or n_iters < 1:
+        raise ValueError("k and n_iters must be >= 1")
+
+    seed_rows = (ds.select_columns([id_col, emb_col])
+                 .sort(id_col).limit(k).take_all())
+    if not seed_rows:
+        id_type = _pa_col_type(ds, id_col)
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "cluster": pa.array([], type=pa.int64())}))
+    cents = np.floor(np.asarray(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in seed_rows]
+    ) * scale).astype(np.int64)  # (k' x d), k' <= k
+
+    def assign_fn(cent_ref):
+        def f(t: pa.Table) -> pa.Table:
+            C = ray.get(cent_ref)
+            M = np.floor(embeddings_to_numpy(t[emb_col]).astype(
+                np.float64) * scale).astype(np.int64)
+            dists = np.stack([((M - C[j]) ** 2).sum(axis=1)
+                              for j in range(len(C))], axis=1)
+            return pa.table({
+                id_col: t[id_col],
+                "cluster": pa.array(np.argmin(dists, axis=1)
+                                    .astype(np.int64))})
+        return f
+
+    def update_partial(cent_ref):
+        def f(t: pa.Table) -> pa.Table:
+            C = ray.get(cent_ref)
+            M = np.floor(embeddings_to_numpy(t[emb_col]).astype(
+                np.float64) * scale).astype(np.int64)
+            dists = np.stack([((M - C[j]) ** 2).sum(axis=1)
+                              for j in range(len(C))], axis=1)
+            a = np.argmin(dists, axis=1)
+            d = M.shape[1]
+            sums = np.zeros((len(C), d), np.int64)
+            np.add.at(sums, a, M)
+            cnt = np.bincount(a, minlength=len(C)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(
+                    np.arange(len(C), dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(C))),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, d))})
+        return f
+
+    data = ds.select_columns([id_col, emb_col]).materialize()
+    for _ in range(n_iters - 1):
+        cent_ref = ray.put(cents)
+        agg = hash_aggregate(
+            data.map_batches(update_partial(cent_ref),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["cluster", "dim"], [("s", "sum"), ("n", "sum")],
+            rename={"s_sum": "s", "n_sum": "n"},
+            num_buckets=num_buckets, exchange="shuffle").take_all()
+        new = cents.copy()  # empty clusters keep their centroid
+        for r in agg:
+            if r["n"] > 0:
+                s = int(r["s"])
+                nn = int(r["n"])
+                new[r["cluster"], r["dim"]] = (
+                    s // nn if s >= 0 else -((-s) // nn))
+        cents = new
+    return data.map_batches(assign_fn(ray.put(cents)),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _pa_col_type(ds: rd.Dataset, col: str) -> pa.DataType:
+    from ..functions.agg import pa_type_of
+
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    return pa_type_of(dict(zip(sch.names, sch.types))[col])

@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "doc_lm_score", "term_heavy_hitters", "doc_tfidf_terms",
     "kg_components", "kg_hash_walks", "kg_scc", "kg_pmi_cooccurrence",
     "kg_pagerank_weighted",
+    # round-5 session-2 additions: alternative centralities, evidence
+    # distance, Luby MIS, rollup lattice, fixed-point centroids
+    "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
+    "embedding_label_centroids", "embedding_kmeans",
 ]
 
 

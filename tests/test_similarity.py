@@ -111,3 +111,42 @@ def test_semantic_dedup_recovers_planted(ray_session):
     got = set(zip(out["id_a"], out["id_b"]))
     assert {(i, 1000 + i) for i in range(5)} <= got
     assert (out["cos"] >= 0.999).all()
+
+
+def test_kmeans_fixed_point_blobs():
+    """Two separated blobs, k=2: every vector lands with its blob;
+    init = the 2 smallest ids (one from each blob here); ids keep
+    their input type; k > n and empty input degrade gracefully."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.stages.similarity import (
+        kmeans_fixed_point,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.02, (20, 4)) + np.array([1.0, 1.0, 0.0, 0.0])
+    b = rng.normal(0.0, 0.02, (20, 4)) + np.array([-1.0, -1.0, 0.0, 0.0])
+    vecs = np.concatenate([a, b]).astype(np.float32)
+    ids = list(range(0, 40, 2))[:20] + list(range(1, 41, 2))[:20]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}
+    )).repartition(4)
+    out = kmeans_fixed_point(ds, k=2, n_iters=3).to_pandas()
+    assert len(out) == 40
+    lab = dict(zip(out["vec_id"], out["cluster"]))
+    blob_a = {lab[i] for i in ids[:20]}
+    blob_b = {lab[i] for i in ids[20:]}
+    assert blob_a == {0} and blob_b == {1}  # id 0 is in blob a
+
+    big_k = kmeans_fixed_point(ds, k=100, n_iters=2).to_pandas()
+    assert len(big_k) == 40  # k > n: every vector its own centroid
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out_e = kmeans_fixed_point(empty, k=3)
+    assert out_e.schema().names == ["vec_id", "cluster"]
+    assert out_e.count() == 0
