@@ -3858,6 +3858,44 @@ def embedding_kmeans(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+@query(
+    "events_cohort_retention",
+    """
+    WITH ed AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    ud AS (SELECT DISTINCT user_id, day FROM ed),
+    ch AS (SELECT user_id, MIN(day) AS cday FROM ed GROUP BY user_id)
+    SELECT ch.cday AS cohort_day,
+           ud.day - ch.cday AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ud JOIN ch USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention over the event log
+    (stages/window.py::cohort_retention): integer epoch-day buckets,
+    first-active-day cohorts, distinct-user counts per (cohort,
+    offset) cell — the corpus-telemetry view of source activity across
+    snapshot releases.  Day arithmetic is pure int64 on both sides."""
+    from .stages.window import cohort_retention
+
+    out = cohort_retention(
+        _pq(sf_dir, "events", ["user_id", "ts"])).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "cohort_day": pd.Series([], dtype="int64"),
+            "offset_days": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["cohort_day", "offset_days"])
+            .reset_index(drop=True)
+            [["cohort_day", "offset_days", "n_users"]])
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4407,6 +4445,7 @@ _DRIVER_ORDER = [
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
     "embedding_label_centroids", "embedding_kmeans",
+    "events_cohort_retention",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

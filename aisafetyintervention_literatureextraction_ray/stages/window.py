@@ -10,6 +10,8 @@ timestamp order; ties share a window.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.agg import bucketed_group_map, hash_aggregate
@@ -311,3 +313,64 @@ def sessionize(events: rd.Dataset, *, key_col: str = "user_id",
     return bucketed_group_map(
         events.select_columns([key_col, ts_col]),
         [key_col], per_key, exchange=exchange)
+
+
+def cohort_retention(events: rd.Dataset, *, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_us: int = 86_400_000_000,
+                     num_buckets: int | None = None) -> rd.Dataset:
+    """``(cohort_day, offset_days, n_users)`` — classic cohort
+    retention: bucket event time into integer epoch days (pure int64
+    ``microseconds // bucket_us``, exact and SQL-replayable as
+    ``epoch_us(ts) // bucket``), take each key's FIRST active day as
+    its cohort, and count distinct keys active at each (cohort,
+    day-offset) cell — the corpus-telemetry view of user/source
+    activity a training-data pipeline tracks across snapshot releases.
+
+    Scale shape: one partial-deduped keyed exchange for the distinct
+    (key, day) activity set, one keyed min for cohorts, one
+    partitioned join of the two SKINNY int tables on the key, and a
+    final (cohort, offset) count whose key set is bounded by the
+    day-range squared — never by event volume.  Per-block partial
+    dedup absorbs hot keys before anything shuffles.
+    """
+    from ..functions.agg import bucketed_join, hash_aggregate
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64())
+        return pa.table({
+            key_col: t.column(key_col),
+            "day": pc.divide(us, pa.scalar(bucket_us, pa.int64()))})
+
+    ed = events.select_columns([key_col, ts_col]).map_batches(
+        to_day, batch_format="pyarrow", zero_copy_batch=True)
+    ud = hash_aggregate(
+        ed, [key_col, "day"], [("day", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns([key_col, "day"]).materialize()
+    ch = hash_aggregate(
+        ud, [key_col], [("day", "min")], rename={"day_min": "cday"},
+        num_buckets=num_buckets, exchange="shuffle")
+    sch = ud.schema()
+    sch = getattr(sch, "base_schema", sch)
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+    joined = bucketed_join(
+        ud, ch, left_key=key_col, right_key=key_col,
+        right_value_cols=["cday"], num_buckets=num_buckets,
+        left_schema=pa.schema([(key_col, key_type),
+                               ("day", pa.int64())]),
+        right_schema=pa.schema([(key_col, key_type),
+                                ("cday", pa.int64())]))
+
+    def cells(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": t.column("cday"),
+            "offset_days": pc.subtract(t.column("day"),
+                                       t.column("cday"))})
+
+    return hash_aggregate(
+        joined.map_batches(cells, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["cohort_day", "offset_days"], [("offset_days", "count")],
+        rename={"offset_days_count": "n_users"},
+        num_buckets=num_buckets, exchange="shuffle")

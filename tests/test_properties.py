@@ -1693,3 +1693,21 @@ def test_embedding_centroids_exact():
     assert rows[("b", 0)] == (10**9, 1, 10**9)
     assert rows[("b", 1)] == (2 * 10**9, 1, 2 * 10**9)
     assert len(rows) == 4
+
+
+# -------------------------------------------------------- cohort retention
+def test_cohort_retention_cells():
+    """Hand-computed cohort cells: user u1 first active day 0 and
+    again day 2; u2 first day 2 only; duplicate same-day events count
+    once per (user, day)."""
+    from aisafetyintervention_literatureextraction_ray.stages.window import cohort_retention
+
+    day = 86_400_000_000
+    ts = pa.array([1, 5, 2 * day + 3, 2 * day + 9, 2 * day + 4],
+                  pa.int64()).cast(pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()), "ts": ts}))
+    out = cohort_retention(ds).to_pandas()
+    cells = {(r.cohort_day, r.offset_days): r.n_users
+             for r in out.itertuples()}
+    assert cells == {(0, 0): 1, (0, 2): 1, (2, 0): 1}
