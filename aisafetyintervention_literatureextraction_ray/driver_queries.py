@@ -3896,6 +3896,55 @@ def events_cohort_retention(sf_dir: str):
             [["cohort_day", "offset_days", "n_users"]])
 
 
+@query(
+    "jaccard_join_pairs",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents) AS raw WHERE tok <> ''),
+    n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter_n
+          FROM tok a JOIN tok b ON a.tok = b.tok
+                                AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, p.inter_n,
+           na.n + nb.n - p.inter_n AS union_n,
+           CAST((p.inter_n * 1000000)
+                // (na.n + nb.n - p.inter_n) AS BIGINT) AS jac_fp
+    FROM p JOIN n na ON na.doc_id = p.id_a
+           JOIN n nb ON nb.doc_id = p.id_b
+    WHERE p.inter_n * 20 >= 19 * (na.n + nb.n - p.inter_n)
+    ORDER BY id_a, id_b
+    """,
+)
+def jaccard_join_pairs(sf_dir: str):
+    """EXACT token-set Jaccard similarity join at t=0.95
+    (stages/dedup.py::prefix_jaccard_pairs — PPJoin-lite prefix
+    filtering): the zero-false-negative complement to the MinHash /
+    SimHash probabilistic channels.  The oracle verifies against the
+    brute-force all-pairs form; the engine reaches the same rows
+    through rarest-first prefix indexing + length filtering + exact
+    distributed intersection counts, all in integer arithmetic."""
+    from .stages.dedup import prefix_jaccard_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = prefix_jaccard_pairs(ds, threshold=(19, 20)).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "inter_n": pd.Series([], dtype="int64"),
+            "union_n": pd.Series([], dtype="int64"),
+            "jac_fp": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4445,7 +4494,7 @@ _DRIVER_ORDER = [
     "kg_lpa_communities", "kg_hits", "doc_sorted_neighbors",
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
     "embedding_label_centroids", "embedding_kmeans",
-    "events_cohort_retention",
+    "events_cohort_retention", "jaccard_join_pairs",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -942,3 +942,253 @@ def _col_type(ds: rd.Dataset, col: str) -> pa.DataType:
     sch = ds.schema()
     sch = getattr(sch, "base_schema", sch)
     return pa_type_of(dict(zip(sch.names, sch.types))[col])
+
+
+def prefix_jaccard_pairs(docs: rd.Dataset, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         threshold: tuple[int, int] = (1, 2),
+                         scale: int = 1_000_000,
+                         num_buckets: int | None = None,
+                         driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(id_a, id_b, inter_n, union_n, jac_fp)`` — EXACT token-set
+    Jaccard similarity join via prefix filtering (PPJoin-lite, the
+    Bayardo/Chaudhuri all-pairs algorithm): every pair with
+    ``|A∩B| / |A∪B| >= threshold`` is emitted, no LSH
+    false-negatives.  The complementary channel to the MinHash /
+    SimHash families: probabilistic blocking trades recall for speed,
+    this trades candidate volume for an exactness guarantee.
+
+    Tokens are the corpus tokenizer's distinct lowercase words
+    (``[^a-z]+`` split — the ``term_count_partial`` / DuckDB
+    ``string_split_regex`` parity pair).  The GLOBAL token order is
+    (document-frequency ASC, token ASC) — rarest first; a document
+    with ``n`` distinct tokens indexes only its first
+    ``n - ceil(t*n) + 1`` tokens (any qualifying partner must share
+    one: ``inter >= ceil(t*n)`` by ``J >= t``, pigeonhole on the
+    suffix), plus the length filter ``min*den >= num*max``.
+    Candidates are verified with an exact distributed intersection
+    count; all arithmetic is integer (threshold compare by
+    cross-multiplication; ``jac_fp = inter * scale // union``), so
+    the result is deterministic and SQL-replayable.
+
+    Scale shape: tokenize+local-distinct per block, ONE keyed dedup
+    exchange, two skinny stat aggregates (df, n), two joins to attach
+    them, a per-doc ranked prefix cut, token-bucketed pair generation
+    BOUNDED by prefix-token rarity (prefix tokens are the rarest by
+    construction — the hot "the"-sized keys never enter the index),
+    and verification joins whose volume is sum(n_a + n_b) over
+    surviving candidates.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import (bucketed_group_map, bucketed_join,
+                                 hash_aggregate, pa_type_of)
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+
+    sch = docs.schema()
+    sch = getattr(sch, "base_schema", sch)
+    id_type = pa_type_of(dict(zip(sch.names, sch.types))[id_col])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        toks = pc.split_pattern_regex(pc.utf8_lower(text),
+                                      pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ids = pa.array(np.repeat(np.arange(t.num_rows), lens))
+        keep = pc.not_equal(flat, "")
+        tb = pa.table({id_col: t[id_col].take(ids).filter(keep),
+                       "tok": flat.filter(keep)})
+        # local distinct before the exchange (combiner)
+        return pa.TableGroupBy(tb, [id_col, "tok"]).aggregate([])
+
+    toks = hash_aggregate(
+        docs.select_columns([id_col, text_col]).map_batches(
+            tok_rows, batch_format="pyarrow", zero_copy_batch=True),
+        [id_col, "tok"], [("tok", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns([id_col, "tok"]).materialize()
+    toks_schema = pa.schema([(id_col, id_type), ("tok", pa.string())])
+
+    # MEASURED driver fast path (the 2M policy shared with the graph
+    # family): the output pair set is algebraically defined (exact
+    # Jaccard >= t), so the vectorized pandas form below produces the
+    # identical rows with none of the ~10 exchange rounds' scheduling
+    # cost; the distributed path stays the >2M-token route and is
+    # forced in tests with driver_threshold=0
+    if driver_threshold and toks.count() <= driver_threshold:
+        return _prefix_jaccard_driver(toks.to_pandas(), id_col=id_col,
+                                      num=num, den=den, scale=scale,
+                                      id_type=id_type)
+
+    nn = hash_aggregate(toks, [id_col], [("tok", "count")],
+                        rename={"tok_count": "n"},
+                        num_buckets=num_buckets, exchange="shuffle")
+    df = hash_aggregate(toks, ["tok"], [(id_col, "count")],
+                        rename={f"{id_col}_count": "df"},
+                        num_buckets=num_buckets, exchange="shuffle")
+    with_df = bucketed_join(
+        toks, df, left_key="tok", right_key="tok",
+        right_value_cols=["df"], num_buckets=num_buckets,
+        left_schema=toks_schema,
+        right_schema=pa.schema([("tok", pa.string()),
+                                ("df", pa.int64())]))
+    with_n = bucketed_join(
+        with_df, nn, left_key=id_col, right_key=id_col,
+        right_value_cols=["n"], num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, id_type), ("tok", pa.string()),
+                               ("df", pa.int64())]),
+        right_schema=pa.schema([(id_col, id_type), ("n", pa.int64())]))
+
+    def prefix_cut(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g[[id_col, "tok", "n"]]
+        n_doc = int(g["n"].iloc[0])
+        p = n_doc - (num * n_doc + den - 1) // den + 1
+        return (g.sort_values(["df", "tok"]).head(p)
+                [[id_col, "tok", "n"]])
+
+    prefix = bucketed_group_map(with_n, [id_col], prefix_cut,
+                                num_buckets=num_buckets,
+                                exchange="shuffle")
+
+    def pair_gen(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        ns = g["n"].to_numpy(dtype=np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        a, b, na, nb = ids[ia], ids[ib], ns[ia], ns[ib]
+        lo, hi = np.minimum(na, nb), np.maximum(na, nb)
+        keep = lo * den >= num * hi  # length filter
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep],
+                             "n_a": na[keep], "n_b": nb[keep]})
+
+    cand = hash_aggregate(
+        bucketed_group_map(prefix, ["tok"], pair_gen,
+                           num_buckets=num_buckets, exchange="shuffle",
+                           min_group_size=2),
+        ["id_a", "id_b"], [("n_a", "min"), ("n_b", "min")],
+        rename={"n_a_min": "n_a", "n_b_min": "n_b"},
+        num_buckets=num_buckets, exchange="shuffle")
+
+    def with_pk(t: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(t["id_a"], pa.string()),
+            pc.cast(t["id_b"], pa.string()), "|")
+        return t.append_column("pk", pk)
+
+    pairs = cand.map_batches(with_pk, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    pairs_schema = pa.schema([
+        ("id_a", id_type), ("id_b", id_type),
+        ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("pk", pa.string())])
+
+    def side_rows(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"pk": t["pk"], "sid": t[side]})
+        return f
+
+    def probe(side: str) -> rd.Dataset:
+        skinny = pairs.map_batches(side_rows(side),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        joined = bucketed_join(
+            skinny, toks, left_key="sid", right_key=id_col,
+            right_value_cols=["tok"], num_buckets=num_buckets,
+            left_schema=pa.schema([("pk", pa.string()),
+                                   ("sid", id_type)]),
+            right_schema=toks_schema)
+        return joined.map_batches(
+            lambda t: pa.table({"pk": t["pk"], "tok": t["tok"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    both = hash_aggregate(
+        probe("id_a").union(probe("id_b")), ["pk", "tok"],
+        [("tok", "count")], rename={"tok_count": "c"},
+        num_buckets=num_buckets, exchange="shuffle")
+    inter = hash_aggregate(
+        both.map_batches(
+            lambda t: t.filter(pc.equal(t["c"],
+                                        pa.scalar(2, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pk"], [("c", "count")], rename={"c_count": "inter_n"},
+        num_buckets=num_buckets, exchange="shuffle")
+
+    final = bucketed_join(
+        pairs, inter, left_key="pk", right_key="pk",
+        right_value_cols=["inter_n"], num_buckets=num_buckets,
+        left_schema=pairs_schema,
+        right_schema=pa.schema([("pk", pa.string()),
+                                ("inter_n", pa.int64())]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        it = t["inter_n"].cast(pa.int64())
+        un = pc.subtract(pc.add(t["n_a"], t["n_b"]), it)
+        ok = pc.greater_equal(pc.multiply(it, pa.scalar(den, pa.int64())),
+                              pc.multiply(un, pa.scalar(num, pa.int64())))
+        t2 = pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"],
+            "inter_n": it, "union_n": un,
+            "jac_fp": pc.divide(pc.multiply(
+                it, pa.scalar(scale, pa.int64())), un)}).filter(ok)
+        return t2
+
+    return final.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _prefix_jaccard_driver(df: pd.DataFrame, *, id_col: str, num: int,
+                           den: int, scale: int,
+                           id_type: pa.DataType) -> rd.Dataset:
+    """Vectorized pandas form over the (already distinct,
+    driver-gathered) skinny (id, token) rows — same prefix filter,
+    same exact verification, identical output set."""
+    if df.empty:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "inter_n": pa.array([], pa.int64()),
+            "union_n": pa.array([], pa.int64()),
+            "jac_fp": pa.array([], pa.int64())}))
+    n_map = df.groupby(id_col, sort=False).size()
+    d_map = df.groupby("tok", sort=False).size()
+    d2 = df.assign(
+        df=d_map.reindex(df["tok"]).to_numpy(np.int64),
+        n=n_map.reindex(df[id_col]).to_numpy(np.int64),
+    ).sort_values(["df", "tok"], kind="mergesort")
+    d2["rk"] = d2.groupby(id_col, sort=False).cumcount()
+    p_len = d2["n"] - (num * d2["n"] + den - 1) // den + 1
+    pref = d2[d2["rk"] < p_len][[id_col, "tok", "n"]]
+    m = pref.merge(pref, on="tok", suffixes=("_a", "_b"))
+    ia, ib = f"{id_col}_a", f"{id_col}_b"
+    m = m[m[ia] < m[ib]]
+    lo = np.minimum(m["n_a"], m["n_b"])
+    hi = np.maximum(m["n_a"], m["n_b"])
+    cand = (m[lo * den >= num * hi][[ia, ib, "n_a", "n_b"]]
+            .drop_duplicates([ia, ib]))
+    if cand.empty:
+        return _prefix_jaccard_driver(df.iloc[0:0], id_col=id_col,
+                                      num=num, den=den, scale=scale,
+                                      id_type=id_type)
+    ta = df.rename(columns={id_col: ia})
+    tb = df.rename(columns={id_col: ib})
+    j = cand[[ia, ib]].merge(ta, on=ia).merge(tb, on=[ib, "tok"])
+    inter = j.groupby([ia, ib], sort=False).size().rename("inter_n")
+    out = cand.merge(inter.reset_index(), on=[ia, ib])
+    it = out["inter_n"].to_numpy(np.int64)
+    un = (out["n_a"] + out["n_b"]).to_numpy(np.int64) - it
+    keep = it * den >= num * un
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(out[ia].to_numpy()[keep]).cast(id_type),
+        "id_b": pa.array(out[ib].to_numpy()[keep]).cast(id_type),
+        "inter_n": pa.array(it[keep]),
+        "union_n": pa.array(un[keep]),
+        "jac_fp": pa.array((it[keep] * scale) // un[keep])}))

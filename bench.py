@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     # distance, Luby MIS, rollup lattice, fixed-point centroids
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
     "embedding_label_centroids", "embedding_kmeans",
-    "events_cohort_retention",
+    "events_cohort_retention", "jaccard_join_pairs",
 ]
 
 

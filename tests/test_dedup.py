@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -255,3 +256,59 @@ def test_sorted_neighborhood_pairs_matches_bruteforce():
         sorted_neighborhood_pairs(ds, group_col="g",
                                   order_cols=["k", "id"], id_col="id",
                                   window=0)
+
+
+# ---------------------------------------------------- prefix Jaccard join
+def _jaccard_reference(texts, num, den):
+    """Brute-force exact token-set Jaccard pairs."""
+    import re
+
+    sets = {i: set(t for t in re.split("[^a-z]+", s.lower()) if t)
+            for i, s in texts.items()}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * den >= num * union:
+                out[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    return out
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_prefix_jaccard_matches_bruteforce(driver_threshold):
+    """Both paths == brute-force all-pairs Jaccard at t=0.6 on a mixed
+    corpus (clones, near-clones, disjoint, empty text): the prefix
+    filter loses NO qualifying pair."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.stages.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = {}
+    for i in range(24):
+        base = rng.sample(vocab, 12)
+        texts[2 * i] = " ".join(base)
+        drop = rng.randrange(3)
+        texts[2 * i + 1] = " ".join(base[drop:] + rng.sample(vocab, drop))
+    texts[100] = ""          # empty text: never paired
+    texts[101] = "zz9 only"  # tokens outside everyone else's sets
+    ref = _jaccard_reference(texts, 3, 5)
+    assert ref  # the generator above must produce qualifying pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)])}
+    )).repartition(4)
+    got = prefix_jaccard_pairs(ds, threshold=(3, 5),
+                               driver_threshold=driver_threshold
+                               ).to_pandas()
+    got_map = {(r.id_a, r.id_b): (r.inter_n, r.union_n, r.jac_fp)
+               for r in got.itertuples()}
+    assert got_map == ref
