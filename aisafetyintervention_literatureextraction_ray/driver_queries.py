@@ -3945,6 +3945,53 @@ def jaccard_join_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+@query(
+    "events_type_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    sequences: one keyed exchange groups each user's events, a
+    vectorized ordered shift emits (from, to) bigrams, and a keyed sum
+    counts them — the session-flow / funnel view of interaction logs.
+    (ts, event_id) is a total order per user, so LAG replays
+    deterministically on both sides."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame({"from_type": g["event_type"].shift(1),
+                            "to_type": g["event_type"]})
+        return out[out["from_type"].notna()]
+
+    rows = bucketed_group_map(ds, ["user_id"], transitions,
+                              exchange="shuffle")
+    out = hash_aggregate(rows, ["from_type", "to_type"],
+                         [("to_type", "count")],
+                         rename={"to_type_count": "n"},
+                         exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                             "to_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4495,6 +4542,7 @@ _DRIVER_ORDER = [
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
     "embedding_label_centroids", "embedding_kmeans",
     "events_cohort_retention", "jaccard_join_pairs",
+    "events_type_transitions",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
