@@ -3992,6 +3992,70 @@ def events_type_transitions(sf_dir: str):
             .reset_index(drop=True))
 
 
+@query(
+    "corpus_snapshot_diff",
+    """
+    WITH oldv AS (SELECT doc_id, md5(text) AS h FROM documents
+                  WHERE doc_id % 10 <> 0),
+    newv AS (SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN md5(text || ' [rev2]')
+                         ELSE md5(text) END AS h
+             FROM documents WHERE doc_id % 7 <> 0),
+    u AS (SELECT doc_id, 0 AS side, h FROM oldv
+          UNION ALL SELECT doc_id, 1, h FROM newv),
+    g AS (SELECT doc_id, COUNT(*) AS n, MIN(side) AS smin,
+                 MIN(h) AS hmin, MAX(h) AS hmax
+          FROM u GROUP BY doc_id)
+    SELECT doc_id,
+           CASE WHEN n = 1 AND smin = 0 THEN 'removed'
+                WHEN n = 1 THEN 'added'
+                ELSE 'changed' END AS status
+    FROM g WHERE n = 1 OR hmin <> hmax
+    ORDER BY doc_id
+    """,
+)
+def corpus_snapshot_diff(sf_dir: str):
+    """Release-to-release corpus diff (functions/agg.py::
+    snapshot_diff): two deterministic synthetic snapshots of the
+    documents table (old drops doc_id%10==0; new drops %7==0 and
+    rewrites %5==0) reduce to added/removed/changed work lists in ONE
+    keyed exchange of skinny (id, side, md5) rows — the
+    incremental-reprocessing driver for corpus refreshes."""
+    import hashlib
+
+    from .functions.agg import snapshot_diff
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def snapshot(drop_mod: int, suffix_mod5: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids_np = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids_np % drop_mod != 0))
+            ids = t["doc_id"].to_pylist()
+            texts = t["text"].to_pylist()
+            hs = [hashlib.md5(
+                ((x or "") + " [rev2]").encode()
+                if suffix_mod5 and i % 5 == 0
+                else (x or "").encode()).hexdigest()
+                for i, x in zip(ids, texts)]
+            return pa.table({"doc_id": t["doc_id"],
+                             "h": pa.array(hs, pa.string())})
+        return f
+
+    old = ds.map_batches(snapshot(10, False), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    new = ds.map_batches(snapshot(7, True), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = snapshot_diff(old, new, key_col="doc_id",
+                        hash_col="h").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "status": pd.Series([], dtype=object)})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4542,7 +4606,7 @@ _DRIVER_ORDER = [
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
     "embedding_label_centroids", "embedding_kmeans",
     "events_cohort_retention", "jaccard_join_pairs",
-    "events_type_transitions",
+    "events_type_transitions", "corpus_snapshot_diff",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -651,3 +651,56 @@ def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
             pad(keys[lvl:]), batch_format="pyarrow",
             zero_copy_batch=True))
     return out
+
+
+def snapshot_diff(old: rd.Dataset, new: rd.Dataset, *, key_col: str,
+                  hash_col: str,
+                  num_buckets: int | None = None) -> rd.Dataset:
+    """``(key, status)`` with status in {added, removed, changed} —
+    corpus release diffing (which documents a new snapshot adds, drops
+    or rewrites; the incremental-reprocessing work list).  Unchanged
+    keys are filtered out, so output is bounded by the CHANGE volume.
+
+    ONE keyed exchange: both sides union into skinny
+    ``(key, side, hash)`` rows and a single hash-aggregate computes
+    per-key (count, min side, min/max hash); the status decode is a
+    vectorized case on those four columns.  Caller supplies the
+    content hash (e.g. md5 for SQL replayability) and guarantees keys
+    are unique within each snapshot.
+    """
+    def side_rows(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t.column(key_col),
+                "side": pa.array(np.full(t.num_rows, side, np.int64)),
+                "h": t.column(hash_col)})
+        return f
+
+    u = old.select_columns([key_col, hash_col]).map_batches(
+        side_rows(0), batch_format="pyarrow", zero_copy_batch=True,
+    ).union(new.select_columns([key_col, hash_col]).map_batches(
+        side_rows(1), batch_format="pyarrow", zero_copy_batch=True))
+    g = hash_aggregate(
+        u, ["k"], [("side", "count"), ("side", "min"),
+                   ("h", "min"), ("h", "max")],
+        rename={"side_count": "n", "side_min": "smin",
+                "h_min": "hmin", "h_max": "hmax"},
+        num_buckets=num_buckets, exchange="shuffle")
+
+    def decode(t: pa.Table) -> pa.Table:
+        n = t["n"].cast(pa.int64())
+        one = pc.equal(n, pa.scalar(1, pa.int64()))
+        changed = pc.and_(pc.invert(one),
+                          pc.not_equal(t["hmin"], t["hmax"]))
+        status = pc.if_else(
+            pc.and_(one, pc.equal(t["smin"].cast(pa.int64()),
+                                  pa.scalar(0, pa.int64()))),
+            pa.scalar("removed", pa.string()),
+            pc.if_else(one, pa.scalar("added", pa.string()),
+                       pa.scalar("changed", pa.string())))
+        keep = pc.or_(one, changed)
+        return pa.table({key_col: t["k"],
+                         "status": status}).filter(keep)
+
+    return g.map_batches(decode, batch_format="pyarrow",
+                         zero_copy_batch=True)

@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "kg_katz", "kg_sssp", "kg_mis", "orders_rollup",
     "embedding_label_centroids", "embedding_kmeans",
     "events_cohort_retention", "jaccard_join_pairs",
-    "events_type_transitions",
+    "events_type_transitions", "corpus_snapshot_diff",
 ]
 
 

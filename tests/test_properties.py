@@ -1711,3 +1711,20 @@ def test_cohort_retention_cells():
     cells = {(r.cohort_day, r.offset_days): r.n_users
              for r in out.itertuples()}
     assert cells == {(0, 0): 1, (0, 2): 1, (2, 0): 1}
+
+
+# -------------------------------------------------------- snapshot diff
+def test_snapshot_diff_statuses():
+    """added / removed / changed decode from one keyed aggregate;
+    unchanged keys are absent."""
+    from aisafetyintervention_literatureextraction_ray.functions.agg import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "h": ["a", "b", "c"]}))
+    new = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "h": ["b", "C", "d"]}))
+    out = snapshot_diff(old, new, key_col="k", hash_col="h").to_pandas()
+    assert dict(zip(out["k"], out["status"])) == {
+        1: "removed", 3: "changed", 4: "added"}
