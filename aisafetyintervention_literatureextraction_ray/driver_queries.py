@@ -4056,6 +4056,56 @@ def corpus_snapshot_diff(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+@query(
+    "events_props_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                         AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                         AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_stats(sf_dir: str):
+    """Semi-structured payload extraction: the JSON ``props`` column
+    is parsed VECTORIZED with the RE2 kernel (pyarrow
+    ``extract_regex`` == DuckDB ``regexp_extract`` — both RE2, exact
+    parity) and reduced per event type in one combiner-first keyed
+    exchange — never a per-row json.loads on the hot path."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern='"k": (?P<v>\\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = hash_aggregate(
+        ds.map_batches(parse, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"],
+        [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")],
+        rename={"k_count": "n", "k_sum": "sum_k",
+                "k_min": "min_k", "k_max": "max_k"},
+        exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "sum_k": pd.Series([], dtype="int64"),
+            "min_k": pd.Series([], dtype="int64"),
+            "max_k": pd.Series([], dtype="int64")})
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n", "sum_k", "min_k", "max_k"]])
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4607,6 +4657,7 @@ _DRIVER_ORDER = [
     "embedding_label_centroids", "embedding_kmeans",
     "events_cohort_retention", "jaccard_join_pairs",
     "events_type_transitions", "corpus_snapshot_diff",
+    "events_props_stats",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
