@@ -4106,6 +4106,82 @@ def events_props_stats(sf_dir: str):
             [["event_type", "n", "sum_k", "min_k", "max_k"]])
 
 
+@query(
+    "doc_rrf_fusion",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS lt,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+             END AS dl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, CAST(dl AS DOUBLE) AS dl,
+             CAST(length(regexp_extract_all(lt, '\\b{_BM25_TERMS[0]}\\b'))
+                  AS DOUBLE) AS tf0,
+             CAST(length(regexp_extract_all(lt, '\\b{_BM25_TERMS[1]}\\b'))
+                  AS DOUBLE) AS tf1,
+             CAST(length(regexp_extract_all(lt, '\\b{_BM25_TERMS[2]}\\b'))
+                  AS DOUBLE) AS tf2
+      FROM d),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM tf),
+    s AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (g.n - g.df0 + 0.5) / (g.df0 + 0.5))
+               * tf0 * (1.2 + 1.0)
+               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl))
+             + ln(1.0 + (g.n - g.df1 + 0.5) / (g.df1 + 0.5))
+               * tf1 * (1.2 + 1.0)
+               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl))
+             + ln(1.0 + (g.n - g.df2 + 0.5) / (g.df2 + 0.5))
+               * tf2 * (1.2 + 1.0)
+               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl))
+               AS raw
+      FROM tf, g),
+    bt AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY ROUND(raw, 6) DESC,
+                                     doc_id) AS r
+           FROM s ORDER BY r LIMIT 50),
+    ct AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+                                     doc_id) AS r
+           FROM documents ORDER BY r LIMIT 50),
+    f AS (SELECT COALESCE(bt.doc_id, ct.doc_id) AS doc_id,
+                 COALESCE(1000000 // (60 + bt.r), 0)
+                 + COALESCE(1000000 // (60 + ct.r), 0) AS rrf_fp
+          FROM bt FULL OUTER JOIN ct USING (doc_id))
+    SELECT doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp
+    FROM f ORDER BY rrf_fp DESC, doc_id LIMIT 20
+    """,
+)
+def doc_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval reciprocal-rank fusion
+    (functions/rank.py::rrf_fuse): the distributed BM25 top-50 fuses
+    with a second top-50 signal (document length) via integer
+    ``scale // (60 + rank)`` — the standard lexical+prior combiner.
+    Both input rankings are k-bounded distributed top-k outputs, so
+    the fusion itself is driver-bounded by design."""
+    from .functions.rank import bm25_topk, rrf_fuse
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    bm = bm25_topk(docs.select_columns(["doc_id", "text"]),
+                   list(_BM25_TERMS), k=50).to_pandas()
+    by_len = (docs.select_columns(["doc_id", "n_chars"])
+              .sort(key=["n_chars", "doc_id"], descending=[True, False])
+              .limit(50).to_pandas())
+    out = rrf_fuse([bm["doc_id"].tolist(),
+                    by_len["doc_id"].tolist()], top=20)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rrf_fp"] = out["rrf_fp"].astype("int64")
+    return out
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4657,7 +4733,7 @@ _DRIVER_ORDER = [
     "embedding_label_centroids", "embedding_kmeans",
     "events_cohort_retention", "jaccard_join_pairs",
     "events_type_transitions", "corpus_snapshot_diff",
-    "events_props_stats",
+    "events_props_stats", "doc_rrf_fusion",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -24,6 +24,7 @@ the sort so tie order cannot diverge between engines.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -200,3 +201,27 @@ def tfidf_top_terms(ds: rd.Dataset, *, id_col: str = "doc_id",
         return g.groupby(id_col, sort=False).head(k)
 
     return bucketed_apply(scored, [id_col], topk, num_buckets=num_buckets)
+
+
+def rrf_fuse(rankings: list[list], *, k: int = 60,
+             scale: int = 1_000_000, top: int | None = None
+             ) -> pd.DataFrame:
+    """Reciprocal-rank fusion of bounded ranked id lists:
+    ``rrf_fp(d) = sum over rankings of scale // (k + rank(d))`` with
+    1-based ranks, pure integer (the float 1/(k+r) is rank-monotone,
+    so the integer form preserves RRF's ordering semantics and
+    replays exactly in SQL).  The standard hybrid-retrieval combiner
+    (lexical BM25 + a second signal) — inputs are the TOP-K outputs
+    of distributed rankers, so this fusion is driver-bounded by
+    design (len <= k per list), never by the corpus.  Ties sort by
+    id ascending; ``top`` truncates the fused list.
+    """
+    acc: dict = {}
+    for ranked in rankings:
+        for r, d in enumerate(ranked, start=1):
+            acc[d] = acc.get(d, 0) + scale // (k + r)
+    out = pd.DataFrame(
+        {"doc_id": list(acc), "rrf_fp": list(acc.values())})
+    out = out.sort_values(["rrf_fp", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out.head(top) if top else out

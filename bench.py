@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "embedding_label_centroids", "embedding_kmeans",
     "events_cohort_retention", "jaccard_join_pairs",
     "events_type_transitions", "corpus_snapshot_diff",
-    "events_props_stats",
+    "events_props_stats", "doc_rrf_fusion",
 ]
 
 

@@ -1728,3 +1728,19 @@ def test_snapshot_diff_statuses():
     out = snapshot_diff(old, new, key_col="k", hash_col="h").to_pandas()
     assert dict(zip(out["k"], out["status"])) == {
         1: "removed", 3: "changed", 4: "added"}
+
+
+# -------------------------------------------------------- RRF fusion
+def test_rrf_fuse_integer_semantics():
+    """Integer reciprocal-rank fusion: hand-checked sums, ties break
+    by id ascending, `top` truncates."""
+    from aisafetyintervention_literatureextraction_ray.functions.rank import rrf_fuse
+
+    out = rrf_fuse([[10, 20, 30], [20, 10]], k=60)
+    m = dict(zip(out["doc_id"], out["rrf_fp"]))
+    s = 1_000_000
+    assert m == {10: s // 61 + s // 62, 20: s // 62 + s // 61,
+                 30: s // 63}
+    # 10 and 20 tie exactly -> id ascending
+    assert out["doc_id"].tolist() == [10, 20, 30]
+    assert rrf_fuse([[1, 2, 3]], top=2)["doc_id"].tolist() == [1, 2]
