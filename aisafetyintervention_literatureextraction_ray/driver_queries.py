@@ -4182,6 +4182,69 @@ def doc_rrf_fusion(sf_dir: str):
     return out
 
 
+@query(
+    "events_rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    w AS (SELECT DISTINCT user_id, day + o.o AS wday
+          FROM ud CROSS JOIN (SELECT UNNEST(range(7)) AS o) o)
+    SELECT wday, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM w GROUP BY wday ORDER BY wday
+    """,
+)
+def events_rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct-active-users: the EXACT sliding-window
+    cardinality (dailies don't sum — a user active twice in a window
+    counts once).  Distinct (user, day) activity explodes to the 7
+    window-days it affects, a second keyed dedup collapses multi-day
+    users per window, and a count per window-day finishes — three
+    skinny int exchanges, volume bounded at 7x the activity set,
+    never a per-window rescan."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(us, pa.scalar(86_400_000_000,
+                                           pa.int64()))})
+
+    ud = hash_aggregate(
+        ds.map_batches(to_day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"], [("day", "count")],
+        exchange="shuffle").select_columns(["user_id", "day"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.tile(np.arange(7, dtype=np.int64), len(d))
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, 7)),
+            "wday": pa.array(np.repeat(d, 7) + offs)})
+
+    w = hash_aggregate(
+        ud.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "wday"], [("wday", "count")],
+        exchange="shuffle").select_columns(["user_id", "wday"])
+    out = hash_aggregate(
+        w, ["wday"], [("user_id", "count")],
+        rename={"user_id_count": "n_users"},
+        exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"wday": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64")})
+    for c in ("wday", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("wday").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4734,6 +4797,7 @@ _DRIVER_ORDER = [
     "events_cohort_retention", "jaccard_join_pairs",
     "events_type_transitions", "corpus_snapshot_diff",
     "events_props_stats", "doc_rrf_fusion",
+    "events_rolling_active_users",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "events_cohort_retention", "jaccard_join_pairs",
     "events_type_transitions", "corpus_snapshot_diff",
     "events_props_stats", "doc_rrf_fusion",
+    "events_rolling_active_users",
 ]
 
 
