@@ -4245,6 +4245,62 @@ def events_rolling_active_users(sf_dir: str):
     return out.sort_values("wday").reset_index(drop=True)
 
 
+@query(
+    "kg_incremental_nodes",
+    f"""
+    SELECT node_id, type, name_norm,
+           MIN(name) AS name,
+           MIN(description) AS description,
+           MIN(concept_category) AS concept_category,
+           MIN(intervention_lifecycle) AS intervention_lifecycle,
+           MIN(intervention_maturity) AS intervention_maturity,
+           COUNT(DISTINCT doc_id) AS n_provenance
+    FROM read_parquet('{_KG_ORACLE_DIR}/node_mentions/*.parquet')
+    WHERE CAST(regexp_extract(doc_id, '(\\d+)', 1) AS BIGINT) % 7 <> 0
+    GROUP BY node_id, type, name_norm
+    ORDER BY node_id
+    """,
+)
+def kg_incremental_nodes(sf_dir: str):
+    """Incremental KG maintenance (pipelines/graph_build.py::
+    incremental_nodes): the corpus moves from snapshot A (doc number
+    % 10 <> 0) to snapshot B (% 7 <> 0); the engine starts from A's
+    node table + mention rows, extracts ONLY the added docs, rebuilds
+    ONLY the node groups a delta doc touches, and carries every other
+    row over — the incremental-view-maintenance path that makes
+    corpus refreshes pay for the delta, not the corpus.  The oracle is
+    the FULL REBUILD over snapshot B, so the driver check IS the
+    incremental==full equivalence proof."""
+    from .pipelines.graph_build import incremental_nodes, nodes_from_mentions
+
+    out = _materialize_kg_inputs(sf_dir)
+    men = rd.read_parquet(f"{out}/node_mentions").materialize()
+
+    def docnum(t: pa.Table) -> pa.Array:
+        ex = pc.extract_regex(t["doc_id"], pattern="(?P<n>\\d+)")
+        return pc.cast(pc.struct_field(ex, "n"), pa.int64())
+
+    def part(pred):
+        def f(t: pa.Table) -> pa.Table:
+            n = docnum(t).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(n)))
+        return f
+
+    old_m = men.map_batches(part(lambda n: n % 10 != 0),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    add_m = men.map_batches(
+        part(lambda n: (n % 10 == 0) & (n % 7 != 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    removed = men.map_batches(
+        part(lambda n: (n % 10 != 0) & (n % 7 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).select_columns(["doc_id"])
+    old_nodes = nodes_from_mentions(old_m)
+    inc = incremental_nodes(old_nodes, old_m, add_m, removed)
+    return inc.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+
 def _lpa_sql(n_rounds: int) -> str:
     """Unroll the synchronous label-propagation vote
     (functions/graph.py::label_propagation) into chained DuckDB CTEs:
@@ -4797,7 +4853,7 @@ _DRIVER_ORDER = [
     "events_cohort_retention", "jaccard_join_pairs",
     "events_type_transitions", "corpus_snapshot_diff",
     "events_props_stats", "doc_rrf_fusion",
-    "events_rolling_active_users",
+    "events_rolling_active_users", "kg_incremental_nodes",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

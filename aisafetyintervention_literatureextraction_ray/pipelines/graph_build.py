@@ -501,3 +501,149 @@ def papers(extractions: rd.Dataset) -> rd.Dataset:
         # one key per PAPER — scales with the corpus
         exchange="shuffle",
     ).select_columns(["doc_id"])
+
+
+# --------------------------------------------- incremental maintenance
+
+_NODES_FLAT_SCHEMA = pa.schema(
+    [f for f in NODES_SCHEMA if f.name != "aliases"])
+
+
+def nodes_from_mentions(mentions: rd.Dataset, *,
+                        num_buckets: int | None = None) -> rd.Dataset:
+    """Canonical node rows (NODES_SCHEMA minus aliases) from exploded
+    node-mention rows: per (node_id, type, name_norm) the column-wise
+    MIN of every property (exactly the kg_nodes oracle reduce) plus
+    ``n_provenance = COUNT(DISTINCT doc_id)`` — two combiner-first
+    keyed exchanges (props; distinct doc pairs) and one skinny join.
+    The reduce is commutative/associative, which is what makes the
+    key-scoped incremental rebuild below exact."""
+    from ..functions.agg import bucketed_join, hash_aggregate
+
+    props = hash_aggregate(
+        mentions.select_columns(
+            ["node_id", "type", "name_norm", "name", "description",
+             "concept_category", "intervention_lifecycle",
+             "intervention_maturity"]),
+        ["node_id", "type", "name_norm"],
+        [("name", "min"), ("description", "min"),
+         ("concept_category", "min"),
+         ("intervention_lifecycle", "min"),
+         ("intervention_maturity", "min")],
+        rename={"name_min": "name", "description_min": "description",
+                "concept_category_min": "concept_category",
+                "intervention_lifecycle_min": "intervention_lifecycle",
+                "intervention_maturity_min": "intervention_maturity"},
+        num_buckets=num_buckets, exchange="shuffle")
+    prov = hash_aggregate(
+        hash_aggregate(
+            mentions.select_columns(["node_id", "doc_id"]),
+            ["node_id", "doc_id"], [("doc_id", "count")],
+            num_buckets=num_buckets, exchange="shuffle",
+        ).select_columns(["node_id", "doc_id"]),
+        ["node_id"], [("doc_id", "count")],
+        rename={"doc_id_count": "n_provenance"},
+        num_buckets=num_buckets, exchange="shuffle")
+    joined = bucketed_join(
+        props, prov, left_key="node_id", right_key="node_id",
+        right_value_cols=["n_provenance"], num_buckets=num_buckets,
+        left_schema=pa.schema([
+            ("node_id", pa.string()), ("type", pa.string()),
+            ("name_norm", pa.string()), ("name", pa.string()),
+            ("description", pa.string()),
+            ("concept_category", pa.string()),
+            ("intervention_lifecycle", pa.int8()),
+            ("intervention_maturity", pa.int8())]),
+        right_schema=pa.schema([("node_id", pa.string()),
+                                ("n_provenance", pa.int64())]))
+    return joined.map_batches(
+        lambda b: cast_batch(b, _NODES_FLAT_SCHEMA),
+        batch_format="pyarrow")
+
+
+def incremental_nodes(old_nodes: rd.Dataset, old_mentions: rd.Dataset,
+                      added_mentions: rd.Dataset,
+                      removed_docs: rd.Dataset, *,
+                      num_buckets: int | None = None) -> rd.Dataset:
+    """Key-scoped incremental maintenance of the canonical node table
+    (incremental view maintenance for the KG build): given the
+    previous snapshot's node table + mention rows, the NEW mentions of
+    added/changed docs, and the removed/changed doc-id set, rebuild
+    ONLY the node groups a delta doc touches and carry every other row
+    over untouched.  Extraction — the expensive LLM stage — runs only
+    on the delta docs; group re-reduction is bounded by the affected
+    key set, not the corpus.  Bit-equal to a full rebuild because the
+    node reduce is a pure commutative/associative function of its
+    group's mention rows (equivalence-tested).
+
+    Scale shape: one inner join marks removed-doc mentions, one keyed
+    distinct derives the affected key set K, one left-join anti filter
+    drops removed-doc rows, one semi join scopes the re-reduce to K,
+    and one left-join anti filter carries unaffected node rows — all
+    bucketed skinny exchanges with hoisted schemas.  ``removed_docs``
+    is a DATASET of ``(doc_id)`` (never a driver-side set), so delta
+    size is unbounded.
+    """
+    from ..functions.agg import bucketed_join, hash_aggregate
+
+    m_schema = old_mentions.schema()
+    m_schema = getattr(m_schema, "base_schema", m_schema)
+    from ..functions.agg import pa_type_of
+    m_schema = pa.schema([(n, pa_type_of(t)) for n, t in
+                          zip(m_schema.names, m_schema.types)])
+
+    def flag_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "f": pa.array(np.ones(t.num_rows, np.int8))})
+
+    rflag = removed_docs.map_batches(flag_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    rflag_schema = pa.schema([("doc_id", pa.string()), ("f", pa.int8())])
+
+    # affected keys: nodes mentioned by a removed doc or by a delta doc
+    rem_keys = bucketed_join(
+        old_mentions.select_columns(["node_id", "doc_id"]), rflag,
+        left_key="doc_id", right_key="doc_id", right_value_cols=["f"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("node_id", pa.string()),
+                               ("doc_id", pa.string())]),
+        right_schema=rflag_schema,
+    ).select_columns(["node_id"])
+    k_set = hash_aggregate(
+        rem_keys.union(added_mentions.select_columns(["node_id"])),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id"]).map_batches(
+        lambda t: t.append_column(
+            "kf", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    k_schema = pa.schema([("node_id", pa.string()), ("kf", pa.int8())])
+
+    # new-snapshot mention rows: old minus removed docs, plus the delta
+    kept = bucketed_join(
+        old_mentions, rflag, left_key="doc_id", right_key="doc_id",
+        right_value_cols=["f"], how="left", num_buckets=num_buckets,
+        left_schema=m_schema, right_schema=rflag_schema,
+    ).map_batches(
+        lambda t: t.filter(pa.compute.is_null(t["f"])).drop_columns(
+            ["f"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    scoped = bucketed_join(
+        kept.union(added_mentions), k_set, left_key="node_id",
+        right_key="node_id", right_value_cols=["kf"],
+        num_buckets=num_buckets, left_schema=m_schema,
+        right_schema=k_schema,
+    ).map_batches(lambda t: t.drop_columns(["kf"]),
+                  batch_format="pyarrow", zero_copy_batch=True)
+    rebuilt = nodes_from_mentions(scoped, num_buckets=num_buckets)
+
+    untouched = bucketed_join(
+        old_nodes, k_set, left_key="node_id", right_key="node_id",
+        right_value_cols=["kf"], how="left", num_buckets=num_buckets,
+        left_schema=_NODES_FLAT_SCHEMA, right_schema=k_schema,
+    ).map_batches(
+        lambda t: t.filter(pa.compute.is_null(t["kf"])).drop_columns(
+            ["kf"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return untouched.union(rebuilt)

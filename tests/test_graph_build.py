@@ -137,3 +137,59 @@ def test_bucketed_join_left_keeps_unmatched():
                            right_value_cols=["w"], how="inner")
              .to_pandas())
     assert set(inner["k"]) == {"a", "c"}
+
+
+def test_incremental_nodes_equals_full_rebuild():
+    """Key-scoped incremental maintenance == full rebuild: add docs,
+    remove docs, leave an untouched node group, and check row-for-row
+    equality including n_provenance changes."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aisafetyintervention_literatureextraction_ray.pipelines.graph_build import (
+        incremental_nodes,
+        nodes_from_mentions,
+    )
+
+    def m(doc, nid, name, lc=None):
+        return {"doc_id": doc, "name": name, "type": "concept",
+                "description": f"d-{nid}", "concept_category": "cat",
+                "intervention_lifecycle": lc,
+                "intervention_maturity": None,
+                "name_norm": name.lower(), "node_id": nid}
+
+    old_rows = [
+        m("d1", "n1", "Alpha"), m("d1", "n2", "Beta"),
+        m("d2", "n2", "Beta"), m("d2", "n3", "Gamma", 3),
+        m("d3", "n4", "Delta"),  # untouched by the delta
+    ]
+    add_rows = [m("d4", "n1", "Alpha"), m("d4", "n5", "Eps")]
+
+    def tbl(rows):
+        cols = {k: [r[k] for r in rows] for k in old_rows[0]}
+        t = pa.table(cols)
+        return t.set_column(
+            t.schema.get_field_index("intervention_lifecycle"),
+            "intervention_lifecycle",
+            t["intervention_lifecycle"].cast(pa.int8())).set_column(
+            t.schema.get_field_index("intervention_maturity"),
+            "intervention_maturity",
+            t["intervention_maturity"].cast(pa.int8()))
+
+    old_m = rd.from_arrow(tbl(old_rows))
+    add_m = rd.from_arrow(tbl(add_rows))
+    removed = rd.from_arrow(pa.table({"doc_id": ["d2"]}))
+
+    old_nodes = nodes_from_mentions(old_m)
+    inc = incremental_nodes(old_nodes, old_m, add_m, removed
+                            ).to_pandas().sort_values("node_id")
+
+    new_rows = [r for r in old_rows if r["doc_id"] != "d2"] + add_rows
+    full = nodes_from_mentions(rd.from_arrow(tbl(new_rows))
+                               ).to_pandas().sort_values("node_id")
+    pd.testing.assert_frame_equal(inc.reset_index(drop=True),
+                                  full.reset_index(drop=True))
+    prov = dict(zip(inc["node_id"], inc["n_provenance"]))
+    # n1: d1+d4, n2: d1 only (d2 removed), n3: gone, n4 untouched, n5 new
+    assert prov == {"n1": 2, "n2": 1, "n4": 1, "n5": 1}
