@@ -4794,6 +4794,189 @@ def kg_pmi_cooccurrence(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ---------------------------------------------------------------- ordered funnel
+@query(
+    "events_funnel",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+      UNION ALL SELECT 2, 'click',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+      UNION ALL SELECT 3, 'purchase',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+    ) ORDER BY step_idx
+    """,
+)
+def events_funnel(sf_dir: str):
+    """Ordered three-step conversion funnel (view -> click -> purchase)
+    over per-user event histories: ONE user_id-hash exchange co-locates
+    each user's events, then a vectorized merge chain inside each bucket
+    finds the earliest step-k event STRICTLY AFTER the user's step-(k-1)
+    time (funnel steps must occur in order, not merely all occur) — no
+    per-row Python, no per-user apply.  Each bucket emits one partial
+    count row; the global funnel is their sum.  At 100 TB the only data
+    movement is the single hash shuffle of skinny (user, ts, type) rows,
+    and the reduce output is O(num_buckets)."""
+    from .functions.agg import bucketed_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["event_type"] == "view"]
+        t1 = (v.groupby("user_id")["ts"].min().rename("t1")
+              .reset_index())
+        c = df[df["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (c[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
+              .rename("t2").reset_index())
+        p = df[df["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame({"s1": [len(t1)], "s2": [len(t2)],
+                             "s3": [len(t3)]})
+
+    parts = bucketed_apply(ds, ["user_id"], funnel_bucket,
+                           exchange="shuffle").to_pandas()
+    totals = [int(parts[c].sum()) if len(parts) else 0
+              for c in ("s1", "s2", "s3")]
+    return pd.DataFrame({"step_idx": pd.Series([1, 2, 3], dtype="int64"),
+                         "step": ["view", "click", "purchase"],
+                         "users": pd.Series(totals, dtype="int64")})
+
+
+# ---------------------------------------------------------------- weighted sampling
+@query(
+    "doc_weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars,
+           CAST(FLOOR(LN(u) / CAST(n_chars AS DOUBLE) * 1e12)
+                AS BIGINT) AS key_int
+    FROM w
+    ORDER BY key_int DESC, doc_id
+    LIMIT 100
+    """,
+)
+def doc_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis A-ES key (u^(1/w), compared as ln(u)/w): each
+    doc draws a deterministic uniform u from its md5 and keeps the
+    top-k largest keys, so inclusion probability is proportional to
+    n_chars — the length-weighted corpus subsample used for
+    token-budgeted training mixes.  Embarrassingly parallel key
+    computation (one pyarrow map_batches, no exchange), then ONE
+    distributed top-k sort of skinny (id, w, key) rows.  The key is
+    snapped to fixed point (floor(ln(u)/w * 1e12) as int64) BEFORE the
+    sort so engine and oracle order identically; A-ES keys are
+    mergeable, so at 100 TB the sort+limit prunes to per-block top-k
+    before the exchange."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_chars"], 0))
+        ids = t["doc_id"].to_pylist()
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids], dtype=np.float64)
+        u = (h + 1.0) / 4294967296.0
+        key = np.floor(np.log(u) / w * 1e12)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "key_int": pa.array(key.astype(np.int64), pa.int64())})
+
+    out = (ds.map_batches(keys, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .sort(["key_int", "doc_id"], descending=[True, False])
+           .limit(100).to_pandas())
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_chars": pd.Series([], dtype="int64"),
+                             "key_int": pd.Series([], dtype="int64")})
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- lag deltas
+@query(
+    "events_interarrival",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+               AS sum_gap_us,
+           CAST(MIN(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+               AS min_gap_us,
+           CAST(MAX(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+               AS max_gap_us
+    FROM s WHERE prev_ts IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gaps (LAG window) rolled up by the type
+    of the LATER event: one user_id-hash exchange orders each user's
+    history, a vectorized shift emits integer-microsecond deltas, and
+    a keyed sum/min/max reduces them — the think-time / burstiness
+    profile of an interaction log.  Gaps are exact int64 microseconds,
+    so parallel summation is order-independent with no float policy
+    needed."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64")
+        d = us - us.shift(1)
+        out = pd.DataFrame({"event_type": g["event_type"],
+                            "gap_us": d})
+        out = out[d.notna()]
+        out["gap_us"] = out["gap_us"].astype("int64")
+        return out
+
+    rows = bucketed_group_map(ds, ["user_id"], gaps, exchange="shuffle")
+    out = hash_aggregate(rows, ["event_type"],
+                         [("gap_us", "count"), ("gap_us", "sum"),
+                          ("gap_us", "min"), ("gap_us", "max")],
+                         rename={"gap_us_count": "n",
+                                 "gap_us_sum": "sum_gap_us",
+                                 "gap_us_min": "min_gap_us",
+                                 "gap_us_max": "max_gap_us"},
+                         exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "sum_gap_us": pd.Series([], dtype="int64"),
+            "min_gap_us": pd.Series([], dtype="int64"),
+            "max_gap_us": pd.Series([], dtype="int64")})
+    for c in ("n", "sum_gap_us", "min_gap_us", "max_gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -4854,6 +5037,8 @@ _DRIVER_ORDER = [
     "events_type_transitions", "corpus_snapshot_diff",
     "events_props_stats", "doc_rrf_fusion",
     "events_rolling_active_users", "kg_incremental_nodes",
+    # round-5 session-3 additions
+    "events_funnel", "doc_weighted_sample", "events_interarrival",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

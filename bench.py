@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "events_type_transitions", "corpus_snapshot_diff",
     "events_props_stats", "doc_rrf_fusion",
     "events_rolling_active_users",
+    # round-5 session-3 additions
+    "events_funnel", "doc_weighted_sample",
 ]
 
 
