@@ -4977,6 +4977,228 @@ def events_interarrival(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- k-truss
+def _ktruss_sql(k: int, n_rounds: int) -> str:
+    """Unroll the k-truss peel (functions/graph.py::ktruss) into
+    chained DuckDB CTEs: per round one triangle enumeration over the
+    surviving canonical (a < b) edge set — the same 3-way self-join as
+    kg_clustering_coeff's oracle, which lists each triangle exactly
+    once as x < y < z — then a per-edge support count (each triangle
+    credits its three edges, all already canonical under the x<y<z
+    ordering) and the peel filter.  Peeling is monotone, so rounds
+    past the fixed point are no-ops; ``n_rounds`` is engine
+    max_rounds + 1, covering every depth the engine can return without
+    raising.  MATERIALIZED hints stop DuckDB inlining each round's
+    CTEs into the next (3^n blowup otherwise, the _kcore_sql note)."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a,"
+        " GREATEST(s, d) AS b FROM e WHERE s <> d),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts += [
+            f"t{i} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM u{i - 1} e1 JOIN u{i - 1} e2 ON e2.a = e1.b"
+            f" JOIN u{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),",
+            f"sup{i} AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM ("
+            f"SELECT x AS a, y AS b FROM t{i}"
+            f" UNION ALL SELECT x, z FROM t{i}"
+            f" UNION ALL SELECT y, z FROM t{i}) GROUP BY a, b),",
+            f"u{i} AS MATERIALIZED (SELECT u.a, u.b FROM u{i - 1} u"
+            f" JOIN sup{i} s ON s.a = u.a AND s.b = u.b"
+            f" AND s.s >= {k - 2}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT a, b, CAST(s AS BIGINT) AS support"
+                 f" FROM sup{n_rounds} WHERE s >= {k - 2}")
+    return "\n".join(parts)
+
+
+@query("kg_truss", _ktruss_sql(3, 31))
+def kg_truss(sf_dir: str):
+    """3-truss of the resolved KG's undirected simple graph
+    (functions/graph.py::ktruss): iteratively peel every edge closing
+    fewer than k-2 = 1 triangles WITHIN the surviving subgraph until
+    the fixed point — the edge-level sibling of kg_kcore that keeps
+    only cohesively cross-referenced relation clusters (a hub node can
+    hold a 2-core together; it cannot fake triangles).  ``support`` is
+    the within-truss triangle count per edge.  The oracle unrolls 31
+    peel rounds (engine max_rounds + 1, the kg_kcore convention);
+    peeling is monotone so extra rounds are no-ops."""
+    from .functions.graph import ktruss
+
+    out = ktruss(_kg_simple_edges(sf_dir), src="src_id", dst="dst_id",
+                 k=3).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "support": pd.Series([], dtype="int64")})
+    out["support"] = out["support"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- left outer + zero-fill
+@query(
+    "customer_order_counts",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)),
+                         0) AS BIGINT) AS sum_cents
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+)
+def customer_order_counts(sf_dir: str):
+    """LEFT-OUTER join with vectorized zero-fill: every customer
+    appears exactly once — including the ~1/3 with no orders at all,
+    the rows an inner join silently drops.  The orders side is
+    pre-aggregated to one skinny (custkey, n, cents) row per key
+    BEFORE the join (partial-aggregate-then-join: the exchange moves
+    |customers| + |distinct custkeys| rows, never |orders|), then one
+    partitioned left join against the customer table and a per-batch
+    fill_null(0) — no driver-side loop, NULL-padding handled inside
+    the stream.  Money is exact integer cents (the range-join idiom),
+    so sums are order-independent and oracle-exact."""
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(v)})
+
+    per_cust = hash_aggregate(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("cents", "count"), ("cents", "sum")],
+        rename={"cents_count": "n_orders", "cents_sum": "sum_cents"},
+        exchange="shuffle")
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_mktsegment", pa.string())])
+    per_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("sum_cents", pa.int64())])
+    joined = bucketed_join(cust, per_cust, left_key="c_custkey",
+                           right_key="o_custkey",
+                           right_value_cols=["n_orders", "sum_cents"],
+                           how="left", left_schema=cust_schema,
+                           right_schema=per_schema)
+
+    def zfill(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_orders", "sum_cents"):
+            df[c] = df[c].fillna(0).astype("int64")
+        return df
+
+    out = joined.map_batches(zfill, batch_format="pandas").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_mktsegment": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ------------------------------------------------- integer z-score anomalies
+@query(
+    "events_anomaly_hours",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS q
+      FROM h GROUP BY event_type)
+    SELECT h.event_type, h.hour, h.cnt,
+           CAST(st.n * h.cnt - st.s AS BIGINT) AS dev_n
+    FROM h JOIN st USING (event_type)
+    WHERE (st.n * h.cnt - st.s) * (st.n * h.cnt - st.s)
+          > 4 * (st.n * st.q - st.s * st.s)
+    ORDER BY event_type, hour
+    """,
+)
+def events_anomaly_hours(sf_dir: str):
+    """Hourly volume anomalies per event type — hours whose count sits
+    more than TWO standard deviations from the type's mean — with the
+    z-test done ENTIRELY in integers: |x - mu| > 2*sigma is equivalent
+    to (n*x - S)^2 > 4*(n*Q - S^2) with S = sum(x), Q = sum(x^2), so
+    there is no float division, no sqrt, and no summation-order
+    caveat; the oracle replays it exactly.  Shape: one bounded keyed
+    aggregate to hourly counts (key set = types x hours — grows with
+    TIME, not volume, the events_hourly_window justification), a tiny
+    per-type (n, S, Q) reduce that is BROADCAST into the scoring map
+    as a plain dict (lookup per batch, never a shuffle join against
+    the hourly stream), and a vectorized integer filter.  dev_n =
+    n*x - S is the signed deviation numerator, exported so consumers
+    can rank anomalies without recomputing stats."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def hourly_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    hourly = hash_aggregate(
+        ds.map_batches(hourly_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], [("one", "sum")],
+        rename={"one_sum": "cnt"}, exchange="coalesce").materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "cnt": t["cnt"],
+                         "cnt2": pc.multiply(t["cnt"], t["cnt"])})
+
+    st = hash_aggregate(
+        hourly.map_batches(sq, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["event_type"], [("cnt", "count"), ("cnt", "sum"),
+                         ("cnt2", "sum")],
+        rename={"cnt_count": "n", "cnt_sum": "s", "cnt2_sum": "q"},
+        exchange="coalesce").to_pandas()
+    # one row per event type: a bounded driver-side dict, broadcast
+    # into the scoring map via closure capture (ray_guide.md small-side
+    # pattern) — the hourly stream is never shuffled again
+    nn = dict(zip(st["event_type"], st["n"].astype("int64")))
+    ss = dict(zip(st["event_type"], st["s"].astype("int64")))
+    qq = dict(zip(st["event_type"], st["q"].astype("int64")))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["event_type"].map(nn).to_numpy(dtype=np.int64)
+        s = df["event_type"].map(ss).to_numpy(dtype=np.int64)
+        q = df["event_type"].map(qq).to_numpy(dtype=np.int64)
+        x = df["cnt"].to_numpy(dtype=np.int64)
+        dev = n * x - s
+        keep = dev * dev > 4 * (n * q - s * s)
+        out = df.loc[keep, ["event_type", "hour", "cnt"]].copy()
+        out["dev_n"] = dev[keep]
+        return out
+
+    out = hourly.map_batches(flag, batch_format="pandas").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "hour": pd.Series([], dtype="datetime64[us]"),
+            "cnt": pd.Series([], dtype="int64"),
+            "dev_n": pd.Series([], dtype="int64")})
+    for c in ("cnt", "dev_n"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "hour"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -5039,6 +5261,7 @@ _DRIVER_ORDER = [
     "events_rolling_active_users", "kg_incremental_nodes",
     # round-5 session-3 additions
     "events_funnel", "doc_weighted_sample", "events_interarrival",
+    "kg_truss", "customer_order_counts", "events_anomaly_hours",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -2914,3 +2914,283 @@ def _luby_driver(e: rd.Dataset, n_rounds: int, *,
     return rd.from_arrow(pa.table({
         "node_id": pa.array(picked).cast(id_type),
         "round": pa.array(rounds, pa.int64())}))
+
+
+# ----------------------------------------------------------------- k-truss
+def _edge_supports(und: rd.Dataset, *,
+                   num_buckets: int | None) -> rd.Dataset:
+    """``(a, b, support)`` for EVERY edge of the materialized distinct
+    ``(a < b)`` STRING edge list ``und`` — the number of triangles the
+    edge closes.  Same degree-ordered orientation as
+    :func:`triangle_count` (oriented out-degree is O(sqrt(m)) even at
+    hub nodes); the wedge -> closing-edge join confirms each triangle
+    exactly once, and each confirmed triangle credits its THREE
+    undirected edges (vs. the three corner NODES in
+    :func:`clustering_coefficients`).  Edges in no triangle are seeded
+    with an explicit zero row so the caller's peel threshold sees them.
+    All exchanges are skinny bucketed shuffles with explicit static
+    schemas (the chained-join rule in functions/agg.py)."""
+    sep = "\x1f"
+    und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    deg_schema = pa.schema([("node_id", pa.string()),
+                            ("deg", pa.int64())])
+
+    def und_deg(t: pa.Table) -> pa.Table:
+        d = pc.add(t.column("out_degree"), t.column("in_degree"))
+        return pa.table({"node_id": t.column("node_id"),
+                         "deg": pc.cast(d, pa.int64())})
+
+    deg = degree_table(und, src="a", dst="b",
+                       num_buckets=num_buckets).map_batches(
+        und_deg, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    j1 = bucketed_join(und, deg, left_key="a", right_key="node_id",
+                       right_value_cols=["deg"], num_buckets=num_buckets,
+                       left_schema=und_schema, right_schema=deg_schema)
+
+    def name_deg_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["a", "b", "deg_a"])
+
+    j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("deg_a", pa.int64())])
+    j2 = bucketed_join(
+        j1.map_batches(name_deg_a, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        deg, left_key="b", right_key="node_id",
+        right_value_cols=["deg"], num_buckets=num_buckets,
+        left_schema=j1_schema, right_schema=deg_schema)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        da, db = t.column("deg_a"), t.column("deg")
+        a_first = pc.or_(pc.less(da, db),
+                         pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "o_src": pc.if_else(a_first, a, b),
+            "o_dst": pc.if_else(a_first, b, a),
+            "deg_dst": pc.if_else(a_first, db, da),
+        })
+
+    o = j2.map_batches(orient, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    o_schema = pa.schema([("o_src", pa.string()), ("o_dst", pa.string()),
+                          ("deg_dst", pa.int64())])
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["w_src", "w_dst", "w_deg"])
+
+    right_schema = pa.schema([("w_src", pa.string()),
+                              ("w_dst", pa.string()),
+                              ("w_deg", pa.int64())])
+    wedges_j = bucketed_join(
+        o, o.map_batches(as_right, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        left_key="o_src", right_key="w_src",
+        right_value_cols=["w_dst", "w_deg"],
+        num_buckets=num_buckets, left_schema=o_schema,
+        right_schema=right_schema)
+
+    def ordered_pairs(t: pa.Table) -> pa.Table:
+        d1, d2 = t.column("deg_dst"), t.column("w_deg")
+        u = t.column("o_src")
+        v, w = t.column("o_dst"), t.column("w_dst")
+        keep = pc.or_(pc.less(d1, d2),
+                      pc.and_(pc.equal(d1, d2), pc.less(v, w)))
+        u = pc.filter(u, keep)
+        v, w = pc.filter(v, keep), pc.filter(w, keep)
+        key = pc.binary_join_element_wise(v, w, sep).cast(pa.string())
+        return pa.table({"key": key, "u": pc.cast(u, pa.string()),
+                         "v": pc.cast(v, pa.string()),
+                         "w": pc.cast(w, pa.string())})
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.binary_join_element_wise(
+                t.column("o_src"), t.column("o_dst"), sep),
+            "m": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    wedge_schema = pa.schema([("key", pa.string()), ("u", pa.string()),
+                              ("v", pa.string()), ("w", pa.string())])
+    ekey_schema = pa.schema([("key", pa.string()), ("m", pa.int8())])
+    closed = bucketed_join(
+        wedges_j.map_batches(ordered_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        o.map_batches(edge_keys, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        left_key="key", right_key="key", right_value_cols=["m"],
+        num_buckets=num_buckets, left_schema=wedge_schema,
+        right_schema=ekey_schema)
+
+    def edge_credits(t: pa.Table) -> pa.Table:
+        u, v, w = t.column("u"), t.column("v"), t.column("w")
+        # canonicalize each of the triangle's three edges by id (the
+        # orientation above is by DEGREE, so u/v/w carry no id order)
+        lo = pa.chunked_array([
+            pc.if_else(pc.less(u, v), u, v),
+            pc.if_else(pc.less(u, w), u, w),
+            pc.if_else(pc.less(v, w), v, w)]).combine_chunks()
+        hi = pa.chunked_array([
+            pc.if_else(pc.less(u, v), v, u),
+            pc.if_else(pc.less(u, w), w, u),
+            pc.if_else(pc.less(v, w), w, v)]).combine_chunks()
+        return pa.table({
+            "a": lo, "b": hi,
+            "tri": pa.array(np.ones(len(lo), dtype=np.int64))})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t.column("a"), "b": t.column("b"),
+            "tri": pa.array(np.zeros(t.num_rows, dtype=np.int64))})
+
+    return hash_aggregate(
+        closed.map_batches(edge_credits, batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+            und.map_batches(zero_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)),
+        ["a", "b"], [("tri", "sum")], rename={"tri_sum": "support"},
+        num_buckets=num_buckets, exchange="shuffle")
+
+
+def ktruss(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+           k: int = 3, max_rounds: int = 30,
+           num_buckets: int | None = None,
+           driver_threshold: int = 2_000_000,
+           driver_wedge_limit: int = 20_000_000) -> rd.Dataset:
+    """``(a, b, support)`` — edges of the k-truss of the UNDIRECTED
+    simple graph underlying ``edges``: the maximal subgraph in which
+    every edge closes at least ``k - 2`` triangles WITHIN the subgraph,
+    found by iteratively peeling under-supported edges to the fixed
+    point.  ``support`` is the edge's within-truss triangle count
+    (>= k - 2 by construction).  KG use: the edge-level analogue of
+    :func:`kcore` — trusses isolate the cohesively cross-referenced
+    relation clusters that survive even when individual hub nodes
+    would keep a core together, the standard community-seed /
+    spam-subgraph filter in entity graphs.
+
+    Peeling only ever REMOVES edges, so the fixed point is reached
+    when a round removes nothing — detected with a cheap count on the
+    round's materialized support table, no extra pass (the surviving
+    support rows ARE the answer).  Per round the distributed path
+    recomputes per-edge triangle support via :func:`_edge_supports`
+    (degree-ordered oriented wedge join, all-skinny bucketed
+    exchanges) and filters; below ``driver_threshold`` distinct
+    undirected edges (MEASURED — the connected_components 2M policy) a
+    vectorized numpy peel runs the identical iteration, bit-equal
+    because the triangle SET is orientation-invariant.  The driver
+    path additionally bails to the distributed one when its first
+    round's exact oriented wedge count exceeds
+    ``driver_wedge_limit`` (the :func:`clustering_coefficients`
+    policy)."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (k - 2 triangles per edge)")
+
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
+    id_type = _input_id_type(edges, src)
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "support": pa.array([], type=pa.int64())}))
+
+    n_und = und.count()
+    if n_und == 0:
+        return empty()
+    if driver_threshold and n_und <= driver_threshold:
+        res = _ktruss_driver(und, k, max_rounds, driver_wedge_limit,
+                             id_type)
+        if res is not None:
+            return res
+
+    cur, prev_n = und, n_und
+    thr = pa.scalar(k - 2, pa.int64())
+    for _ in range(max_rounds):
+        keep = _edge_supports(cur, num_buckets=num_buckets).map_batches(
+            lambda t: t.filter(pc.greater_equal(t["support"], thr)),
+            batch_format="pyarrow").materialize()
+        n_nxt = keep.count()
+        if n_nxt == 0:
+            return empty()
+        if n_nxt == prev_n:
+            def out_cast(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "a": t.column("a").cast(id_type),
+                    "b": t.column("b").cast(id_type),
+                    "support": pc.cast(t.column("support"), pa.int64())})
+
+            return keep.map_batches(out_cast, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        cur = keep.select_columns(["a", "b"]).materialize()
+        prev_n = n_nxt
+
+    raise RuntimeError(
+        f"ktruss did not stabilize within {max_rounds} peel rounds; "
+        f"raise max_rounds")
+
+
+def _ktruss_driver(und: rd.Dataset, k: int, max_rounds: int,
+                   wedge_limit: int,
+                   id_type: pa.DataType) -> rd.Dataset | None:
+    """Vectorized numpy/pandas peel over the driver-gathered distinct
+    undirected edge list; None when the first round's exact oriented
+    wedge count exceeds ``wedge_limit`` (caller falls through to the
+    distributed path).  Edge identity is the (lo, hi) code pair —
+    ``_factorize_pairs`` sorts, so code order equals id order and the
+    input's ``a < b`` rows are already canonical."""
+    df = und.to_pandas()
+    ac, bc, nodes = _factorize_pairs(df, "a", "b")
+    n_nodes = max(len(nodes), 1)
+    alive = np.ones(len(ac), dtype=bool)
+    for rnd in range(max_rounds + 1):
+        a, b = ac[alive], bc[alive]
+        if len(a) == 0:
+            return rd.from_arrow(pa.table({
+                "a": pa.array([], type=id_type),
+                "b": pa.array([], type=id_type),
+                "support": pa.array([], type=pa.int64())}))
+        deg = (np.bincount(a, minlength=n_nodes)
+               + np.bincount(b, minlength=n_nodes)).astype(np.int64)
+        a_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+        s = np.where(a_first, a, b)
+        d = np.where(a_first, b, a)
+        if rnd == 0:
+            od = np.bincount(s, minlength=n_nodes).astype(np.int64)
+            if int((od * (od - 1) // 2).sum()) > wedge_limit:
+                return None
+        o = pd.DataFrame({"s": s, "d": d, "dd": deg[d]})
+        w = o.merge(o, on="s")
+        keep_w = (w["dd_x"] < w["dd_y"]) | ((w["dd_x"] == w["dd_y"])
+                                            & (w["d_x"] < w["d_y"]))
+        w = w[keep_w]
+        closed = w.merge(o, left_on=["d_x", "d_y"],
+                         right_on=["s", "d"])
+        u_ = closed["s_x"].to_numpy(dtype=np.int64)
+        v_ = closed["d_x"].to_numpy(dtype=np.int64)
+        w_ = closed["d_y"].to_numpy(dtype=np.int64)
+        e_lo = np.concatenate([np.minimum(u_, v_), np.minimum(u_, w_),
+                               np.minimum(v_, w_)])
+        e_hi = np.concatenate([np.maximum(u_, v_), np.maximum(u_, w_),
+                               np.maximum(v_, w_)])
+        ekey = e_lo * np.int64(n_nodes) + e_hi
+        cur_key = a.astype(np.int64) * np.int64(n_nodes) + b
+        uk, cnt = np.unique(ekey, return_counts=True)
+        if len(uk) == 0:  # no triangles anywhere: every edge peels
+            sup = np.zeros(len(a), dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(uk, cur_key), len(uk) - 1)
+            sup = np.where(uk[pos] == cur_key, cnt[pos], 0
+                           ).astype(np.int64)
+        ok = sup >= k - 2
+        if ok.all():
+            return rd.from_arrow(pa.table({
+                "a": pa.array(nodes[a]).cast(id_type),
+                "b": pa.array(nodes[b]).cast(id_type),
+                "support": pa.array(sup)}))
+        idx = np.flatnonzero(alive)
+        alive[idx[~ok]] = False
+    raise RuntimeError(
+        f"ktruss did not stabilize within {max_rounds} peel rounds; "
+        f"raise max_rounds")

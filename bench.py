@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_rolling_active_users",
     # round-5 session-3 additions
     "events_funnel", "doc_weighted_sample",
+    "kg_truss", "customer_order_counts", "events_anomaly_hours",
 ]
 
 

@@ -1744,3 +1744,74 @@ def test_rrf_fuse_integer_semantics():
     # 10 and 20 tie exactly -> id ascending
     assert out["doc_id"].tolist() == [10, 20, 30]
     assert rrf_fuse([[1, 2, 3]], top=2)["doc_id"].tolist() == [1, 2]
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,k,driver_threshold", [
+    (2, 25, 90, 3, 0),         # forced DISTRIBUTED path
+    (2, 25, 90, 3, 500_000),   # measured driver fast path, same input
+    (8, 15, 45, 4, 0),
+    (8, 15, 45, 4, 500_000),
+    (4, 30, 29, 3, 0),         # tree-ish: everything peels
+    (4, 30, 29, 3, 500_000),
+])
+def test_ktruss_matches_peel_reference(seed, n_nodes, n_edges, k,
+                                       driver_threshold):
+    """k-truss (BOTH paths) == the sequential support peel over the
+    undirected simple graph; reported support is the within-truss
+    triangle count per surviving edge."""
+    import random
+    from itertools import combinations
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        ktruss,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes)}", f"v{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    while True:
+        adj: dict[str, set[str]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len((adj[e[0]] & adj[e[1]])) for e in und}
+        nxt = {e for e in und if sup[e] >= k - 2}
+        if nxt == und:
+            break
+        und = nxt
+    want = {e: sup[e] for e in und}
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = ktruss(ds, k=k, driver_threshold=driver_threshold).to_pandas()
+    got_map = ({} if len(got) == 0
+               else {(a, b): s for a, b, s in
+                     zip(got["a"], got["b"], got["support"])})
+    assert got_map == want
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_ktruss_empty_and_star(driver_threshold):
+    """Empty input keeps its typed schema; a star graph (triangle-free
+    but 2-core-dense at the hub) has an EMPTY 3-truss — the semantics
+    that distinguish trusses from cores."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        ktruss,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = ktruss(empty, k=3, driver_threshold=driver_threshold)
+    assert out.schema().names == ["a", "b", "support"]
+    assert out.count() == 0
+
+    star = rd.from_arrow(pa.table({
+        "src": ["hub"] * 6,
+        "dst": [f"leaf{i}" for i in range(6)],
+    }))
+    assert ktruss(star, k=3,
+                  driver_threshold=driver_threshold).count() == 0
+
+    with pytest.raises(ValueError):
+        ktruss(star, k=2, driver_threshold=driver_threshold)
