@@ -5199,6 +5199,205 @@ def events_anomaly_hours(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ------------------------------------------------- percentile-rank window
+@query(
+    "doc_percentile_rank",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT doc_id, source, n_chars,
+           CAST(CASE WHEN n = 1 THEN 0
+                ELSE ((rn - 1) * 1000000) // (n - 1) END AS BIGINT)
+               AS pr_fp
+    FROM s ORDER BY source, n_chars, doc_id
+    """,
+)
+def doc_percentile_rank(sf_dir: str):
+    """PERCENT_RANK window per source — each document's position in
+    its source's length distribution as parts-per-million — the
+    rank-based normalization data-curation mixes use to compare
+    lengths ACROSS sources with wildly different scales.  Rank over
+    the total order (n_chars, doc_id) so ranks are tie-free and
+    deterministic; the fixed-point ppm ((rn-1)*1e6 // (n-1)) is pure
+    integer, so the SQL window replays it exactly.  One keyed hash
+    exchange co-locates each source, a vectorized in-group sort +
+    arange emits ranks — no per-row Python, no global sort."""
+    from .functions.agg import bucketed_group_map
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        n = len(g)
+        rn = np.arange(n, dtype=np.int64)
+        fp = (np.zeros(n, dtype=np.int64) if n == 1
+              else (rn * 1_000_000) // (n - 1))
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "source": g["source"].to_numpy(),
+                             "n_chars": g["n_chars"].to_numpy(),
+                             "pr_fp": fp})
+
+    out = bucketed_group_map(ds, ["source"], pr,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype=object),
+            "n_chars": pd.Series([], dtype="int64"),
+            "pr_fp": pd.Series([], dtype="int64")})
+    out["pr_fp"] = out["pr_fp"].astype("int64")
+    return (out.sort_values(["source", "n_chars", "doc_id"])
+            .reset_index(drop=True))
+
+
+# ------------------------------------------------- per-group entropy
+@query(
+    "source_lang_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM documents GROUP BY source, lang),
+    t AS (
+      SELECT source, CAST(SUM(n_c) AS BIGINT) AS n,
+             CAST(SUM(n_c * CAST(FLOOR(LN(CAST(n_c AS DOUBLE)) * 1e9)
+                                 AS BIGINT)) AS BIGINT) AS wsum
+      FROM c GROUP BY source)
+    SELECT source, n,
+           CAST(CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+                - wsum // n AS BIGINT) AS entropy_fp
+    FROM t ORDER BY source
+    """,
+)
+def source_lang_entropy(sf_dir: str):
+    """Shannon entropy of each source's language distribution in
+    nano-nats — the mixture-diversity statistic corpus curation uses
+    to spot monolingual silos vs. balanced sources.  H = ln(N) -
+    (1/N) * sum_c n_c * ln(n_c) needs only ONE log per distinct
+    (source, lang) cell; each ln is snapped to fixed point
+    (floor(ln * 1e9), the doc_lm_score policy — np.log and DuckDB LN
+    are bit-identical here) BEFORE the keyed sum, so parallel
+    summation order cannot change the result and the oracle replays
+    it exactly.  Two bounded hash exchanges (cells, then sources);
+    nothing driver-side."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "documents", ["source", "lang"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"], "lang": t["lang"],
+                         "one": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    cells = hash_aggregate(
+        ds.map_batches(one, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source", "lang"], [("one", "sum")], rename={"one_sum": "n_c"},
+        exchange="shuffle")
+
+    def wterm(t: pa.Table) -> pa.Table:
+        n_c = t["n_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = n_c * np.floor(np.log(n_c.astype(np.float64))
+                           * 1e9).astype(np.int64)
+        return pa.table({"source": t["source"],
+                         "n_c": pa.array(n_c), "w": pa.array(w)})
+
+    per_source = hash_aggregate(
+        cells.map_batches(wterm, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["source"], [("n_c", "sum"), ("w", "sum")],
+        rename={"n_c_sum": "n", "w_sum": "wsum"}, exchange="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wsum = t["wsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ent = (np.floor(np.log(n.astype(np.float64)) * 1e9)
+               .astype(np.int64) - wsum // n)
+        return pa.table({"source": t["source"], "n": pa.array(n),
+                         "entropy_fp": pa.array(ent)})
+
+    out = per_source.map_batches(finish, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "entropy_fp": pd.Series([], dtype="int64")})
+    for c in ("n", "entropy_fp"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ------------------------------------------------- per-group Gini
+@query(
+    "source_chars_gini",
+    """
+    WITH s AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    g AS (
+      SELECT source,
+             CAST(SUM((2 * i - n - 1) * n_chars) AS BIGINT) AS gnum,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS tot
+      FROM s GROUP BY source)
+    SELECT source, n,
+           CAST((gnum * 1000000) // (n * tot) AS BIGINT) AS gini_fp
+    FROM g ORDER BY source
+    """,
+)
+def source_chars_gini(sf_dir: str):
+    """Gini coefficient of document lengths per source, in exact
+    integer parts-per-million — the length-inequality statistic that
+    tells a curation pipeline whether a source's token budget is
+    dominated by a few huge documents.  Uses the sorted-rank identity
+    G = sum_i (2i - n - 1) x_(i) / (n * sum x): after ONE in-group
+    sort everything is integer multiply-accumulate, so the result is
+    summation-order independent and the SQL window replays it
+    bit-for-bit (ranks over the total order (n_chars, doc_id); equal
+    x values make their coefficient sum order-invariant).  One keyed
+    hash exchange, one row out per source.  Magnitude bound:
+    gnum * 1e6 must fit int64, i.e. n * max_chars < ~9e12 per group —
+    salt-split groups beyond that."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def gstat(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["n_chars"].to_numpy(dtype=np.int64),
+                    kind="stable")
+        n = np.int64(len(x))
+        i = np.arange(1, n + 1, dtype=np.int64)
+        gnum = int(((2 * i - n - 1) * x).sum())
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "gnum": [gnum], "n": [int(n)],
+                             "tot": [int(x.sum())]})
+
+    parts = bucketed_group_map(ds, ["source"], gstat,
+                               exchange="shuffle")
+    # groups are split across blocks only by the bucket hash, which
+    # co-locates each source entirely — gstat rows are already one per
+    # source, no second reduce needed
+    out = parts.to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "gini_fp": pd.Series([], dtype="int64")})
+    out["gini_fp"] = ((out["gnum"].astype("int64") * 1_000_000)
+                      // (out["n"].astype("int64")
+                          * out["tot"].astype("int64")))
+    out["n"] = out["n"].astype("int64")
+    return (out[["source", "n", "gini_fp"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -5262,6 +5461,7 @@ _DRIVER_ORDER = [
     # round-5 session-3 additions
     "events_funnel", "doc_weighted_sample", "events_interarrival",
     "kg_truss", "customer_order_counts", "events_anomaly_hours",
+    "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

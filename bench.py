@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # round-5 session-3 additions
     "events_funnel", "doc_weighted_sample",
     "kg_truss", "customer_order_counts", "events_anomaly_hours",
+    "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
 ]
 
 
