@@ -5398,6 +5398,259 @@ def source_chars_gini(sf_dir: str):
             .sort_values("source").reset_index(drop=True))
 
 
+# ------------------------------------------------- per-group OLS trend
+@query(
+    "events_trend_slope",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    m AS (SELECT MIN(hour) AS h0 FROM h),
+    x AS (
+      SELECT event_type,
+             CAST((epoch_us(hour) - (SELECT epoch_us(h0) FROM m))
+                  // 3600000000 AS BIGINT) AS xv, y
+      FROM h)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(xv * y) - SUM(xv) * SUM(y) AS BIGINT)
+               AS num,
+           CAST(COUNT(*) * SUM(xv * xv) - SUM(xv) * SUM(xv) AS BIGINT)
+               AS den
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_trend_slope(sf_dir: str):
+    """Per-type OLS trend of hourly event volume, as the EXACT integer
+    moment pair (num, den) with slope = num/den = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) — the drift detector a monitoring pipeline runs
+    over its own throughput.  Emitting the two centered moments
+    instead of a quotient keeps everything in int64 (DuckDB's ``//``
+    TRUNCATES negatives while numpy floors them, so a signed
+    fixed-point division would diverge; a ratio consumer divides in
+    whatever precision it wants).  x is hours since the corpus' first
+    hour — the slope is shift-invariant, the rebase just bounds the
+    magnitudes (n * Sxx must fit int64: fine to ~1e5 distinct hours
+    at 1e4 events/hour).  Shape: one bounded keyed aggregate to
+    hourly counts, a scalar min, then per-type partial sums — every
+    product is computed BEFORE the keyed sum, so parallel summation
+    is order-independent."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def hourly_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    hourly = hash_aggregate(
+        ds.map_batches(hourly_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], [("one", "sum")],
+        rename={"one_sum": "y"}, exchange="coalesce").materialize()
+
+    h0 = hourly.min("hour")  # scalar: the corpus' first hour
+
+    def moments(t: pa.Table) -> pa.Table:
+        hrs = t["hour"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (hrs - int(pd.Timestamp(h0).value // 1000)) // 3_600_000_000
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "one": pa.array(np.ones(len(x), np.int64)),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xy": pa.array(x * y),
+                         "xx": pa.array(x * x)})
+
+    sums = hash_aggregate(
+        hourly.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["event_type"],
+        [("one", "sum"), ("x", "sum"), ("y", "sum"), ("xy", "sum"),
+         ("xx", "sum")],
+        rename={"one_sum": "n", "x_sum": "sx", "y_sum": "sy",
+                "xy_sum": "sxy", "xx_sum": "sxx"},
+        exchange="coalesce").to_pandas()
+    if len(sums) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "num": pd.Series([], dtype="int64"),
+            "den": pd.Series([], dtype="int64")})
+    n = sums["n"].astype("int64")
+    out = pd.DataFrame({
+        "event_type": sums["event_type"],
+        "n": n,
+        "num": n * sums["sxy"].astype("int64")
+               - sums["sx"].astype("int64") * sums["sy"].astype("int64"),
+        "den": n * sums["sxx"].astype("int64")
+               - sums["sx"].astype("int64") ** 2})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------- per-source KL divergence
+@query(
+    "source_lang_kl",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM documents GROUP BY source, lang),
+    cl AS (SELECT lang, CAST(SUM(n_c) AS BIGINT) AS m_c
+           FROM c GROUP BY lang),
+    mm AS (SELECT CAST(SUM(n_c) AS BIGINT) AS m FROM c),
+    t AS (
+      SELECT c.source,
+             CAST(SUM(c.n_c * (
+                 CAST(FLOOR(LN(CAST(c.n_c AS DOUBLE)) * 1e9) AS BIGINT)
+               - CAST(FLOOR(LN(CAST(cl.m_c AS DOUBLE)) * 1e9) AS BIGINT)
+               + CAST(FLOOR(LN(CAST((SELECT m FROM mm) AS DOUBLE)) * 1e9)
+                      AS BIGINT))) AS BIGINT) AS num,
+             CAST(SUM(c.n_c) AS BIGINT) AS n_s
+      FROM c JOIN cl USING (lang) GROUP BY c.source)
+    SELECT source, n_s AS n,
+           CAST(num // n_s
+                - CAST(FLOOR(LN(CAST(n_s AS DOUBLE)) * 1e9) AS BIGINT)
+                AS BIGINT) AS kl_fp
+    FROM t ORDER BY source
+    """,
+)
+def source_lang_kl(sf_dir: str):
+    """KL divergence of each source's language mix from the corpus
+    mix, in nano-nats — the statistic that ranks sources by how far
+    their composition drifts from the mixture a training run targets
+    (the cross-distribution sibling of [[source_lang_entropy]]).
+    KL(P_s || P) = sum_c (n_c/N_s) ln((n_c M)/(N_s m_c)); every log is
+    snapped to fixed point BEFORE any sum, and the single division is
+    arranged with a provably NONNEGATIVE numerator (the +L(M) shift
+    distributes exactly over the division) because DuckDB's ``//``
+    truncates negatives while numpy floors them.  The per-lang corpus
+    totals are a BOUNDED vocabulary — one tiny reduce broadcast into
+    the per-cell scorer as a dict, never a shuffle join."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "documents", ["source", "lang"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"], "lang": t["lang"],
+                         "one": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    cells = hash_aggregate(
+        ds.map_batches(one, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source", "lang"], [("one", "sum")], rename={"one_sum": "n_c"},
+        exchange="shuffle").materialize()
+
+    # corpus per-lang totals: bounded lang vocabulary -> tiny reduce,
+    # broadcast as a plain dict into the per-cell scorer
+    corpus = hash_aggregate(cells, ["lang"], [("n_c", "sum")],
+                            rename={"n_c_sum": "m_c"},
+                            exchange="coalesce").to_pandas()
+    m_of = dict(zip(corpus["lang"],
+                    corpus["m_c"].astype("int64")))
+    big_m = int(corpus["m_c"].sum())
+
+    def lfp(v: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(v.astype(np.float64)) * 1e9
+                        ).astype(np.int64)
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        n_c = df["n_c"].to_numpy(dtype=np.int64)
+        m_c = df["lang"].map(m_of).to_numpy(dtype=np.int64)
+        lm = np.int64(np.floor(np.log(float(big_m)) * 1e9))
+        w = n_c * (lfp(n_c) - lfp(m_c) + lm)
+        return pd.DataFrame({"source": df["source"], "n_c": n_c,
+                             "w": w})
+
+    per_source = hash_aggregate(
+        cells.map_batches(term, batch_format="pandas"),
+        ["source"], [("n_c", "sum"), ("w", "sum")],
+        rename={"n_c_sum": "n", "w_sum": "num"},
+        exchange="shuffle").to_pandas()
+    if len(per_source) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "kl_fp": pd.Series([], dtype="int64")})
+    n_s = per_source["n"].astype("int64")
+    kl = (per_source["num"].astype("int64") // n_s
+          - pd.Series(lfp(n_s.to_numpy()), index=per_source.index))
+    out = pd.DataFrame({"source": per_source["source"], "n": n_s,
+                        "kl_fp": kl.astype("int64")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ------------------------------------------------- Pareto skyline
+@query(
+    "orders_pareto_front",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders)
+    SELECT pri, o_orderkey, cents, o_orderdate
+    FROM o o1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o o2
+      WHERE o2.pri = o1.pri
+        AND o2.cents >= o1.cents AND o2.o_orderdate >= o1.o_orderdate
+        AND (o2.cents > o1.cents OR o2.o_orderdate > o1.o_orderdate))
+    ORDER BY pri, cents DESC, o_orderkey
+    """,
+)
+def orders_pareto_front(sf_dir: str):
+    """Pareto skyline per priority class: orders not DOMINATED on the
+    (price, recency) plane — o2 dominates o1 iff it is >= on both
+    axes and > on at least one — the multi-objective shortlist
+    (newest AND most valuable) that no single ORDER BY can produce.
+    The 2-D skyline needs no quadratic pass: after one in-group sort
+    by (cents desc, date desc), a row survives iff the running max
+    date over STRICTLY higher cents stays below it and no same-cents
+    row has a later date — one cummax scan per group, so the whole
+    operator is one keyed hash exchange plus vectorized scans.
+    Duplicate (cents, date) pairs do not dominate each other and both
+    survive, matching the NOT-EXISTS oracle exactly."""
+    from .functions.agg import bucketed_group_map
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                "o_totalprice", "o_orderdate"])
+
+    def skyline(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(g["o_totalprice"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        g = g.assign(cents=cents).sort_values(
+            ["cents", "o_orderdate"], ascending=False, kind="mergesort")
+        c = g["cents"].to_numpy()
+        dv = g["o_orderdate"].astype("int64").to_numpy()
+        new = np.r_[True, c[1:] != c[:-1]]
+        gid = np.cumsum(new) - 1
+        gmax = dv[new]  # sorted desc within a cents group: first = max
+        prefix = np.r_[np.int64(-2 ** 62),
+                       np.maximum.accumulate(gmax)[:-1]]
+        dominated = (prefix[gid] >= dv) | (dv < gmax[gid])
+        keep = g.loc[~dominated]
+        return pd.DataFrame({
+            "pri": keep["o_orderpriority"].to_numpy(),
+            "o_orderkey": keep["o_orderkey"].to_numpy(),
+            "cents": keep["cents"].to_numpy(),
+            "o_orderdate": keep["o_orderdate"].to_numpy()})
+
+    out = bucketed_group_map(ds, ["o_orderpriority"], skyline,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "pri": pd.Series([], dtype=object),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+    out["cents"] = out["cents"].astype("int64")
+    return (out.sort_values(["pri", "cents", "o_orderkey"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -5462,6 +5715,7 @@ _DRIVER_ORDER = [
     "events_funnel", "doc_weighted_sample", "events_interarrival",
     "kg_truss", "customer_order_counts", "events_anomaly_hours",
     "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
+    "events_trend_slope", "source_lang_kl", "orders_pareto_front",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "events_funnel", "doc_weighted_sample",
     "kg_truss", "customer_order_counts", "events_anomaly_hours",
     "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
+    "events_trend_slope", "source_lang_kl", "orders_pareto_front",
 ]
 
 
