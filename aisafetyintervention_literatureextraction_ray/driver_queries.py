@@ -5651,6 +5651,217 @@ def orders_pareto_front(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ------------------------------------------------- max-subarray burst
+@query(
+    "events_burst_score",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS s
+           FROM h GROUP BY event_type),
+    r AS (
+      SELECT h.event_type, h.hour,
+             CAST(SUM(st.n * h.y - st.s) OVER (
+                 PARTITION BY h.event_type ORDER BY h.hour)
+                  AS BIGINT) AS rsum
+      FROM h JOIN st USING (event_type)),
+    b AS (
+      SELECT event_type, rsum,
+             LEAST(CAST(0 AS BIGINT),
+                   CAST(COALESCE(MIN(rsum) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT)) AS pmin
+      FROM r)
+    SELECT b.event_type, st.n, CAST(MAX(b.rsum - b.pmin) AS BIGINT)
+               AS burst_fp
+    FROM b JOIN st USING (event_type)
+    GROUP BY b.event_type, st.n ORDER BY b.event_type
+    """,
+)
+def events_burst_score(sf_dir: str):
+    """Largest sustained burst per event type — the MAXIMUM-SUBARRAY
+    sum (Kadane) of mean-centered hourly counts, the window a
+    change-point monitor would flag.  Centering is exact: each hour
+    contributes the INTEGER deviation n*y - S (n hours, S total), so
+    burst_fp is n times the best contiguous above-mean excess and the
+    whole computation — running sum, shifted running min, max — is
+    int64 with zero float policy.  The per-type (n, S) pair is a tiny
+    bounded reduce broadcast into the scan as a dict; the scan itself
+    is one keyed hash exchange + vectorized cumsum/cummin per type
+    (hours are unique within a type, so the order is total and the
+    SQL window replay is exact)."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def hourly_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    hourly = hash_aggregate(
+        ds.map_batches(hourly_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], [("one", "sum")],
+        rename={"one_sum": "y"}, exchange="coalesce").materialize()
+
+    st = hash_aggregate(hourly, ["event_type"],
+                        [("y", "count"), ("y", "sum")],
+                        rename={"y_count": "n", "y_sum": "s"},
+                        exchange="coalesce").to_pandas()
+    nn = dict(zip(st["event_type"], st["n"].astype("int64")))
+    ss = dict(zip(st["event_type"], st["s"].astype("int64")))
+
+    def burst(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour", kind="mergesort")
+        et = g["event_type"].iloc[0]
+        n, s = int(nn[et]), int(ss[et])
+        dev = n * g["y"].to_numpy(dtype=np.int64) - s
+        rsum = np.cumsum(dev)
+        pmin = np.minimum(
+            np.int64(0),
+            np.r_[np.int64(0), np.minimum.accumulate(rsum)[:-1]])
+        return pd.DataFrame({"event_type": [et], "n": [n],
+                             "burst_fp": [int((rsum - pmin).max())]})
+
+    out = bucketed_group_map(hourly, ["event_type"], burst,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "burst_fp": pd.Series([], dtype="int64")})
+    for c in ("n", "burst_fp"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------- sequential patterns
+@query(
+    "events_top_paths",
+    """
+    WITH s AS (
+      SELECT event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(sf_dir: str):
+    """Top-10 three-step behavioral paths: consecutive event-type
+    trigrams along each user's (ts, event_id)-ordered history,
+    counted globally — the sequential-pattern summary that funnels
+    (which test ONE fixed path) cannot give.  One user-hash exchange
+    orders each history; trigrams are emitted by VECTORIZED shifted
+    string concat (no per-row Python); a two-stage hash count absorbs
+    path skew (popular paths partial-aggregate per block); the final
+    top-10 is a distributed sort+limit over the tiny distinct-path
+    table.  (n desc, path) is a total order, so the cut is
+    deterministic on both sides."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["event_type"].to_numpy(dtype=object)
+        if len(t) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype=object)})
+        path = t[:-2] + ">" + t[1:-1] + ">" + t[2:]
+        return pd.DataFrame({"path": path})
+
+    paths = bucketed_group_map(ds, ["user_id"], trigrams,
+                               exchange="shuffle")
+    counts = hash_aggregate(
+        paths.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["path"], [("one", "sum")], rename={"one_sum": "n"},
+        exchange="shuffle")
+    out = (counts.sort(["n", "path"], descending=[True, False])
+           .limit(10).to_pandas())
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"path": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------------------- robust dispersion (MAD)
+@query(
+    "orders_price_mad",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS (
+      SELECT pri, list_sort(list(cents))[
+               CAST(floor((COUNT(*) - 1) * 0.5) AS BIGINT) + 1] AS med
+      FROM o GROUP BY pri),
+    d AS (SELECT o.pri, m.med, ABS(o.cents - m.med) AS adev
+          FROM o JOIN m USING (pri))
+    SELECT pri, CAST(MAX(med) AS BIGINT) AS med_cents,
+           CAST(list_sort(list(adev))[
+             CAST(floor((COUNT(*) - 1) * 0.5) AS BIGINT) + 1]
+             AS BIGINT) AS mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY pri ORDER BY pri
+    """,
+)
+def orders_price_mad(sf_dir: str):
+    """Median absolute deviation of order value per priority class —
+    the robust dispersion statistic outlier-heavy money columns need
+    (one whale order wrecks a stddev; it moves a MAD by one rank).
+    Exact integer cents end-to-end with the repo's deterministic
+    lower-index median (the doc_chars_quantiles convention, no
+    interpolation), so the oracle replays both nested medians
+    bit-for-bit.  One keyed hash exchange co-locates each class; the
+    median and the deviations' median are two vectorized sorts inside
+    the same group visit — the two-pass dependence (deviations need
+    the median first) never leaves the group."""
+    from .functions.agg import bucketed_group_map
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(np.round(
+            g["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64), kind="stable")
+        n = len(cents)
+        med = int(cents[(n - 1) // 2])
+        adev = np.sort(np.abs(cents - med), kind="stable")
+        return pd.DataFrame({
+            "pri": [g["o_orderpriority"].iloc[0]],
+            "med_cents": [med],
+            "mad_cents": [int(adev[(n - 1) // 2])],
+            "n": [n]})
+
+    out = bucketed_group_map(ds, ["o_orderpriority"], mad,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "pri": pd.Series([], dtype=object),
+            "med_cents": pd.Series([], dtype="int64"),
+            "mad_cents": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64")})
+    for c in ("med_cents", "mad_cents", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pri").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -5716,6 +5927,7 @@ _DRIVER_ORDER = [
     "kg_truss", "customer_order_counts", "events_anomaly_hours",
     "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
     "events_trend_slope", "source_lang_kl", "orders_pareto_front",
+    "events_burst_score", "events_top_paths", "orders_price_mad",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
