@@ -5862,6 +5862,111 @@ def orders_price_mad(sf_dir: str):
     return out.sort_values("pri").reset_index(drop=True)
 
 
+# ------------------------------------------------- star join w/ time dim
+@query(
+    "region_year_revenue",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY region_name, year
+    """,
+)
+def region_year_revenue(sf_dir: str):
+    """Four-table star join with a time dimension: order revenue per
+    region per year.  The plan separates the two join classes the way
+    a 100 TB run must: the FACT-to-FACT hop (orders -> customer, both
+    unbounded) is a partitioned hash join on custkey with the fact
+    side pre-reduced to skinny (custkey, year, n, cents) partials
+    FIRST — the exchange moves one row per (custkey, year), never one
+    per order; the DIMENSION hops (nation -> region, fixed-size) are
+    composed into a single custkey->region broadcast lookup applied
+    map-side.  Money is exact integer cents, so the two-stage sums
+    are order-independent and oracle-exact."""
+    import pyarrow.parquet as pq
+
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                    "o_totalprice"])
+
+    def fact(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "cents": pa.array(cents)})
+
+    per_cust_year = hash_aggregate(
+        orders.map_batches(fact, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey", "year"], [("one", "sum"), ("cents", "sum")],
+        rename={"one_sum": "n_orders", "cents_sum": "cents"},
+        exchange="shuffle")
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    pc_schema = pa.schema([("o_custkey", pa.int64()),
+                           ("year", pa.int64()),
+                           ("n_orders", pa.int64()),
+                           ("cents", pa.int64())])
+    cust_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_nationkey", pa.int32())])
+    joined = bucketed_join(per_cust_year, cust, left_key="o_custkey",
+                           right_key="c_custkey",
+                           right_value_cols=["c_nationkey"],
+                           left_schema=pc_schema,
+                           right_schema=cust_schema)
+
+    # nation -> region composed into ONE broadcast nationkey lookup
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    lookup_ref = ray.put((
+        pd.Index(nation["n_nationkey"].to_numpy()),
+        np.asarray([rmap[rk] for rk in nation["n_regionkey"].to_pylist()],
+                   dtype=object)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        index, r_names = ray.get(lookup_ref)
+        pos = index.get_indexer(
+            t["c_nationkey"].to_numpy(zero_copy_only=False))
+        ok = pos >= 0
+        safe = np.clip(pos, 0, None)
+        return pa.table({
+            "region_name": pa.array(r_names[safe], type=pa.string()),
+            "year": t["year"], "n_orders": t["n_orders"],
+            "cents": t["cents"]}).filter(pa.array(ok))
+
+    out = hash_aggregate(
+        joined.map_batches(attach, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["region_name", "year"], [("n_orders", "sum"), ("cents", "sum")],
+        rename={"n_orders_sum": "n_orders", "cents_sum": "sum_cents"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = regions x years, both fixed-size dimensions
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "region_name": pd.Series([], dtype=object),
+            "year": pd.Series([], dtype="int64"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")})
+    for c in ("year", "n_orders", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["region_name", "year", "n_orders", "sum_cents"]]
+            .sort_values(["region_name", "year"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -5928,6 +6033,7 @@ _DRIVER_ORDER = [
     "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
     "events_trend_slope", "source_lang_kl", "orders_pareto_front",
     "events_burst_score", "events_top_paths", "orders_price_mad",
+    "region_year_revenue",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
