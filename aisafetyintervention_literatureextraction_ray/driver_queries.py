@@ -14,6 +14,8 @@ summation order differs between Ray and DuckDB in the last ulps.
 
 from __future__ import annotations
 
+import hashlib
+
 from collections.abc import Callable
 from typing import Any
 
@@ -5967,6 +5969,91 @@ def region_year_revenue(sf_dir: str):
             .sort_values(["region_name", "year"]).reset_index(drop=True))
 
 
+# ------------------------------------------------- two-proportion A/B test
+@query(
+    "events_ab_test",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY variant),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+             MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+      FROM v)
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(CASE WHEN 10000 * (conv_a * n_b - conv_b * n_a)
+                          * (conv_a * n_b - conv_b * n_a)
+                          * (n_a + n_b)
+                     > 38416 * n_a * n_b * (conv_a + conv_b)
+                          * (n_a + n_b - conv_a - conv_b)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM w
+    """,
+)
+def events_ab_test(sf_dir: str):
+    """Two-proportion z-test on user conversion between a
+    deterministic 50/50 md5 split of users (the repo's sampling
+    idiom, so both engines derive the SAME variants) — the experiment
+    read-out a data platform serves.  The decision rule is EXACT: z^2
+    = (c_a*n_b - c_b*n_a)^2 * N / (n_a*n_b*C*(N-C)) > 1.96^2 is
+    cross-multiplied into one integer comparison (10000 * num >
+    38416 * den), evaluated in arbitrary-precision Python ints
+    driver-side and HUGEINT in DuckDB — no float division, no
+    epsilon, bit-identical verdicts.  Distributed shape: one
+    user-hash exchange computes per-user conversion flags (MAX over
+    the user's events), a bounded two-row reduce yields the
+    contingency table, and the test itself is O(1)."""
+    from .functions.agg import bucketed_apply, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        conv = (df.assign(c=(df["event_type"] == "purchase")
+                          .astype(np.int64))
+                .groupby("user_id", sort=False)["c"].max()
+                .reset_index())
+        h = conv["user_id"].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[0])
+        conv["variant"] = np.where(h < "8", "A", "B")
+        return conv[["variant", "c"]].assign(
+            one=np.ones(len(conv), dtype=np.int64))
+
+    users = bucketed_apply(ds, ["user_id"], per_user,
+                           exchange="shuffle")
+    v = hash_aggregate(users, ["variant"],
+                       [("one", "sum"), ("c", "sum")],
+                       rename={"one_sum": "n", "c_sum": "conv"},
+                       exchange="coalesce").to_pandas()
+    row = {k: 0 for k in ("n_a", "conv_a", "n_b", "conv_b")}
+    for _, r in v.iterrows():
+        suf = "a" if r["variant"] == "A" else "b"
+        row[f"n_{suf}"] = int(r["n"])
+        row[f"conv_{suf}"] = int(r["conv"])
+    n_a, c_a = row["n_a"], row["conv_a"]
+    n_b, c_b = row["n_b"], row["conv_b"]
+    big_n, big_c = n_a + n_b, c_a + c_b
+    # exact integer z^2 > 1.96^2 decision in Python ints (no overflow)
+    num = 10000 * (c_a * n_b - c_b * n_a) ** 2 * big_n
+    den = 38416 * n_a * n_b * big_c * (big_n - big_c)
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype="int64"),
+        "conv_a": pd.Series([c_a], dtype="int64"),
+        "n_b": pd.Series([n_b], dtype="int64"),
+        "conv_b": pd.Series([c_b], dtype="int64"),
+        "significant": pd.Series([1 if num > den else 0],
+                                 dtype="int64")})
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -6033,7 +6120,7 @@ _DRIVER_ORDER = [
     "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
     "events_trend_slope", "source_lang_kl", "orders_pareto_front",
     "events_burst_score", "events_top_paths", "orders_price_mad",
-    "region_year_revenue",
+    "region_year_revenue", "events_ab_test",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "doc_percentile_rank", "source_lang_entropy", "source_chars_gini",
     "events_trend_slope", "source_lang_kl", "orders_pareto_front",
     "events_burst_score", "events_top_paths", "orders_price_mad",
-    "region_year_revenue",
+    "region_year_revenue", "events_ab_test",
 ]
 
 
