@@ -6464,6 +6464,275 @@ def doc_editdist_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------- column profiling
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "documents_profile",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT md5(CAST({c} AS VARCHAR)))
+                    AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM documents
+        """ for c in _PROFILE_COLS) + " ORDER BY col",
+)
+def documents_profile(sf_dir: str):
+    """Table profiling — the schema-drift / data-quality monitor every
+    ingest needs: per column, row count, null count, EXACT distinct
+    count, and min/max.  Distributed shape: one pass of per-block
+    partials folds counts/nulls/min/max per column (bounded: |cols| x
+    blocks rows, combined map-side); the distinct count ships (col,
+    md5(value)) SKINNY rows — never the values themselves, so a
+    100 TB text column costs a 16-byte-per-distinct shuffle, identical
+    to COUNT(DISTINCT) because md5 is injective on the value domain
+    (and the oracle counts the same hashes).  Min/max stringification
+    is exact: integer repr matches CAST AS VARCHAR, strings are ASCII
+    so Arrow's bytewise order equals DuckDB's."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "documents", _PROFILE_COLS)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        # numeric min/max combine as int64, strings as strings — a
+        # stringified integer would combine LEXICOGRAPHICALLY ('62' >
+        # '499'), so the two type families travel in separate typed
+        # columns and stringify only after the final combine
+        rows = []
+        for c in _PROFILE_COLS:
+            col = t[c]
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            numeric = pa.types.is_integer(col.type)
+            rows.append((
+                c, t.num_rows, col.null_count,
+                None if (mn is None or numeric) else str(mn),
+                None if (mx is None or numeric) else str(mx),
+                mn if (numeric and mn is not None) else None,
+                mx if (numeric and mx is not None) else None))
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_nulls": pa.array([r[2] for r in rows], type=pa.int64()),
+            "min_str": pa.array([r[3] for r in rows], type=pa.string()),
+            "max_str": pa.array([r[4] for r in rows], type=pa.string()),
+            "min_num": pa.array([r[5] for r in rows], type=pa.int64()),
+            "max_num": pa.array([r[6] for r in rows], type=pa.int64())})
+
+    stats = hash_aggregate(
+        ds.map_batches(stat_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["col"], [("n_rows", "sum"), ("n_nulls", "sum"),
+                  ("min_str", "min"), ("max_str", "max"),
+                  ("min_num", "min"), ("max_num", "max")],
+        rename={"n_rows_sum": "n_rows", "n_nulls_sum": "n_nulls",
+                "min_str_min": "min_str", "max_str_max": "max_str",
+                "min_num_min": "min_num", "max_num_max": "max_num"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = the fixed column list
+    stats["min_val"] = np.where(
+        stats["min_num"].notna(),
+        stats["min_num"].map(lambda v: None if pd.isna(v)
+                             else str(int(v))),
+        stats["min_str"])
+    stats["max_val"] = np.where(
+        stats["max_num"].notna(),
+        stats["max_num"].map(lambda v: None if pd.isna(v)
+                             else str(int(v))),
+        stats["max_str"])
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        cols, hs = [], []
+        for c in _PROFILE_COLS:
+            vals = t[c].drop_null()
+            seen = set()
+            for v in vals.to_pylist():
+                h = hashlib.md5(str(v).encode()).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+            cols.extend([c] * len(seen))
+            hs.extend(sorted(seen))
+        return pa.table({"col": pa.array(cols, type=pa.string()),
+                         "h": pa.array(hs, type=pa.string())})
+
+    distinct = hash_aggregate(
+        ds.map_batches(hash_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["col", "h"], [("h", "count")], rename={"h_count": "one"},
+        exchange="shuffle")
+    ndist = hash_aggregate(distinct, ["col"], [("one", "count")],
+                           rename={"one_count": "n_distinct"},
+                           exchange="coalesce").to_pandas()
+    out = stats.merge(ndist, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    for c in ("n_rows", "n_nulls"):
+        out[c] = out[c].astype("int64")
+    return (out[["col", "n_rows", "n_nulls", "n_distinct",
+                 "min_val", "max_val"]]
+            .sort_values("col").reset_index(drop=True))
+
+
+# -------------------------------------------- sampled harmonic centrality
+_HARMONIC_SEEDS = 4
+_HARMONIC_SCALE = 1_000_000_000_000
+
+
+@query(
+    "kg_harmonic",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    sym AS (SELECT s AS x, d AS y FROM e UNION SELECT d, s FROM e),
+    vx AS (SELECT DISTINCT x AS node_id FROM sym),
+    seeds AS (SELECT node_id FROM vx ORDER BY node_id
+              LIMIT {_HARMONIC_SEEDS}),
+    walk(seed, node_id, hops) AS (
+      SELECT node_id, node_id, 0 FROM seeds
+      UNION
+      SELECT walk.seed, sym.y, walk.hops + 1
+      FROM walk JOIN sym ON sym.x = walk.node_id
+      WHERE walk.hops < {_BFS_MAX_HOPS}
+    ),
+    d AS (SELECT seed, node_id, MIN(hops) AS h FROM walk
+          GROUP BY seed, node_id)
+    SELECT node_id,
+           CAST(SUM({_HARMONIC_SCALE} // h) AS BIGINT) AS harmonic
+    FROM d WHERE h > 0 GROUP BY node_id ORDER BY node_id
+    """,
+)
+def kg_harmonic(sf_dir: str):
+    """Sampled harmonic centrality: sum of 1/d(s, v) over a
+    deterministic pivot sample (the 4 lexicographically-smallest
+    node ids) — the scalable estimator for closeness-style centrality
+    (exact all-pairs BFS is quadratic; pivot sampling is the published
+    remedy).  Each pivot runs the engine's keyed-min-reduce BFS; the
+    reciprocal distances snap to integer fixed point (scale // hops,
+    hops being exact integers) so the cross-pivot keyed SUM is
+    order-independent and the recursive-CTE oracle replays it
+    exactly."""
+    from .functions.agg import hash_aggregate
+    from .functions.graph import bfs_hops
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    seeds = _smallest_node_ids(edges, _HARMONIC_SEEDS)
+    if not seeds:  # empty graph: typed empty, mirroring the oracle
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "harmonic": pd.Series([], dtype="int64")})
+
+    def contrib(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t["hops"], 0))
+        return pa.table({
+            "node_id": keep["node_id"],
+            "harmonic": pc.cast(pc.divide(
+                pa.scalar(_HARMONIC_SCALE, type=pa.int64()),
+                pc.cast(keep["hops"], pa.int64())), pa.int64())})
+
+    parts = [
+        bfs_hops(edges, src="src_id", dst="dst_id", seeds=[s],
+                 max_iters=_BFS_MAX_HOPS).map_batches(
+            contrib, batch_format="pyarrow")
+        for s in seeds]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    out = hash_aggregate(merged, ["node_id"], [("harmonic", "sum")],
+                         rename={"harmonic_sum": "harmonic"},
+                         exchange="shuffle").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "harmonic": pd.Series([], dtype="int64")})
+    out["harmonic"] = out["harmonic"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+# --------------------------------------------------- last-touch attribution
+@query(
+    "events_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    a AS (
+      SELECT *, LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM e)
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(sf_dir: str):
+    """Last-touch revenue attribution: each purchase's value is
+    credited to the user's most recent PRIOR non-purchase event type
+    ('none' when the purchase opens the stream) — the marketing
+    read-out that needs ordered per-user state, not a plain join.
+    Distributed shape: ONE user-hash exchange; inside the bucket a
+    single vectorized scan computes the last-non-purchase index via
+    maximum.accumulate (user boundaries handled by a start-index
+    validity check, no per-row Python); revenue is exact integer
+    cents, and the bounded (|event types|+1)-key credit table folds
+    map-side before a coalesce combine."""
+    from .functions.agg import bucketed_apply, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id",
+                                "event_type", "value"])
+
+    def credit(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "touch_type": pd.Series([], dtype=object),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        cents = np.round(df["value"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        n = len(df)
+        idx = np.arange(n)
+        nonpur = et != "purchase"
+        last_np = np.maximum.accumulate(np.where(nonpur, idx, -1))
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        valid = last_np >= user_start
+        touch = np.where(valid, et[np.clip(last_np, 0, None)], "none")
+        pur = ~nonpur
+        out = pd.DataFrame({"touch_type": touch[pur],
+                            "cents": cents[pur]})
+        g = out.groupby("touch_type", sort=False).agg(
+            n_purchases=("cents", "size"), sum_cents=("cents", "sum"))
+        return g.reset_index().astype(
+            {"n_purchases": "int64", "sum_cents": "int64"})
+
+    parts = bucketed_apply(ds, ["user_id"], credit, exchange="shuffle")
+    out = hash_aggregate(parts, ["touch_type"],
+                         [("n_purchases", "sum"), ("sum_cents", "sum")],
+                         rename={"n_purchases_sum": "n_purchases",
+                                 "sum_cents_sum": "sum_cents"},
+                         exchange="coalesce").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "touch_type": pd.Series([], dtype=object),
+            "n_purchases": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")})
+    for c in ("n_purchases", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["touch_type", "n_purchases", "sum_cents"]]
+            .sort_values("touch_type").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -6534,6 +6803,7 @@ _DRIVER_ORDER = [
     # round-5 session-4 additions
     "events_scd_intervals", "user_activity_balance", "events_dense_hours",
     "term_cmsketch_counts", "doc_editdist_pairs",
+    "documents_profile", "kg_harmonic", "events_attribution",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
