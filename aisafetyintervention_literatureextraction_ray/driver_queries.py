@@ -6733,6 +6733,245 @@ def events_attribution(sf_dir: str):
             .sort_values("touch_type").reset_index(drop=True))
 
 
+# ------------------------------------------------ market-basket association
+@query(
+    "parts_basket_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+    nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+    m AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM b GROUP BY p),
+    pr AS (SELECT b1.p AS id_a, b2.p AS id_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+           GROUP BY 1, 2),
+    top AS (SELECT * FROM pr ORDER BY n_ab DESC, id_a, id_b LIMIT 20)
+    SELECT t.id_a, t.id_b, t.n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
+           CAST(t.n_ab * 1000000 // ma.n_p AS BIGINT) AS conf_ab_ppm,
+           CAST(t.n_ab * 1000000 // mb.n_p AS BIGINT) AS conf_ba_ppm,
+           CAST(t.n_ab * nn.n_orders * 1000000 // (ma.n_p * mb.n_p)
+                AS BIGINT) AS lift_ppm
+    FROM top t JOIN m ma ON ma.p = t.id_a JOIN m mb ON mb.p = t.id_b
+    CROSS JOIN nn
+    ORDER BY t.n_ab DESC, t.id_a, t.id_b
+    """,
+)
+def parts_basket_rules(sf_dir: str):
+    """Market-basket association rules over order line items: the top
+    co-purchased part pairs with support, directional confidence and
+    lift — frequent-itemset mining's 2-itemset core, the
+    recommendation primitive.  Distributed shape: baskets reduce to
+    DISTINCT (order, part) via one keyed exchange; the pair expansion
+    runs inside the order's bucket with a sorted-shift scan (per-order
+    blowup bounded by basket size squared, baskets are order-line
+    bounded); pair supports fold through hash partials.  Confidence
+    and lift are exact integer ppm (cross-multiplied, truncating
+    division on both engines), computed on the driver for the
+    20-row cut against the broadcast-filtered marginals."""
+    from .functions.agg import bucketed_apply, hash_aggregate
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    baskets = hash_aggregate(li, ["l_orderkey", "l_partkey"],
+                             [("l_partkey", "count")],
+                             rename={"l_partkey_count": "one"},
+                             exchange="shuffle")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "one": pd.Series([], dtype="int64")})
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        o = df["l_orderkey"].to_numpy()
+        p = df["l_partkey"].to_numpy()
+        outs_a, outs_b = [], []
+        g = 1
+        while True:
+            same = o[g:] == o[:-g] if g < len(o) else np.array([], bool)
+            if not same.any():
+                break
+            outs_a.append(p[:-g][same])
+            outs_b.append(p[g:][same])
+            g += 1
+        if not outs_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "one": pd.Series([], dtype="int64")})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        return pd.DataFrame({"id_a": a, "id_b": b,
+                             "one": np.ones(len(a), dtype=np.int64)})
+
+    pair_counts = hash_aggregate(
+        bucketed_apply(baskets, ["l_orderkey"], pairs,
+                       exchange="shuffle"),
+        ["id_a", "id_b"], [("one", "sum")], rename={"one_sum": "n_ab"},
+        exchange="shuffle")
+    top = (pair_counts
+           .sort(key=["n_ab", "id_a", "id_b"],
+                 descending=[True, False, False])
+           .limit(20).to_pandas())
+    if len(top) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("id_a", "id_b", "n_ab", "n_a",
+                                       "n_b", "conf_ab_ppm",
+                                       "conf_ba_ppm", "lift_ppm")})
+
+    marg = hash_aggregate(baskets, ["l_partkey"],
+                          [("l_partkey", "count")],
+                          rename={"l_partkey_count": "n_p"},
+                          exchange="shuffle")
+    need = set(top["id_a"]).union(top["id_b"])
+    need_ref = ray.put(np.array(sorted(need), dtype=np.int64))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ids = ray.get(need_ref)
+        mask = np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), ids)
+        return t.filter(pa.array(mask))
+
+    mg = marg.map_batches(semi, batch_format="pyarrow").to_pandas()
+    n_p = dict(zip(mg["l_partkey"].astype("int64"),
+                   mg["n_p"].astype("int64")))
+    n_orders = int(hash_aggregate(
+        baskets, ["l_orderkey"], [("l_orderkey", "count")],
+        rename={"l_orderkey_count": "one"}, exchange="shuffle").count())
+    rows = []
+    for _, r in top.iterrows():
+        ia, ib, nab = int(r["id_a"]), int(r["id_b"]), int(r["n_ab"])
+        na, nb = n_p[ia], n_p[ib]
+        rows.append((ia, ib, nab, na, nb,
+                     nab * 1_000_000 // na, nab * 1_000_000 // nb,
+                     nab * n_orders * 1_000_000 // (na * nb)))
+    cols = ("id_a", "id_b", "n_ab", "n_a", "n_b", "conf_ab_ppm",
+            "conf_ba_ppm", "lift_ppm")
+    return pd.DataFrame({c: pd.Series([r[i] for r in rows], dtype="int64")
+                         for i, c in enumerate(cols)})
+
+
+# --------------------------------------------- pivot eccentricity / diameter
+@query(
+    "kg_eccentricity",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    sym AS (SELECT s AS x, d AS y FROM e UNION SELECT d, s FROM e),
+    vx AS (SELECT DISTINCT x AS node_id FROM sym),
+    seeds AS (SELECT node_id FROM vx ORDER BY node_id
+              LIMIT {_HARMONIC_SEEDS}),
+    walk(seed, node_id, hops) AS (
+      SELECT node_id, node_id, 0 FROM seeds
+      UNION
+      SELECT walk.seed, sym.y, walk.hops + 1
+      FROM walk JOIN sym ON sym.x = walk.node_id
+      WHERE walk.hops < {_BFS_MAX_HOPS}
+    ),
+    d AS (SELECT seed, node_id, MIN(hops) AS h FROM walk
+          GROUP BY seed, node_id)
+    SELECT seed AS node_id, CAST(MAX(h) AS BIGINT) AS ecc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+    FROM d GROUP BY seed ORDER BY node_id
+    """,
+)
+def kg_eccentricity(sf_dir: str):
+    """Pivot eccentricities: the max BFS distance from each of the 4
+    deterministic pivot nodes (plus how many nodes each reaches) — the
+    standard lower-bound probe for graph diameter (diameter >= max
+    pivot eccentricity) without the quadratic all-pairs BFS.  Reuses
+    the keyed-min-reduce BFS per pivot; the per-pivot max/count is a
+    bounded reduce, so the whole probe is |pivots| BFS sweeps and one
+    4-row aggregate."""
+    from .functions.graph import bfs_hops
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    seeds = _smallest_node_ids(edges, _HARMONIC_SEEDS)
+    if not seeds:
+        return pd.DataFrame({"node_id": pd.Series([], dtype=object),
+                             "ecc": pd.Series([], dtype="int64"),
+                             "n_reached": pd.Series([], dtype="int64")})
+    rows = []
+    for s in seeds:
+        h = bfs_hops(edges, src="src_id", dst="dst_id", seeds=[s],
+                     max_iters=_BFS_MAX_HOPS)
+        agg = h.map_batches(
+            lambda t: pa.table({
+                "ecc": pa.array([0 if t.num_rows == 0 else
+                                 pc.max(t["hops"]).as_py()],
+                                type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        rows.append((s, int(agg["ecc"].max()), int(agg["n"].sum()) - 1))
+    return pd.DataFrame({
+        "node_id": [r[0] for r in rows],
+        "ecc": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_reached": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+# ------------------------------------------------------------- Zipf-law fit
+_ZIPF_TOP = 100
+_ZIPF_SCALE = 1_000_000
+
+
+@query(
+    "corpus_zipf_slope",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+          WHERE term <> '' GROUP BY term),
+    r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+          FROM c),
+    m AS (SELECT
+            CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * {_ZIPF_SCALE})
+                 AS BIGINT) AS x,
+            CAST(FLOOR(LN(CAST(n AS DOUBLE)) * {_ZIPF_SCALE})
+                 AS BIGINT) AS y
+          FROM r WHERE rank <= {_ZIPF_TOP})
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+               AS num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+               AS den
+    FROM m
+    """,
+)
+def corpus_zipf_slope(sf_dir: str):
+    """Zipf-law fit of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top-100 terms — the corpus-health diagnostic
+    (natural text sits near slope -1; generated/boilerplate corpora
+    drift).  The heavy work is the existing histogram machinery
+    (per-block term partials -> keyed sum -> deterministic top-k);
+    the fit emits the exact integer moment pair (num, den) of the
+    events_trend_slope convention with every log snapped to fixed
+    point BEFORE summation (np.log and DuckDB LN are bit-identical
+    here), so the oracle replay is exact and order-independent."""
+    from .functions.agg import hash_aggregate
+    from .functions.text import term_count_partial
+
+    partials = _pq(sf_dir, "documents", ["text"]).map_batches(
+        term_count_partial, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True)
+    counts = hash_aggregate(partials, ["term"], [("n", "sum")],
+                            rename={"n_sum": "n"}, exchange="shuffle")
+    top = (counts.sort(key=["n", "term"], descending=[True, False])
+           .limit(_ZIPF_TOP).to_pandas())
+    if len(top) == 0:
+        return pd.DataFrame({"k": pd.Series([0], dtype="int64"),
+                             "num": pd.Series([None], dtype="object"),
+                             "den": pd.Series([None], dtype="object")})
+    k = len(top)
+    rank = np.arange(1, k + 1, dtype=np.float64)
+    n = top["n"].to_numpy(dtype=np.float64)
+    x = np.floor(np.log(rank) * _ZIPF_SCALE).astype(np.int64)
+    y = np.floor(np.log(n) * _ZIPF_SCALE).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "num": pd.Series([k * sxy - sx * sy], dtype="int64"),
+        "den": pd.Series([k * sxx - sx * sx], dtype="int64")})
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -6804,6 +7043,7 @@ _DRIVER_ORDER = [
     "events_scd_intervals", "user_activity_balance", "events_dense_hours",
     "term_cmsketch_counts", "doc_editdist_pairs",
     "documents_profile", "kg_harmonic", "events_attribution",
+    "parts_basket_rules", "kg_eccentricity", "corpus_zipf_slope",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
