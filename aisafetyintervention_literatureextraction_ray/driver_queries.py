@@ -6972,6 +6972,216 @@ def corpus_zipf_slope(sf_dir: str):
         "den": pd.Series([k * sxx - sx * sx], dtype="int64")})
 
 
+# --------------------------------------------------- degree assortativity
+@query(
+    "kg_assortativity",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    u AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+          FROM e WHERE s <> d),
+    adj AS (SELECT a AS c FROM u UNION ALL SELECT b FROM u),
+    dg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY c),
+    j AS (SELECT da.deg AS dx, db.deg AS dy
+          FROM u JOIN dg da ON da.c = u.a JOIN dg db ON db.c = u.b)
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(dx + dy) AS BIGINT) AS sx,
+           CAST(2 * SUM(dx * dy) AS BIGINT) AS sxy,
+           CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sxx
+    FROM j
+    """,
+)
+def kg_assortativity(sf_dir: str):
+    """Degree assortativity moments of the resolved KG: are hubs
+    wired to hubs (r > 0) or to leaves (r < 0)?  Emitted as the exact
+    integer moment tuple (m, sx, sxy, sxx) over BOTH orientations of
+    each undirected edge (so Sx = Sy and r = (m*sxy - sx^2) /
+    (m*sxx - sx^2) is driver-derivable) — the events_trend_slope
+    convention: no float division inside the engine, so the keyed
+    sums are order-independent and the oracle replay is exact.
+    Distributed shape: distinct undirected edges via one keyed
+    reduce, degrees via endpoint-explode + two-stage count, degrees
+    attach to both endpoints through two partitioned skinny joins,
+    and the moments fold map-side into a single-row combine."""
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    edges = _kg_simple_edges(sf_dir)
+
+    def und(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t["src_id"], t["dst_id"]))
+        return pa.table({
+            "a": pc.min_element_wise(keep["src_id"], keep["dst_id"]),
+            "b": pc.max_element_wise(keep["src_id"], keep["dst_id"])})
+
+    u = hash_aggregate(
+        edges.map_batches(und, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], [("a", "count")], rename={"a_count": "one"},
+        exchange="shuffle")
+
+    def explode(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()]),
+            "one": pa.array(np.ones(2 * t.num_rows, dtype=np.int64))})
+
+    deg = hash_aggregate(
+        u.map_batches(explode, batch_format="pyarrow"),
+        ["c"], [("one", "sum")], rename={"one_sum": "deg"},
+        exchange="shuffle")
+    u_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                          ("one", pa.int64())])
+    deg_schema = pa.schema([("c", pa.string()), ("deg", pa.int64())])
+    ja = bucketed_join(u, deg.map_batches(
+        lambda t: t.rename_columns(["c", "dx"]), batch_format="pyarrow"),
+        left_key="a", right_key="c", right_value_cols=["dx"],
+        left_schema=u_schema,
+        right_schema=pa.schema([("c", pa.string()), ("dx", pa.int64())]))
+    ja_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("one", pa.int64()), ("dx", pa.int64())])
+    jb = bucketed_join(ja, deg.map_batches(
+        lambda t: t.rename_columns(["c", "dy"]), batch_format="pyarrow"),
+        left_key="b", right_key="c", right_value_cols=["dy"],
+        left_schema=ja_schema,
+        right_schema=pa.schema([("c", pa.string()), ("dy", pa.int64())]))
+
+    def moments(t: pa.Table) -> pa.Table:
+        dx = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = t["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "m": pa.array([2 * len(dx)], type=pa.int64()),
+            "sx": pa.array([int((dx + dy).sum())], type=pa.int64()),
+            "sxy": pa.array([2 * int((dx * dy).sum())], type=pa.int64()),
+            "sxx": pa.array([int((dx * dx + dy * dy).sum())],
+                            type=pa.int64())})
+
+    out = (jb.map_batches(moments, batch_format="pyarrow")
+           .to_pandas().sum())
+    return pd.DataFrame({
+        "m": pd.Series([int(out["m"])], dtype="int64"),
+        "sx": pd.Series([int(out["sx"])], dtype="int64"),
+        "sxy": pd.Series([int(out["sxy"])], dtype="int64"),
+        "sxx": pd.Series([int(out["sxx"])], dtype="int64")})
+
+
+# ----------------------------------------------------------- reciprocity
+@query(
+    "kg_reciprocity",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    ed AS (SELECT DISTINCT s, d FROM e WHERE s <> d),
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM ed e1 JOIN ed e2 ON e1.s = e2.d AND e1.d = e2.s)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+           r.n AS n_reciprocal,
+           CAST(r.n * 1000000 //
+                GREATEST(1, (SELECT COUNT(*) FROM ed)) AS BIGINT)
+               AS recip_ppm
+    FROM r
+    """,
+)
+def kg_reciprocity(sf_dir: str):
+    """Directed reciprocity of the resolved KG: what fraction of
+    non-self edges have their reverse edge too (mutual
+    cause/counter-cause claims) — a one-number health check on
+    extraction symmetry.  Distributed shape: distinct directed edges
+    via one keyed reduce; the reverse-match test is a partitioned
+    self-join on the composite endpoint key (edge joined against its
+    own reversal — no driver gather); the ratio is exact integer
+    ppm."""
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    edges = _kg_simple_edges(sf_dir)
+    SEP = "\x1f"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t["src_id"], t["dst_id"]))
+        fwd = pc.binary_join_element_wise(keep["src_id"], keep["dst_id"],
+                                          SEP)
+        rev = pc.binary_join_element_wise(keep["dst_id"], keep["src_id"],
+                                          SEP)
+        return pa.table({"k": fwd, "rk": rev})
+
+    ed = hash_aggregate(
+        edges.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k", "rk"], [("k", "count")], rename={"k_count": "one"},
+        exchange="shuffle")
+    ed_schema = pa.schema([("k", pa.string()), ("rk", pa.string()),
+                           ("one", pa.int64())])
+    rev_side = ed.map_batches(
+        lambda t: pa.table({"k2": t["k"], "flag": t["one"]}),
+        batch_format="pyarrow")
+    matched = bucketed_join(
+        ed, rev_side, left_key="rk", right_key="k2",
+        right_value_cols=["flag"], left_schema=ed_schema,
+        right_schema=pa.schema([("k2", pa.string()),
+                                ("flag", pa.int64())]))
+    n_edges = int(ed.count())
+    n_recip = int(matched.count())
+    return pd.DataFrame({
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_reciprocal": pd.Series([n_recip], dtype="int64"),
+        "recip_ppm": pd.Series(
+            [n_recip * 1_000_000 // max(1, n_edges)], dtype="int64")})
+
+
+# ------------------------------------------------------------ Benford check
+@query(
+    "orders_benford",
+    """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit
+          FROM c WHERE cents > 0)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(1000000 * LN(1.0 + 1.0 / digit) / LN(10.0))
+                AS BIGINT) AS expected_ppm
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def orders_benford(sf_dir: str):
+    """Benford's-law first-digit audit of order values — the
+    fraud/synthetic-data screen: leading digits of genuine financial
+    amounts follow P(d) = log10(1 + 1/d), and a flat or spiky
+    histogram flags fabricated numbers.  The digit extraction is pure
+    Arrow (int cents -> string -> first char -> int, no Python row
+    loop), counts fold through hash partials into a 9-key coalesce,
+    and the expected ppm column uses the identical ln-ratio op tree
+    on both engines so even the float constants hash-match."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "orders", ["o_totalprice"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        pos = pc.greater(cents, 0)
+        cents = pc.filter(cents, pos)
+        first = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        return pa.table({
+            "digit": first,
+            "one": pa.array(np.ones(len(first), dtype=np.int64))})
+
+    out = hash_aggregate(
+        ds.map_batches(digit, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["digit"], [("one", "sum")], rename={"one_sum": "n"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = digits 1..9
+    if len(out) == 0:
+        return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "expected_ppm": pd.Series([], dtype="int64")})
+    out["digit"] = out["digit"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    d = out["digit"].to_numpy(dtype=np.float64)
+    out["expected_ppm"] = np.floor(
+        1_000_000 * np.log(1.0 + 1.0 / d) / np.log(10.0)).astype("int64")
+    return out.sort_values("digit").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -7044,6 +7254,7 @@ _DRIVER_ORDER = [
     "term_cmsketch_counts", "doc_editdist_pairs",
     "documents_profile", "kg_harmonic", "events_attribution",
     "parts_basket_rules", "kg_eccentricity", "corpus_zipf_slope",
+    "kg_assortativity", "kg_reciprocity", "orders_benford",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
