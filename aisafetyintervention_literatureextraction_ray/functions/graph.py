@@ -3194,3 +3194,138 @@ def _ktruss_driver(und: rd.Dataset, k: int, max_rounds: int,
     raise RuntimeError(
         f"ktruss did not stabilize within {max_rounds} peel rounds; "
         f"raise max_rounds")
+
+
+# ------------------------------------------------------- feature propagation
+def feature_propagation(edges: rd.Dataset, features: rd.Dataset, *,
+                        src: str = "src", dst: str = "dst",
+                        id_col: str = "node_id", feat_col: str = "f",
+                        rounds: int = 2,
+                        num_buckets: int | None = None,
+                        driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """GNN-style mean aggregation of an int64 node feature over the
+    undirected simple graph: per round, every node's feature becomes
+    the TRUNCATING integer mean of its neighbors' features::
+
+        f_{t+1}(v) = (sum_{u ~ v} f_t(u)) // deg(v)
+
+    The smoothing primitive of graph feature engineering (label
+    propagation on continuous features, over-smoothing probes,
+    feature pre-computation for downstream models).  All arithmetic
+    is int64 — callers scale their feature into fixed point first —
+    so keyed sums are order-independent, both execution paths are
+    bit-identical, and the recurrence unrolls verbatim into integer
+    SQL for the oracle.  Caller contract: features are NONNEGATIVE
+    (Arrow's integer divide truncates toward zero while numpy's ``//``
+    floors — they agree only at >= 0) and ``max(f) * max_deg`` stays
+    below 2^63.
+
+    Scale shape per round: one partitioned hash join (features into
+    the symmetric adjacency on ``src``) + one keyed sum + one skinny
+    degree join — the pagerank exchange pattern; adjacency and
+    degrees are built once.  Nodes missing from ``features`` start at
+    0 (typed zero-union, the pagerank convention).  Below
+    ``driver_threshold`` distinct undirected edges (MEASURED, the
+    connected_components 2M policy) a numpy driver pass runs the
+    identical integer recurrence.
+    """
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
+    n_edges = und.count()
+    id_type = _input_id_type(edges, src)
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            feat_col: pa.array([], type=pa.int64())}))
+
+    if driver_threshold and n_edges <= driver_threshold:
+        df = und.to_pandas()
+        ca, cb, nodes = _factorize_pairs(df, "a", "b")
+        n = len(nodes)
+        fdf = features.to_pandas()
+        pos = pd.Index(nodes).get_indexer(fdf[id_col].to_numpy())
+        f = np.zeros(n, dtype=np.int64)
+        ok = pos >= 0
+        f[pos[ok]] = fdf[feat_col].to_numpy(dtype=np.int64)[ok]
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, ca, 1)
+        np.add.at(deg, cb, 1)
+        for _ in range(rounds):
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, cb, f[ca])
+            np.add.at(s, ca, f[cb])
+            f = s // deg  # deg >= 1: every node here has an edge
+        return rd.from_arrow(pa.table({
+            id_col: pa.array(nodes, type=id_type),
+            feat_col: pa.array(f, type=pa.int64())}))
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.chunked_array([t["a"], t["b"]]).combine_chunks(),
+            "y": pa.chunked_array([t["b"], t["a"]]).combine_chunks()})
+
+    adj = und.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    adj_schema = pa.schema([("x", id_type), ("y", id_type)])
+    deg = hash_aggregate(adj, ["x"], [("x", "count")],
+                         rename={"x_count": "deg"},
+                         num_buckets=num_buckets,
+                         exchange="shuffle").materialize()
+    deg_schema = pa.schema([("x", id_type), ("deg", pa.int64())])
+    nblocks = max(adj.num_blocks(),
+                  num_buckets or default_num_buckets())
+
+    # typed f_0 over the graph's node set: features join onto the
+    # degree table (the node set), absent features start at 0
+    f_sch = pa.schema([(id_col, id_type), (feat_col, pa.int64())])
+    f0 = bucketed_join(
+        deg, features.select_columns([id_col, feat_col]),
+        left_key="x", right_key=id_col, right_value_cols=[feat_col],
+        how="left", num_buckets=num_buckets,
+        left_schema=deg_schema, right_schema=f_sch)
+
+    def to_f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t["x"],
+            "f": pc.coalesce(pc.cast(t[feat_col], pa.int64()),
+                             pa.scalar(0, pa.int64()))})
+
+    f = f0.map_batches(to_f, batch_format="pyarrow").materialize()
+    f_schema = pa.schema([("node_id", id_type), ("f", pa.int64())])
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t["x"],
+            "s": pa.array(np.zeros(t.num_rows, dtype=np.int64))})
+
+    for _ in range(rounds):
+        joined = bucketed_join(
+            adj, f, left_key="x", right_key="node_id",
+            right_value_cols=["f"], num_buckets=num_buckets,
+            left_schema=adj_schema, right_schema=f_schema)
+        cand = joined.map_batches(
+            lambda t: pa.table({"node_id": t["y"], "s": t["f"]}),
+            batch_format="pyarrow",
+        ).union(deg.map_batches(zero_rows, batch_format="pyarrow",
+                                zero_copy_batch=True))
+        sums = hash_aggregate(
+            cand, ["node_id"], [("s", "sum")], rename={"s_sum": "s"},
+            num_buckets=num_buckets, exchange="shuffle")
+        sums_schema = pa.schema([("node_id", id_type), ("s", pa.int64())])
+        withdeg = bucketed_join(
+            sums, deg, left_key="node_id", right_key="x",
+            right_value_cols=["deg"], num_buckets=num_buckets,
+            left_schema=sums_schema, right_schema=deg_schema)
+        f = withdeg.map_batches(
+            lambda t: pa.table({
+                "node_id": t["node_id"],
+                "f": pc.divide(pc.cast(t["s"], pa.int64()),
+                               pc.cast(t["deg"], pa.int64()))}),
+            batch_format="pyarrow",
+        ).repartition(nblocks).materialize()
+
+    def out_name(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, feat_col])
+
+    return f.map_batches(out_name, batch_format="pyarrow",
+                         zero_copy_batch=True)

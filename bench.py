@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "events_trend_slope", "source_lang_kl", "orders_pareto_front",
     "events_burst_score", "events_top_paths", "orders_price_mad",
     "region_year_revenue", "events_ab_test",
+    # round-5 session-4 additions
+    "events_scd_intervals", "user_activity_balance", "events_dense_hours",
+    "term_cmsketch_counts", "doc_editdist_pairs", "documents_profile",
+    "kg_harmonic", "events_attribution", "parts_basket_rules",
+    "kg_eccentricity", "corpus_zipf_slope", "kg_assortativity",
+    "kg_reciprocity", "orders_benford",
+    "kg_feature_propagation", "doc_ntile_quartiles",
+    "top_customers_per_nation_rank",
 ]
 
 

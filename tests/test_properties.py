@@ -1815,3 +1815,59 @@ def test_ktruss_empty_and_star(driver_threshold):
 
     with pytest.raises(ValueError):
         ktruss(star, k=2, driver_threshold=driver_threshold)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (3, 25, 90, 0),            # forced DISTRIBUTED path
+    (3, 25, 90, 2_000_000),    # measured driver fast path, same input
+    (13, 10, 12, 0),
+])
+def test_feature_propagation_matches_integer_reference(
+        seed, n_nodes, n_edges, driver_threshold):
+    """feature_propagation (BOTH paths) == the same integer
+    mean-aggregation recurrence run sequentially — BIT-exact, the
+    property the unrolled-CTE oracle relies on."""
+    import random
+    from collections import defaultdict
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        feature_propagation,
+    )
+
+    rng = random.Random(seed)
+    raw = [(f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+           for _ in range(n_edges)]
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    nodes = sorted({x for p in und for x in p})
+    adj = defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    # features only for HALF the nodes: the other half must start at 0
+    feats = {v: (len(v) * 1_000_000) for i, v in enumerate(nodes)
+             if i % 2 == 0}
+    fds = rd.from_arrow(pa.table({
+        "node_id": list(feats), "f": list(feats.values())}))
+
+    f = {v: feats.get(v, 0) for v in nodes}
+    for _ in range(2):
+        f = {v: sum(f[u] for u in adj[v]) // len(adj[v]) for v in nodes}
+
+    got = feature_propagation(ds, fds, rounds=2,
+                              driver_threshold=driver_threshold).to_pandas()
+    assert dict(zip(got["node_id"], got["f"])) == f
+
+
+def test_feature_propagation_empty():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        feature_propagation,
+    )
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    feats = rd.from_arrow(pa.table({"node_id": pa.array([], pa.string()),
+                                    "f": pa.array([], pa.int64())}))
+    out = feature_propagation(empty, feats).to_pandas()
+    assert len(out) == 0
