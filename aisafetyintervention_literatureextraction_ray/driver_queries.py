@@ -6166,27 +6166,25 @@ def user_activity_balance(sf_dir: str):
     single skinny shuffle whose row count is the distinct-key union."""
     from .functions.agg import hash_aggregate
 
-    def tag(col_keep: str, col_zero: str, key_out: str):
+    def partial(key: str, col_keep: str, col_zero: str):
+        # per-BLOCK count partials, tagged with the absent side's zero:
+        # both sides then share ONE keyed exchange (not one each plus a
+        # third for the union — the partials ARE the combiner stage)
         def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
+            vc = pc.value_counts(t[key].combine_chunks())
+            n = len(vc)
             return pa.table({
-                "user_key": t.column(0).cast(pa.int64()),
-                col_keep: t.column(1).cast(pa.int64()),
+                "user_key": vc.field("values").cast(pa.int64()),
+                col_keep: pc.cast(vc.field("counts"), pa.int64()),
                 col_zero: pa.array(np.zeros(n, dtype=np.int64))})
         return fn
 
-    ev = hash_aggregate(
-        _pq(sf_dir, "events", ["user_id"]),
-        ["user_id"], [("user_id", "count")],
-        rename={"user_id_count": "n_events"}, exchange="shuffle")
-    od = hash_aggregate(
-        _pq(sf_dir, "orders", ["o_custkey"]),
-        ["o_custkey"], [("o_custkey", "count")],
-        rename={"o_custkey_count": "n_orders"}, exchange="shuffle")
-    both = ev.map_batches(tag("n_events", "n_orders", "user_id"),
-                          batch_format="pyarrow").union(
-        od.map_batches(tag("n_orders", "n_events", "o_custkey"),
-                       batch_format="pyarrow"))
+    both = _pq(sf_dir, "events", ["user_id"]).map_batches(
+        partial("user_id", "n_events", "n_orders"),
+        batch_format="pyarrow", zero_copy_batch=True).union(
+        _pq(sf_dir, "orders", ["o_custkey"]).map_batches(
+            partial("o_custkey", "n_orders", "n_events"),
+            batch_format="pyarrow", zero_copy_batch=True))
     out = hash_aggregate(both, ["user_key"],
                          [("n_events", "sum"), ("n_orders", "sum")],
                          rename={"n_events_sum": "n_events",
