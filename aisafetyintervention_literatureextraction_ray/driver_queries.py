@@ -7376,6 +7376,196 @@ def top_customers_per_nation_rank(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ----------------------------------------------------------- winsorized mean
+@query(
+    "orders_winsorized_mean",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    q AS (
+      SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+             list_sort(list(cents))[
+               CAST(floor((COUNT(*) - 1) * 0.1) AS BIGINT) + 1]
+               AS q10,
+             list_sort(list(cents))[
+               CAST(floor((COUNT(*) - 1) * 0.9) AS BIGINT) + 1]
+               AS q90
+      FROM d GROUP BY pri)
+    SELECT q.pri, q.n,
+           CAST(q.q10 AS BIGINT) AS q10_cents,
+           CAST(q.q90 AS BIGINT) AS q90_cents,
+           CAST(SUM(LEAST(GREATEST(d.cents, q.q10), q.q90))
+                AS BIGINT) AS wsum_cents
+    FROM d JOIN q USING (pri)
+    GROUP BY q.pri, q.n, q.q10, q.q90
+    ORDER BY q.pri
+    """,
+)
+def orders_winsorized_mean(sf_dir: str):
+    """Winsorized revenue totals per priority class: order values
+    clamped into [p10, p90] before summation — the robust-mean family
+    member that keeps sample size (unlike trimming) while bounding
+    whale influence.  Exact integer cents end-to-end with the repo's
+    deterministic lower-index quantiles (the doc_chars_quantiles
+    convention), so the clamp bounds and the clamped sum replay
+    bit-for-bit in SQL.  One keyed hash exchange co-locates each
+    class; quantiles and the clamped sum are two vectorized scans of
+    the same sorted group — the two-pass dependence never leaves the
+    bucket."""
+    from .functions.agg import bucketed_group_map
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def wins(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(np.round(
+            g["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64), kind="stable")
+        n = len(cents)
+        q10 = int(cents[int(np.floor((n - 1) * 0.1))])
+        q90 = int(cents[int(np.floor((n - 1) * 0.9))])
+        return pd.DataFrame({
+            "pri": [g["o_orderpriority"].iloc[0]],
+            "n": [n], "q10_cents": [q10], "q90_cents": [q90],
+            "wsum_cents": [int(np.clip(cents, q10, q90).sum())]})
+
+    out = bucketed_group_map(ds, ["o_orderpriority"], wins,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "pri": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "q10_cents": pd.Series([], dtype="int64"),
+            "q90_cents": pd.Series([], dtype="int64"),
+            "wsum_cents": pd.Series([], dtype="int64")})
+    for c in ("n", "q10_cents", "q90_cents", "wsum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pri").reset_index(drop=True)
+
+
+# ------------------------------------------------------- dispersion index
+@query(
+    "events_dispersion",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS q
+      FROM h GROUP BY event_type)
+    SELECT event_type, n_hours, s, q,
+           CAST(CASE WHEN n_hours > 1 AND s > 0
+                     THEN ((n_hours * q - s * s) * 1000000)
+                          // (s * (n_hours - 1))
+                     ELSE 0 END AS BIGINT) AS vmr_ppm
+    FROM m ORDER BY event_type
+    """,
+)
+def events_dispersion(sf_dir: str):
+    """Poisson dispersion index (variance-to-mean ratio) of hourly
+    arrivals per event type — the burstiness classifier: VMR ~ 1e6 ppm
+    means Poisson-like traffic, far above means bursty/clumped (bot
+    storms), far below means regular (cron).  Two bounded exchanges:
+    hourly counts fold through (type, hour) hash partials, then the
+    per-type moments (n, S, Q) fold map-side into a |types|-key
+    combine; the VMR is one exact cross-multiplied integer division
+    identical on both engines — no float variance."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    hourly = hash_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hr"], [("one", "sum")], rename={"one_sum": "n"},
+        exchange="shuffle")
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_hours": pa.array(np.ones(len(n), dtype=np.int64)),
+            "s": pa.array(n), "q": pa.array(n * n)})
+
+    out = hash_aggregate(
+        hourly.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], [("n_hours", "sum"), ("s", "sum"), ("q", "sum")],
+        rename={"n_hours_sum": "n_hours", "s_sum": "s", "q_sum": "q"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = |event types|, bounded
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n_hours", "s", "q", "vmr_ppm")}})
+    for c in ("n_hours", "s", "q"):
+        out[c] = out[c].astype("int64")
+    nh = out["n_hours"].to_numpy()
+    s = out["s"].to_numpy()
+    q = out["q"].to_numpy()
+    vmr = np.zeros(len(out), dtype=np.int64)
+    ok = (nh > 1) & (s > 0)
+    vmr[ok] = ((nh[ok] * q[ok] - s[ok] * s[ok]) * 1_000_000
+               ) // (s[ok] * (nh[ok] - 1))
+    out["vmr_ppm"] = vmr
+    return (out[["event_type", "n_hours", "s", "q", "vmr_ppm"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+# ------------------------------------------------------------------- CUBE
+@query(
+    "orders_cube",
+    """
+    SELECT o_orderstatus AS orderstatus,
+           o_orderpriority AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(sf_dir: str):
+    """SQL GROUP BY CUBE — all four grouping subsets of (status,
+    priority) — via functions/agg.py::cube_aggregate: the same
+    one-data-shuffle lattice plan as orders_rollup, now re-aggregating
+    the finest partials for EVERY subset (the priority-only level a
+    rollup skips), with typed-NULL cube markers and exact integer
+    cents."""
+    from .functions.agg import cube_aggregate
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderstatus": t["o_orderstatus"],
+            "orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())})
+
+    out = cube_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["orderstatus", "orderpriority"], "cents").to_pandas()
+    out = out.rename(columns={"v_sum": "sum_cents"})
+    for c in ("n_rows", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["orderstatus", "orderpriority"],
+                            na_position="first")
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -7451,6 +7641,7 @@ _DRIVER_ORDER = [
     "kg_assortativity", "kg_reciprocity", "orders_benford",
     "kg_feature_propagation", "doc_ntile_quartiles",
     "top_customers_per_nation_rank",
+    "orders_winsorized_mean", "events_dispersion", "orders_cube",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

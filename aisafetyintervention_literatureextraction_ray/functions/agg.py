@@ -653,6 +653,71 @@ def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
     return out
 
 
+def cube_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
+                   *, num_buckets: int | None = None) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE`` — all ``2^k`` grouping subsets — in the
+    ``rollup_aggregate`` one-shuffle plan: the finest ``GROUP BY keys``
+    aggregate is the only pass over the input; every other subset
+    re-aggregates the (key-cardinality-bounded) finest partials, so
+    cube breadth costs subsets-many SMALL exchanges, never another
+    scan of the data.  Dropped key columns carry typed NULLs (SQL's
+    CUBE markers).  Output: ``keys + [n_rows, v_sum]``.  Same caller
+    contract as ``rollup_aggregate``: non-null keys and value.
+    """
+    from itertools import combinations
+
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    finest = hash_aggregate(
+        ds.select_columns(keys + [value_col]), keys,
+        [(value_col, "count"), (value_col, "sum")],
+        rename={f"{value_col}_count": "n_rows",
+                f"{value_col}_sum": "v_sum"},
+        num_buckets=num_buckets, exchange="shuffle").materialize()
+    sch = finest.schema()
+    sch = getattr(sch, "base_schema", sch)
+    ktypes = {n: pa_type_of(t) for n, t in zip(sch.names, sch.types)}
+
+    def pad(dropped: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (pa.nulls(t.num_rows, ktypes[k])
+                           if k in dropped else t.column(k))
+            cols["n_rows"] = t.column("n_rows").cast(pa.int64())
+            cols["v_sum"] = t.column("v_sum").cast(pa.int64())
+            return pa.table(cols)
+        return f
+
+    out = finest.map_batches(pad([]), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    subsets = [list(c) for r in range(len(keys))
+               for c in combinations(keys, r)]
+    for sub in subsets:
+        if sub:
+            coarse = hash_aggregate(
+                finest.select_columns(sub + ["n_rows", "v_sum"]), sub,
+                [("n_rows", "sum"), ("v_sum", "sum")],
+                rename={"n_rows_sum": "n_rows", "v_sum_sum": "v_sum"},
+                num_buckets=num_buckets, exchange="shuffle")
+        else:
+            coarse = hash_aggregate(
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array(np.zeros(t.num_rows, np.int8))),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                ["__all"], [("n_rows", "sum"), ("v_sum", "sum")],
+                rename={"n_rows_sum": "n_rows", "v_sum_sum": "v_sum"},
+                num_buckets=num_buckets, exchange="shuffle")
+            coarse = coarse.map_batches(
+                lambda t: t.drop_columns(["__all"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        out = out.union(coarse.map_batches(
+            pad([k for k in keys if k not in sub]),
+            batch_format="pyarrow", zero_copy_batch=True))
+    return out
+
+
 def snapshot_diff(old: rd.Dataset, new: rd.Dataset, *, key_col: str,
                   hash_col: str,
                   num_buckets: int | None = None) -> rd.Dataset:

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "kg_reciprocity", "orders_benford",
     "kg_feature_propagation", "doc_ntile_quartiles",
     "top_customers_per_nation_rank",
+    "orders_winsorized_mean", "events_dispersion", "orders_cube",
 ]
 
 
