@@ -7566,6 +7566,247 @@ def orders_cube(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ----------------------------------------------------- lexical diversity
+@query(
+    "source_lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+    d AS (SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM t2 GROUP BY source)
+    SELECT source, n_types, n_tokens,
+           CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm
+    FROM d ORDER BY source
+    """,
+)
+def source_lexical_diversity(sf_dir: str):
+    """Type-token ratio per source — the lexical-diversity screen for
+    template/boilerplate feeds (a low TTR source repeats itself).
+    Distributed shape: one pass emits per-block (source, term)
+    DISTINCT pairs AND per-block token-count partials; the pair
+    stream dedups through one keyed exchange and reduces to per-source
+    type counts, token totals fold map-side — the vocabulary is never
+    assumed broadcastable.  The ratio is exact integer ppm."""
+    from .functions.agg import hash_aggregate
+    from .functions.text import term_count_partial
+
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        outs = []
+        # per-source tokenize via the shared combiner (RE2, oracle-
+        # identical); one source per block slice keeps it vectorized
+        src_arr = t["source"]
+        for s in pc.unique(src_arr).to_pylist():
+            sub = t.filter(pc.equal(src_arr, s))
+            part = term_count_partial(sub)
+            outs.append(pa.table({
+                "source": pa.array([s] * part.num_rows,
+                                   type=pa.string()),
+                "term": part["term"],
+                "n": part["n"]}))
+        return (pa.concat_tables(outs) if outs else
+                pa.table({"source": pa.array([], type=pa.string()),
+                          "term": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())}))
+
+    st = hash_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source", "term"], [("n", "sum")], rename={"n_sum": "n"},
+        exchange="shuffle")
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "n_types": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_tokens": pc.cast(t["n"], pa.int64())})
+
+    out = hash_aggregate(
+        st.map_batches(fold, batch_format="pyarrow"),
+        ["source"], [("n_types", "sum"), ("n_tokens", "sum")],
+        rename={"n_types_sum": "n_types", "n_tokens_sum": "n_tokens"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = |sources|, bounded
+    if len(out) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n_types", "n_tokens", "ttr_ppm")}})
+    for c in ("n_types", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    out["ttr_ppm"] = (out["n_types"] * 1_000_000
+                      // out["n_tokens"]).astype("int64")
+    return (out[["source", "n_types", "n_tokens", "ttr_ppm"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+# ------------------------------------------------------ lag-1 autocorrelation
+@query(
+    "events_autocorr",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, n AS x,
+             LEAD(n) OVER (PARTITION BY event_type ORDER BY hr) AS y,
+             LEAD(hr) OVER (PARTITION BY event_type ORDER BY hr) AS hr2,
+             hr
+      FROM h),
+    v AS (SELECT event_type, x, y FROM p
+          WHERE hr2 = hr + INTERVAL 1 HOUR)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+               AS num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+               AS den_x,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT)
+               AS den_y
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation moments of the hourly arrival series per
+    event type — the trend/seasonality detector next to
+    events_dispersion's burstiness: r1 = num / sqrt(den_x * den_y)
+    over CONSECUTIVE-hour pairs only (a gap in the series breaks the
+    pair, exactly like the SQL LEAD + hour-delta guard).  One keyed
+    exchange builds hourly counts; each type's pairing is a
+    vectorized shift over its hour-sorted bucket; moments are exact
+    int64 (counts are small integers) so the keyed sums are
+    order-independent and the oracle is bit-exact."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    hourly = hash_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hr"], [("one", "sum")], rename={"one_sum": "n"},
+        exchange="shuffle")
+
+    HOUR_US = 3_600_000_000
+
+    def acf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hr", kind="stable")
+        hr = g["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        adj = hr[1:] - hr[:-1] == HOUR_US
+        x, y = n[:-1][adj], n[1:][adj]
+        k = len(x)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "k": [k],
+            "num": [k * int((x * y).sum()) - int(x.sum()) * int(y.sum())],
+            "den_x": [k * int((x * x).sum()) - int(x.sum()) ** 2],
+            "den_y": [k * int((y * y).sum()) - int(y.sum()) ** 2]})
+
+    out = bucketed_group_map(hourly, ["event_type"], acf,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("k", "num", "den_x", "den_y")}})
+    for c in ("k", "num", "den_x", "den_y"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------- chi-square independence
+@query(
+    "events_independence",
+    """
+    WITH o AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday, event_type,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT weekday, CAST(SUM(obs) AS BIGINT) AS row_n
+          FROM o GROUP BY weekday),
+    c AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS col_n
+          FROM o GROUP BY event_type),
+    nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT o.weekday, o.event_type, o.obs, r.row_n, c.col_n,
+           CAST((CAST(o.obs AS HUGEINT) * nn.n - CAST(r.row_n AS HUGEINT)
+                     * c.col_n)
+                * (CAST(o.obs AS HUGEINT) * nn.n - CAST(r.row_n AS HUGEINT)
+                     * c.col_n)
+                * 1000000
+                // (CAST(r.row_n AS HUGEINT) * c.col_n * nn.n)
+                AS BIGINT) AS cell_chi2_ppm
+    FROM o JOIN r USING (weekday) JOIN c USING (event_type)
+    CROSS JOIN nn
+    ORDER BY o.weekday, o.event_type
+    """,
+)
+def events_independence(sf_dir: str):
+    """Weekday x event-type chi-square contingency audit — is traffic
+    mix independent of weekday, per cell: (O*N - R*C)^2 * 1e6 //
+    (R*C*N), the chi-square term cross-multiplied into ONE exact
+    integer per cell (arbitrary-precision Python ints / HUGEINT, no
+    float expected-counts).  Distributed shape: one (weekday, type)
+    two-stage count is the only pass over the data; marginals and the
+    per-cell statistic derive from that bounded 7 x |types| lattice
+    on the driver."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0=Sunday..6=Saturday; Arrow day_of_week:
+        # 0=Monday..6=Sunday -> rotate by +1 mod 7
+        dow = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
+        duck = (dow.astype(np.int64) + 1) % 7
+        return pa.table({
+            "weekday": pa.array(duck),
+            "event_type": t["event_type"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    obs = hash_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["weekday", "event_type"], [("one", "sum")],
+        rename={"one_sum": "obs"}, exchange="coalesce").to_pandas()
+    # coalesce: key set = 7 x |event types|, bounded
+    if len(obs) == 0:
+        return pd.DataFrame({
+            "weekday": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("obs", "row_n", "col_n", "cell_chi2_ppm")}})
+    obs["weekday"] = obs["weekday"].astype("int64")
+    obs["obs"] = obs["obs"].astype("int64")
+    row_n = obs.groupby("weekday")["obs"].sum()
+    col_n = obs.groupby("event_type")["obs"].sum()
+    n = int(obs["obs"].sum())
+    rows = []
+    for _, r in obs.iterrows():
+        o = int(r["obs"])
+        rn, cn = int(row_n[r["weekday"]]), int(col_n[r["event_type"]])
+        dev = o * n - rn * cn
+        rows.append((int(r["weekday"]), r["event_type"], o, rn, cn,
+                     dev * dev * 1_000_000 // (rn * cn * n)))
+    out = pd.DataFrame(rows, columns=["weekday", "event_type", "obs",
+                                      "row_n", "col_n",
+                                      "cell_chi2_ppm"])
+    for c in ("weekday", "obs", "row_n", "col_n", "cell_chi2_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["weekday", "event_type"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -7642,6 +7883,7 @@ _DRIVER_ORDER = [
     "kg_feature_propagation", "doc_ntile_quartiles",
     "top_customers_per_nation_rank",
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
+    "source_lexical_diversity", "events_autocorr", "events_independence",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "kg_feature_propagation", "doc_ntile_quartiles",
     "top_customers_per_nation_rank",
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
+    "source_lexical_diversity", "events_autocorr", "events_independence",
 ]
 
 
