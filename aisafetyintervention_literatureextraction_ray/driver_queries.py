@@ -7807,6 +7807,102 @@ def events_independence(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ------------------------------------------------- condensation DAG levels
+@query(
+    "kg_scc_levels",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    vx AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+    reach(u, v) AS (
+      SELECT v, v FROM vx
+      UNION
+      SELECT r.u, e.d FROM reach r JOIN e ON e.s = r.v
+    ),
+    scc AS (SELECT r1.u AS node_id, MIN(r1.v) AS scc_id
+            FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+            GROUP BY r1.u),
+    sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM scc GROUP BY scc_id),
+    ce AS (SELECT DISTINCT sa.scc_id AS cs, sb.scc_id AS cd
+           FROM e JOIN scc sa ON sa.node_id = e.s
+           JOIN scc sb ON sb.node_id = e.d
+           WHERE sa.scc_id <> sb.scc_id),
+    walk(v, len) AS (
+      SELECT scc_id, 0 FROM sz
+      UNION
+      SELECT ce.cd, walk.len + 1 FROM walk JOIN ce ON ce.cs = walk.v
+    ),
+    lv AS (SELECT v AS scc_id, CAST(MAX(len) AS BIGINT) AS level
+           FROM walk GROUP BY v)
+    SELECT sz.scc_id, sz.n_nodes, lv.level
+    FROM sz JOIN lv USING (scc_id)
+    ORDER BY scc_id
+    """,
+)
+def kg_scc_levels(sf_dir: str):
+    """Condensation-DAG stratification of the directed KG: collapse
+    each strongly connected component (the feedback loops) to one
+    node, then assign every component its longest-path LEVEL in the
+    resulting DAG — the causal tiering of the intervention graph
+    (level 0 = pure causes, deeper levels = downstream effects), and
+    the canonical post-SCC analytics step.  Composition of three
+    engine operators: strongly_connected_components labels, two
+    partitioned label joins project edges onto components, and
+    functions/graph.py::dag_levels runs the max-plus relaxation to
+    its exact integer fixpoint (refusing on cycles — which the
+    condensation guarantees away).  Isolated components level at 0,
+    matching the oracle walk's universal seed."""
+    from .functions.agg import bucketed_join, hash_aggregate
+    from .functions.graph import dag_levels, strongly_connected_components
+
+    edges = _kg_simple_edges(sf_dir)
+    labels = strongly_connected_components(
+        edges, src="src_id", dst="dst_id").materialize()
+    sizes = hash_aggregate(
+        labels, ["scc_id"], [("scc_id", "count")],
+        rename={"scc_id_count": "n_nodes"},
+        exchange="shuffle").to_pandas()
+    if len(sizes) == 0:
+        return pd.DataFrame({"scc_id": pd.Series([], dtype=object),
+                             "n_nodes": pd.Series([], dtype="int64"),
+                             "level": pd.Series([], dtype="int64")})
+
+    edge_schema = pa.schema([("src_id", pa.string()),
+                             ("dst_id", pa.string())])
+    lab_schema = pa.schema([("node_id", pa.string()),
+                            ("scc_id", pa.string())])
+    ja = bucketed_join(
+        edges, labels.map_batches(
+            lambda t: t.rename_columns(["node_id", "cs"]),
+            batch_format="pyarrow"),
+        left_key="src_id", right_key="node_id", right_value_cols=["cs"],
+        left_schema=edge_schema,
+        right_schema=pa.schema([("node_id", pa.string()),
+                                ("cs", pa.string())]))
+    ja_schema = pa.schema([("src_id", pa.string()),
+                           ("dst_id", pa.string()),
+                           ("cs", pa.string())])
+    jb = bucketed_join(
+        ja, labels.map_batches(
+            lambda t: t.rename_columns(["node_id", "cd"]),
+            batch_format="pyarrow"),
+        left_key="dst_id", right_key="node_id", right_value_cols=["cd"],
+        left_schema=ja_schema,
+        right_schema=pa.schema([("node_id", pa.string()),
+                                ("cd", pa.string())]))
+    cond = jb.map_batches(
+        lambda t: t.filter(pc.not_equal(t["cs"], t["cd"]))
+        .select(["cs", "cd"]),
+        batch_format="pyarrow")
+    lv = dag_levels(cond, src="cs", dst="cd").to_pandas()
+    out = sizes.merge(lv.rename(columns={"node_id": "scc_id"}),
+                      on="scc_id", how="left")
+    out["level"] = out["level"].fillna(0).astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return (out[["scc_id", "n_nodes", "level"]]
+            .sort_values("scc_id").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -7884,6 +7980,7 @@ _DRIVER_ORDER = [
     "top_customers_per_nation_rank",
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
     "source_lexical_diversity", "events_autocorr", "events_independence",
+    "kg_scc_levels",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

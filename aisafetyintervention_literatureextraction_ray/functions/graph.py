@@ -3329,3 +3329,112 @@ def feature_propagation(edges: rd.Dataset, features: rd.Dataset, *,
 
     return f.map_batches(out_name, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+# ------------------------------------------------------- DAG topological levels
+def dag_levels(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
+               max_rounds: int = 200,
+               num_buckets: int | None = None,
+               driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(node_id, level)`` — longest-path depth of every node in a
+    DAG (level 0 = no incoming edges): the topological stratification
+    that schedules dependency graphs and stratifies a condensation DAG
+    into causal tiers.  Max-plus relaxation::
+
+        level(v) = max(level(v), max_{u -> v} level(u) + 1)
+
+    iterated to a fixpoint.  Levels are monotone nondecreasing
+    integers bounded by the DAG depth, so the keyed max-reduce is
+    shuffle-order-independent and the fixpoint is exact; convergence
+    is detected by the (strictly monotone under change) level SUM.  A
+    CYCLE never converges — the level sum grows every round — so
+    hitting ``max_rounds`` raises instead of returning wrong depths,
+    which makes this double as a cycle detector.  Self-loops are
+    rejected up front for the same reason.
+
+    Scale shape per round: one partitioned hash join (levels into the
+    edge table on ``src``) + one keyed max + one scalar sum — the
+    pagerank exchange pattern.  Below ``driver_threshold`` distinct
+    edges (MEASURED, the connected_components 2M policy) a numpy
+    relaxation runs the identical recurrence.
+    """
+    e = _distinct_edges(edges, src, dst,
+                        num_buckets=num_buckets).materialize()
+    n_edges = e.count()
+    id_type = _input_id_type(edges, src)
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "level": pa.array([], type=pa.int64())}))
+    n_self = e.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [pc.sum(pc.cast(pc.equal(t[src], t[dst]),
+                            pa.int64())).as_py() or 0])}),
+        batch_format="pyarrow").to_pandas()["n"].sum()
+    if n_self:
+        raise ValueError(f"dag_levels: {n_self} self-loop(s) — not a DAG")
+
+    if driver_threshold and n_edges <= driver_threshold:
+        df = e.to_pandas()
+        ca, cb, nodes = _factorize_pairs(df, src, dst)
+        n = len(nodes)
+        lev = np.zeros(n, dtype=np.int64)
+        for _ in range(min(max_rounds, n + 1)):
+            nxt = lev.copy()
+            np.maximum.at(nxt, cb, lev[ca] + 1)
+            if (nxt == lev).all():
+                return rd.from_arrow(pa.table({
+                    "node_id": pa.array(nodes, type=id_type),
+                    "level": pa.array(lev, type=pa.int64())}))
+            lev = nxt
+        raise RuntimeError(
+            f"dag_levels did not converge within {max_rounds} rounds — "
+            f"the input contains a directed cycle")
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.chunked_array(
+            [t.column(src), t.column(dst)]).combine_chunks()})
+
+    nodes = hash_aggregate(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node_id"], [("node_id", "count")],
+        num_buckets=num_buckets, exchange="shuffle",
+    ).select_columns(["node_id"]).materialize()
+    e_schema = pa.schema([(src, id_type), (dst, id_type)])
+    lev_schema = pa.schema([("node_id", id_type), ("lev", pa.int64())])
+    nblocks = max(e.num_blocks(), num_buckets or default_num_buckets())
+
+    levels = nodes.map_batches(
+        lambda t: t.append_column(
+            "lev", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    prev_sum = 0
+    for _ in range(max_rounds):
+        joined = bucketed_join(
+            e, levels, left_key=src, right_key="node_id",
+            right_value_cols=["lev"], num_buckets=num_buckets,
+            left_schema=e_schema, right_schema=lev_schema)
+        cand = joined.map_batches(
+            lambda t: pa.table({
+                "node_id": t[dst],
+                "lev": pc.add(pc.cast(t["lev"], pa.int64()),
+                              pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow",
+        ).union(levels)
+        levels = hash_aggregate(
+            cand, ["node_id"], [("lev", "max")], rename={"lev_max": "lev"},
+            num_buckets=num_buckets, exchange="shuffle",
+        ).repartition(nblocks).materialize()
+        cur_sum = int(levels.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [pc.sum(t["lev"]).as_py() or 0])}),
+            batch_format="pyarrow").to_pandas()["s"].sum())
+        if cur_sum == prev_sum:
+            return levels.map_batches(
+                lambda t: t.rename_columns(["node_id", "level"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"dag_levels did not converge within {max_rounds} rounds — "
+        f"the input contains a directed cycle")

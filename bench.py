@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "top_customers_per_nation_rank",
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
     "source_lexical_diversity", "events_autocorr", "events_independence",
+    "kg_scc_levels",
 ]
 
 

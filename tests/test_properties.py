@@ -1871,3 +1871,45 @@ def test_feature_propagation_empty():
                                     "f": pa.array([], pa.int64())}))
     out = feature_propagation(empty, feats).to_pandas()
     assert len(out) == 0
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_dag_levels_matches_reference(driver_threshold):
+    """dag_levels (BOTH paths) == longest-path depth computed by a
+    sequential DP over a topological order."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        dag_levels,
+    )
+
+    rng = random.Random(5)
+    n = 40
+    # random DAG: edges only from lower to higher index
+    raw = sorted({(f"n{a:02d}", f"n{b:02d}")
+                  for _ in range(160)
+                  for a, b in [sorted(rng.sample(range(n), 2))]})
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    nodes = sorted({x for p in raw for x in p})
+    lev = {v: 0 for v in nodes}
+    for a, b in sorted(raw):  # topological: lexicographic == index order
+        lev[b] = max(lev[b], lev[a] + 1)
+    got = dag_levels(ds, driver_threshold=driver_threshold).to_pandas()
+    assert dict(zip(got["node_id"], got["level"])) == lev
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_dag_levels_rejects_cycles(driver_threshold):
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        dag_levels,
+    )
+
+    cyc = rd.from_arrow(pa.table({"src": ["a", "b", "c"],
+                                  "dst": ["b", "c", "a"]}))
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_levels(cyc, max_rounds=10,
+                   driver_threshold=driver_threshold)
+    loop = rd.from_arrow(pa.table({"src": ["a"], "dst": ["a"]}))
+    with pytest.raises(ValueError, match="self-loop"):
+        dag_levels(loop, driver_threshold=driver_threshold)
