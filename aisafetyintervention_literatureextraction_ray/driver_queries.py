@@ -7903,6 +7903,196 @@ def kg_scc_levels(sf_dir: str):
             .sort_values("scc_id").reset_index(drop=True))
 
 
+# ------------------------------------------------------ supplier-risk profile
+@query(
+    "part_supplier_risk",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+           FROM ps GROUP BY l_partkey)
+    SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM pc GROUP BY n_suppliers ORDER BY n_suppliers
+    """,
+)
+def part_supplier_risk(sf_dir: str):
+    """Supply-chain concentration histogram: how many parts depend on
+    exactly k distinct suppliers (k=1 is the single-source risk
+    list).  Two keyed reduces, both over skinny id pairs: DISTINCT
+    (part, supplier) via one hash exchange, per-part supplier counts
+    fold map-side, and the final histogram is a bounded (max-k keys)
+    coalesce."""
+    from .functions.agg import hash_aggregate
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    ps = hash_aggregate(li, ["l_partkey", "l_suppkey"],
+                        [("l_partkey", "count")],
+                        rename={"l_partkey_count": "one"},
+                        exchange="shuffle")
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "n_suppliers": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    per_part = hash_aggregate(
+        ps.map_batches(fold, batch_format="pyarrow"),
+        ["l_partkey"], [("n_suppliers", "sum")],
+        rename={"n_suppliers_sum": "n_suppliers"}, exchange="shuffle")
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "n_parts": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    out = hash_aggregate(
+        per_part.map_batches(hist, batch_format="pyarrow"),
+        ["n_suppliers"], [("n_parts", "sum")],
+        rename={"n_parts_sum": "n_parts"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set bounded by the max per-part supplier count
+    if len(out) == 0:
+        return pd.DataFrame({"n_suppliers": pd.Series([], dtype="int64"),
+                             "n_parts": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["n_suppliers", "n_parts"]]
+            .sort_values("n_suppliers").reset_index(drop=True))
+
+
+# -------------------------------------------------------- nation trade matrix
+@query(
+    "nation_trade_matrix",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    ORDER BY cust_nation, supp_nation
+    """,
+)
+def nation_trade_matrix(sf_dir: str):
+    """TPC-H-Q7-style six-table trade matrix: line-item revenue per
+    (customer nation, supplier nation) pair — the multi-hop join
+    chain every warehouse benchmark lives on.  The plan separates the
+    join classes: the two FACT-to-FACT hops (lineitem -> orders ->
+    customer, all unbounded) are partitioned hash joins with the fact
+    side pre-reduced FIRST — lineitem folds to one (orderkey,
+    supp_nation) partial before touching orders, so the big exchange
+    moves partials, not line items; the DIMENSION hops (supplier ->
+    nation, customer -> nation) are composed into TWO broadcast
+    key->nation lookups applied map-side (supplier is SF-bounded
+    here; at unbounded supplier scale that hop flips to the same
+    bucketed join the fact hops use).  Money is exact integer cents
+    throughout."""
+    import pyarrow.parquet as pq
+
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    smap_ref = ray.put((
+        pd.Index(supplier["s_suppkey"].to_numpy()),
+        np.asarray([nmap[k] for k in
+                    supplier["s_nationkey"].to_pylist()], dtype=object)))
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        index, names = ray.get(smap_ref)
+        pos = index.get_indexer(
+            t["l_suppkey"].to_numpy(zero_copy_only=False))
+        ok = pos >= 0
+        safe = np.clip(pos, 0, None)
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        tt = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_nation": pa.array(names[safe], type=pa.string()),
+            "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "cents": pa.array(cents)}).filter(pa.array(ok))
+        return pa.TableGroupBy(tt, ["l_orderkey", "supp_nation"]).aggregate(
+            [("n_items", "sum"), ("cents", "sum")]).rename_columns(
+            ["l_orderkey", "supp_nation", "n_items", "cents"])
+
+    li_p = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey", "supp_nation"],
+        [("n_items", "sum"), ("cents", "sum")],
+        rename={"n_items_sum": "n_items", "cents_sum": "cents"},
+        exchange="shuffle")
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("supp_nation", pa.string()),
+                           ("n_items", pa.int64()), ("cents", pa.int64())])
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())])
+    j1 = bucketed_join(li_p, orders, left_key="l_orderkey",
+                       right_key="o_orderkey",
+                       right_value_cols=["o_custkey"],
+                       left_schema=li_schema, right_schema=ord_schema)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j1_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("supp_nation", pa.string()),
+                           ("n_items", pa.int64()), ("cents", pa.int64()),
+                           ("o_custkey", pa.int64())])
+    cust_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_nationkey", pa.int32())])
+    j2 = bucketed_join(j1, cust, left_key="o_custkey",
+                       right_key="c_custkey",
+                       right_value_cols=["c_nationkey"],
+                       left_schema=j1_schema, right_schema=cust_schema)
+
+    nmap_ref = ray.put((
+        pd.Index(nation["n_nationkey"].to_numpy()),
+        nation["n_name"].to_numpy(zero_copy_only=False)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        index, names = ray.get(nmap_ref)
+        pos = index.get_indexer(
+            t["c_nationkey"].to_numpy(zero_copy_only=False))
+        ok = pos >= 0
+        safe = np.clip(pos, 0, None)
+        return pa.table({
+            "cust_nation": pa.array(names[safe], type=pa.string()),
+            "supp_nation": t["supp_nation"],
+            "n_items": t["n_items"],
+            "cents": t["cents"]}).filter(pa.array(ok))
+
+    out = hash_aggregate(
+        j2.map_batches(attach, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["cust_nation", "supp_nation"],
+        [("n_items", "sum"), ("cents", "sum")],
+        rename={"n_items_sum": "n_items", "cents_sum": "sum_cents"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = |nations|^2, bounded
+    if len(out) == 0:
+        return pd.DataFrame({
+            "cust_nation": pd.Series([], dtype=object),
+            "supp_nation": pd.Series([], dtype=object),
+            "n_items": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")})
+    for c in ("n_items", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["cust_nation", "supp_nation", "n_items", "sum_cents"]]
+            .sort_values(["cust_nation", "supp_nation"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -7980,7 +8170,7 @@ _DRIVER_ORDER = [
     "top_customers_per_nation_rank",
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
     "source_lexical_diversity", "events_autocorr", "events_independence",
-    "kg_scc_levels",
+    "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "top_customers_per_nation_rank",
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
     "source_lexical_diversity", "events_autocorr", "events_independence",
-    "kg_scc_levels",
+    "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
 ]
 
 
