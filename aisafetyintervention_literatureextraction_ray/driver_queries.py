@@ -8093,6 +8093,166 @@ def nation_trade_matrix(sf_dir: str):
             .reset_index(drop=True))
 
 
+# -------------------------------------------------------- kNN classification
+_KNN_CLS_QUERIES = 16
+
+
+@query(
+    "knn_label_accuracy",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+                      label AS tl
+               FROM embeddings WHERE vec_id < {_KNN_CLS_QUERIES}),
+    nn AS (SELECT q.qid, q.tl, e.label,
+                  ROW_NUMBER() OVER (PARTITION BY q.qid
+                    ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                      e.vec_id ASC) AS rnk
+           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    votes AS (SELECT qid, tl, label, CAST(COUNT(*) AS BIGINT) AS c
+              FROM nn WHERE rnk <= 5 GROUP BY 1, 2, 3),
+    pred AS (SELECT qid, tl, label AS pl,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY c DESC, label ASC) AS r
+             FROM votes)
+    SELECT CAST(qid AS BIGINT) AS vec_id,
+           CAST(tl AS BIGINT) AS true_label,
+           CAST(pl AS BIGINT) AS pred_label,
+           CAST(CASE WHEN tl = pl THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM pred WHERE r = 1 ORDER BY vec_id
+    """,
+)
+def knn_label_accuracy(sf_dir: str):
+    """Leave-one-out 5-NN majority-label classification of the first
+    16 vectors — the embedding-quality eval every vector store runs
+    (if neighbors don't share labels, the embedding is noise).  The
+    heavy pass is the engine's brute_force_topk (broadcast query
+    matrix, streaming per-block top-k, per-query reduce) asked for
+    k=6; dropping the self-match and keeping the first 5 of the
+    ordered remainder is EXACTLY the oracle's rank-over-(<>self)
+    window, whether or not self made the top 6.  Majority votes tie-
+    break on the smaller label; float64 cosine matches DuckDB to
+    ~1e-15 so ranks agree (the knn_bruteforce precedent)."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.less(qt["vec_id"], _KNN_CLS_QUERIES)
+    qt = qt.filter(mask)
+    order = np.argsort(qt["vec_id"].to_numpy())
+    qids = qt["vec_id"].to_numpy()[order]
+    tl = qt["label"].to_numpy()[order].astype(np.int64)
+    Q = np.asarray(qt["embedding"].to_pylist(),
+                   dtype=np.float64)[order]
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(ds, Q, k=6, concurrency=(1, 4)).to_pandas()
+    top["qid"] = qids[top["query_id"].to_numpy()]
+    top = top[top["vec_id"] != top["qid"]]
+    top = (top.sort_values(["qid", "rank"])
+           .groupby("qid", sort=True).head(5))
+
+    need = np.unique(top["vec_id"].to_numpy())
+    need_ref = ray.put(need)
+
+    def semi(t: pa.Table) -> pa.Table:
+        ids = ray.get(need_ref)
+        m = np.isin(t["vec_id"].to_numpy(zero_copy_only=False), ids)
+        return t.filter(pa.array(m))
+
+    lab = _pq(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        semi, batch_format="pyarrow").to_pandas()
+    lmap = dict(zip(lab["vec_id"].astype("int64"),
+                    lab["label"].astype("int64")))
+    top["label"] = top["vec_id"].map(lmap)
+    votes = (top.groupby(["qid", "label"], sort=False).size()
+             .reset_index(name="c")
+             .sort_values(["qid", "c", "label"],
+                          ascending=[True, False, True]))
+    pred = votes.groupby("qid", sort=True).head(1)
+    pmap = dict(zip(pred["qid"], pred["label"]))
+    rows = [(int(q), int(t_), int(pmap[q]), int(t_ == pmap[q]))
+            for q, t_ in zip(qids, tl)]
+    return pd.DataFrame({
+        "vec_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "true_label": pd.Series([r[1] for r in rows], dtype="int64"),
+        "pred_label": pd.Series([r[2] for r in rows], dtype="int64"),
+        "correct": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+# ------------------------------------------------------------- YoY growth
+@query(
+    "priority_yoy_growth",
+    """
+    WITH y AS (
+      SELECT o_orderpriority AS pri,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+      FROM orders GROUP BY 1, 2),
+    g AS (SELECT *, LAG(sum_cents) OVER (PARTITION BY pri ORDER BY yr)
+                        AS prev
+          FROM y)
+    SELECT pri, yr, sum_cents,
+           CAST(COALESCE(prev, 0) AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN prev IS NULL OR prev = 0 THEN 0
+                     WHEN sum_cents >= prev
+                     THEN (sum_cents - prev) * 1000000 // prev
+                     ELSE -((prev - sum_cents) * 1000000 // prev)
+                END AS BIGINT) AS growth_ppm
+    FROM g ORDER BY pri, yr
+    """,
+)
+def priority_yoy_growth(sf_dir: str):
+    """Year-over-year revenue growth per order priority — the LAG-
+    over-period trend table every finance dashboard opens with.
+    Distributed shape: the only pass over the data is one two-stage
+    (priority, year) cents sum; the LAG and growth rates compute on
+    that bounded lattice.  Growth is exact integer ppm with the
+    NEGATIVE branch cross-multiplied separately (DuckDB's // truncates
+    toward zero on negatives while numpy floors — splitting on sign
+    makes both engines divide nonnegative integers only)."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pri": t["o_orderpriority"],
+            "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())})
+
+    y = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["pri", "yr"], [("cents", "sum")], rename={"cents_sum": "sum_cents"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = |priorities| x |years|, bounded
+    if len(y) == 0:
+        return pd.DataFrame({
+            "pri": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("yr", "sum_cents", "prev_cents", "growth_ppm")}})
+    y["yr"] = y["yr"].astype("int64")
+    y["sum_cents"] = y["sum_cents"].astype("int64")
+    y = y.sort_values(["pri", "yr"]).reset_index(drop=True)
+    prev = y.groupby("pri", sort=False)["sum_cents"].shift(1)
+    y["prev_cents"] = prev.fillna(0).astype("int64")
+    cur = y["sum_cents"].to_numpy()
+    pv = y["prev_cents"].to_numpy()
+    growth = np.zeros(len(y), dtype=np.int64)
+    pos = pv > 0
+    up = pos & (cur >= pv)
+    dn = pos & (cur < pv)
+    growth[up] = (cur[up] - pv[up]) * 1_000_000 // pv[up]
+    growth[dn] = -((pv[dn] - cur[dn]) * 1_000_000 // pv[dn])
+    y["growth_ppm"] = growth
+    return y[["pri", "yr", "sum_cents", "prev_cents", "growth_ppm"]]
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -8171,6 +8331,7 @@ _DRIVER_ORDER = [
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
     "source_lexical_diversity", "events_autocorr", "events_independence",
     "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
+    "knn_label_accuracy", "priority_yoy_growth",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "orders_winsorized_mean", "events_dispersion", "orders_cube",
     "source_lexical_diversity", "events_autocorr", "events_independence",
     "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
+    "knn_label_accuracy", "priority_yoy_growth",
 ]
 
 
