@@ -8253,6 +8253,114 @@ def priority_yoy_growth(sf_dir: str):
     return y[["pri", "yr", "sum_cents", "prev_cents", "growth_ppm"]]
 
 
+# ----------------------------------------------------- scalar quantization
+@query(
+    "embedding_quantization_error",
+    """
+    WITH x AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+                      CAST(UNNEST(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim),
+    qv AS (SELECT x.dim, x.v, mm.mn, mm.mx,
+                  CASE WHEN mm.mx > mm.mn
+                       THEN LEAST(FLOOR((x.v - mm.mn) * 255.0
+                                        / (mm.mx - mm.mn)), 255)
+                       ELSE 0 END AS q
+           FROM x JOIN mm USING (dim)),
+    e AS (SELECT dim, mn, mx,
+                 CAST(FLOOR(ABS(v - (mn + (q + 0.5) * (mx - mn) / 255.0))
+                            * 1000000000) AS BIGINT) AS err_fp
+          FROM qv)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(FLOOR(MIN(mn) * 1000000000) AS BIGINT) AS mn_fp,
+           CAST(FLOOR(MAX(mx) * 1000000000) AS BIGINT) AS mx_fp,
+           CAST(SUM(err_fp) AS BIGINT) AS sum_err_fp,
+           CAST(MAX(err_fp) AS BIGINT) AS max_err_fp
+    FROM e GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_quantization_error(sf_dir: str):
+    """Int8 scalar quantization of the embedding table with per-dim
+    reconstruction-error accounting — the 4x memory-compression step
+    every vector store applies before ANN, plus the error audit that
+    says whether recall will survive it.  Two passes, both per-dim
+    partial-combined (the exchange moves 64-row lattices, never
+    vectors): pass 1 folds per-dim min/max; pass 2 quantizes with the
+    broadcast ranges (q = floor((v-mn)*255/(mx-mn)), the midpoint
+    reconstruction) and folds err sums/maxes SNAPPED to int64 1e-9
+    fixed point before any keyed sum — the identical IEEE op tree on
+    both engines, so the oracle hash-matches despite float
+    intermediates."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "embeddings", ["embedding"])
+
+    def to_mat(t: pa.Table) -> np.ndarray:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return flat.reshape(t.num_rows, -1)
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        m = to_mat(t)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0))})
+
+    mm = hash_aggregate(
+        ds.map_batches(mm_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["dim"], [("mn", "min"), ("mx", "max")],
+        rename={"mn_min": "mn", "mx_max": "mx"},
+        exchange="coalesce").to_pandas().sort_values("dim")
+    # coalesce: key set = the embedding dimensionality
+    if len(mm) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("dim", "mn_fp", "mx_fp",
+                                       "sum_err_fp", "max_err_fp")})
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    rng_ref = ray.put((mn, mx))
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "mxe": pa.array([], type=pa.int64())})
+        lo, hi = ray.get(rng_ref)
+        v = to_mat(t)
+        span = hi - lo
+        ok = span > 0
+        q = np.zeros_like(v)
+        q[:, ok] = np.minimum(
+            np.floor((v[:, ok] - lo[ok]) * 255.0 / span[ok]), 255.0)
+        recon = lo + (q + 0.5) * span / 255.0
+        err = np.floor(np.abs(v - recon) * 1e9).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(v.shape[1], dtype=np.int64)),
+            "s": pa.array(err.sum(axis=0)),
+            "mxe": pa.array(err.max(axis=0))})
+
+    errs = hash_aggregate(
+        ds.map_batches(err_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["dim"], [("s", "sum"), ("mxe", "max")],
+        rename={"s_sum": "sum_err_fp", "mxe_max": "max_err_fp"},
+        exchange="coalesce").to_pandas()
+    out = mm.merge(errs, on="dim")
+    out["mn_fp"] = np.floor(out["mn"] * 1e9).astype("int64")
+    out["mx_fp"] = np.floor(out["mx"] * 1e9).astype("int64")
+    for c in ("dim", "sum_err_fp", "max_err_fp"):
+        out[c] = out[c].astype("int64")
+    return (out[["dim", "mn_fp", "mx_fp", "sum_err_fp", "max_err_fp"]]
+            .sort_values("dim").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -8332,6 +8440,7 @@ _DRIVER_ORDER = [
     "source_lexical_diversity", "events_autocorr", "events_independence",
     "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
     "knn_label_accuracy", "priority_yoy_growth",
+    "embedding_quantization_error",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
