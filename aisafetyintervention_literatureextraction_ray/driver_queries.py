@@ -6758,28 +6758,28 @@ def parts_basket_rules(sf_dir: str):
     """Market-basket association rules over order line items: the top
     co-purchased part pairs with support, directional confidence and
     lift — frequent-itemset mining's 2-itemset core, the
-    recommendation primitive.  Distributed shape: baskets reduce to
-    DISTINCT (order, part) via one keyed exchange; the pair expansion
-    runs inside the order's bucket with a sorted-shift scan (per-order
-    blowup bounded by basket size squared, baskets are order-line
-    bounded); pair supports fold through hash partials.  Confidence
-    and lift are exact integer ppm (cross-multiplied, truncating
-    division on both engines), computed on the driver for the
-    20-row cut against the broadcast-filtered marginals."""
+    recommendation primitive.  Distributed shape — TWO exchanges
+    total (was five; the session-Y bench flagged the first form):
+    ONE order-hash exchange co-locates each basket, and the bucket
+    visit dedups (order, part) AND emits three row kinds into one
+    stream — pairs, per-part marginal markers (id_b = -1) and one
+    order marker (-2, -2) per distinct order; ONE keyed sum then
+    yields pair supports, marginals and the order total together.
+    Confidence and lift are exact integer ppm (cross-multiplied,
+    truncating division on both engines), computed on the driver for
+    the 20-row cut against the semi-filtered marginals."""
     from .functions.agg import bucketed_apply, hash_aggregate
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    baskets = hash_aggregate(li, ["l_orderkey", "l_partkey"],
-                             [("l_partkey", "count")],
-                             rename={"l_partkey_count": "one"},
-                             exchange="shuffle")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "one": pd.Series([], dtype="int64")})
         if df.empty:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "one": pd.Series([], dtype="int64")})
-        df = df.sort_values(["l_orderkey", "l_partkey"], kind="stable")
+            return empty
+        df = (df[["l_orderkey", "l_partkey"]].drop_duplicates()
+              .sort_values(["l_orderkey", "l_partkey"], kind="stable"))
         o = df["l_orderkey"].to_numpy()
         p = df["l_partkey"].to_numpy()
         outs_a, outs_b = [], []
@@ -6791,21 +6791,27 @@ def parts_basket_rules(sf_dir: str):
             outs_a.append(p[:-g][same])
             outs_b.append(p[g:][same])
             g += 1
-        if not outs_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "one": pd.Series([], dtype="int64")})
-        a = np.concatenate(outs_a)
-        b = np.concatenate(outs_b)
-        return pd.DataFrame({"id_a": a, "id_b": b,
-                             "one": np.ones(len(a), dtype=np.int64)})
+        a = (np.concatenate(outs_a) if outs_a
+             else np.array([], dtype=np.int64))
+        b = (np.concatenate(outs_b) if outs_b
+             else np.array([], dtype=np.int64))
+        n_orders_here = int((o[1:] != o[:-1]).sum()) + 1 if len(o) else 0
+        # pair rows + marginal markers (id_b=-1) + one order marker
+        # (-2,-2) carrying this bucket's distinct-order count
+        return pd.DataFrame({
+            "id_a": np.concatenate([a, p, [-2]]),
+            "id_b": np.concatenate([b, np.full(len(p), -1,
+                                               dtype=np.int64), [-2]]),
+            "one": np.concatenate([np.ones(len(a), dtype=np.int64),
+                                   np.ones(len(p), dtype=np.int64),
+                                   [n_orders_here]])})
 
-    pair_counts = hash_aggregate(
-        bucketed_apply(baskets, ["l_orderkey"], pairs,
-                       exchange="shuffle"),
+    counts = hash_aggregate(
+        bucketed_apply(li, ["l_orderkey"], pairs, exchange="shuffle"),
         ["id_a", "id_b"], [("one", "sum")], rename={"one_sum": "n_ab"},
-        exchange="shuffle")
-    top = (pair_counts
+        exchange="shuffle").materialize()
+    top = (counts
+           .filter(expr="id_b >= 0")
            .sort(key=["n_ab", "id_a", "id_b"],
                  descending=[True, False, False])
            .limit(20).to_pandas())
@@ -6815,24 +6821,21 @@ def parts_basket_rules(sf_dir: str):
                                        "n_b", "conf_ab_ppm",
                                        "conf_ba_ppm", "lift_ppm")})
 
-    marg = hash_aggregate(baskets, ["l_partkey"],
-                          [("l_partkey", "count")],
-                          rename={"l_partkey_count": "n_p"},
-                          exchange="shuffle")
     need = set(top["id_a"]).union(top["id_b"])
     need_ref = ray.put(np.array(sorted(need), dtype=np.int64))
 
     def semi(t: pa.Table) -> pa.Table:
         ids = ray.get(need_ref)
-        mask = np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), ids)
+        mask = np.isin(t["id_a"].to_numpy(zero_copy_only=False),
+                       ids) & (t["id_b"].to_numpy(
+                           zero_copy_only=False) == -1)
         return t.filter(pa.array(mask))
 
-    mg = marg.map_batches(semi, batch_format="pyarrow").to_pandas()
-    n_p = dict(zip(mg["l_partkey"].astype("int64"),
-                   mg["n_p"].astype("int64")))
-    n_orders = int(hash_aggregate(
-        baskets, ["l_orderkey"], [("l_orderkey", "count")],
-        rename={"l_orderkey_count": "one"}, exchange="shuffle").count())
+    mg = counts.map_batches(semi, batch_format="pyarrow").to_pandas()
+    n_p = dict(zip(mg["id_a"].astype("int64"),
+                   mg["n_ab"].astype("int64")))
+    n_orders = int(counts.filter(expr="id_a == -2")
+                   .to_pandas()["n_ab"].sum())
     rows = []
     for _, r in top.iterrows():
         ia, ib, nab = int(r["id_a"]), int(r["id_b"]), int(r["n_ab"])
@@ -6999,10 +7002,31 @@ def kg_assortativity(sf_dir: str):
     Distributed shape: distinct undirected edges via one keyed
     reduce, degrees via endpoint-explode + two-stage count, degrees
     attach to both endpoints through two partitioned skinny joins,
-    and the moments fold map-side into a single-row combine."""
+    and the moments fold map-side into a single-row combine.  Below
+    the repo's MEASURED 2M-edge gate (the connected_components
+    policy) a numpy driver pass computes the identical integers —
+    five exchanges over a small graph are pure scheduling."""
     from .functions.agg import bucketed_join, hash_aggregate
 
     edges = _kg_simple_edges(sf_dir)
+    if edges.count() <= 2_000_000:  # MEASURED driver fast path
+        df = edges.to_pandas()
+        df = df[df["src_id"] != df["dst_id"]]
+        a = np.minimum(df["src_id"], df["dst_id"])
+        b = np.maximum(df["src_id"], df["dst_id"])
+        und = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        codes, _ = pd.factorize(
+            pd.concat([und["a"], und["b"]], ignore_index=True))
+        deg = np.bincount(codes).astype(np.int64)
+        m = len(und)
+        dx = deg[codes[:m]]
+        dy = deg[codes[m:]]
+        return pd.DataFrame({
+            "m": pd.Series([2 * m], dtype="int64"),
+            "sx": pd.Series([int((dx + dy).sum())], dtype="int64"),
+            "sxy": pd.Series([2 * int((dx * dy).sum())], dtype="int64"),
+            "sxx": pd.Series([int((dx * dx + dy * dy).sum())],
+                             dtype="int64")})
 
     def und(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.not_equal(t["src_id"], t["dst_id"]))
@@ -7085,10 +7109,25 @@ def kg_reciprocity(sf_dir: str):
     via one keyed reduce; the reverse-match test is a partitioned
     self-join on the composite endpoint key (edge joined against its
     own reversal — no driver gather); the ratio is exact integer
-    ppm."""
+    ppm.  Below the repo's MEASURED 2M-edge gate a pandas driver pass
+    computes the identical counts (one tiny merge beats two
+    exchanges on a small graph)."""
     from .functions.agg import bucketed_join, hash_aggregate
 
     edges = _kg_simple_edges(sf_dir)
+    if edges.count() <= 2_000_000:  # MEASURED driver fast path
+        df = edges.to_pandas()
+        df = df[df["src_id"] != df["dst_id"]].drop_duplicates()
+        n_edges = len(df)
+        rev = df.rename(columns={"src_id": "dst_id",
+                                 "dst_id": "src_id"})
+        n_recip = len(df.merge(rev, on=["src_id", "dst_id"]))
+        return pd.DataFrame({
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_reciprocal": pd.Series([n_recip], dtype="int64"),
+            "recip_ppm": pd.Series(
+                [n_recip * 1_000_000 // max(1, n_edges)],
+                dtype="int64")})
     SEP = "\x1f"
 
     def keyed(t: pa.Table) -> pa.Table:
