@@ -8400,6 +8400,120 @@ def embedding_quantization_error(sf_dir: str):
             .sort_values("dim").reset_index(drop=True))
 
 
+# ------------------------------------------------------------ RFM segments
+@query(
+    "customer_rfm_segments",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey),
+    t AS (
+      SELECT
+        list_sort(list(r))[CAST(floor((COUNT(*) - 1) * 0.33)
+                                AS BIGINT) + 1] AS r33,
+        list_sort(list(r))[CAST(floor((COUNT(*) - 1) * 0.66)
+                                AS BIGINT) + 1] AS r66,
+        list_sort(list(f))[CAST(floor((COUNT(*) - 1) * 0.33)
+                                AS BIGINT) + 1] AS f33,
+        list_sort(list(f))[CAST(floor((COUNT(*) - 1) * 0.66)
+                                AS BIGINT) + 1] AS f66,
+        list_sort(list(m))[CAST(floor((COUNT(*) - 1) * 0.33)
+                                AS BIGINT) + 1] AS m33,
+        list_sort(list(m))[CAST(floor((COUNT(*) - 1) * 0.66)
+                                AS BIGINT) + 1] AS m66
+      FROM c),
+    s AS (
+      SELECT (1 + CAST(c.r > t.r33 AS INT) + CAST(c.r > t.r66 AS INT))
+                 * 100
+           + (1 + CAST(c.f > t.f33 AS INT) + CAST(c.f > t.f66 AS INT))
+                 * 10
+           + 1 + CAST(c.m > t.m33 AS INT) + CAST(c.m > t.m66 AS INT)
+                 AS segment
+      FROM c CROSS JOIN t)
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s GROUP BY segment ORDER BY segment
+    """,
+)
+def customer_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing partition: score each dimension 1-3 against
+    the corpus-wide EXACT tertiles (the repo's deterministic
+    lower-index quantile, so the cut points replay bit-for-bit) and
+    histogram the 27 R*100+F*10+M segment codes.  Distributed shape:
+    ONE keyed exchange folds orders to per-customer (r, f, m) exact
+    integers (epoch-days, counts, cents); the three tertile pairs come
+    from the engine's grouped_quantiles over that materialized skinny
+    table; scoring is a broadcast-threshold vectorized map and the
+    segment histogram is a bounded 27-key coalesce."""
+    from .functions.agg import grouped_quantiles, hash_aggregate
+
+    ds = _pq(sf_dir, "orders",
+             ["o_custkey", "o_orderdate", "o_totalprice"])
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = (t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "r": pa.array(days),
+            "f": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "m": pa.array(cents)})
+
+    percust = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_custkey"], [("r", "max"), ("f", "sum"), ("m", "sum")],
+        rename={"r_max": "r", "f_sum": "f", "m_sum": "m"},
+        exchange="shuffle").materialize()
+    if percust.count() == 0:
+        return pd.DataFrame({"segment": pd.Series([], dtype="int64"),
+                             "n_customers": pd.Series([], dtype="int64")})
+
+    const = percust.map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    th = {}
+    for col in ("r", "f", "m"):
+        q = grouped_quantiles(const, ["g"], col,
+                              [0.33, 0.66]).to_pandas()
+        th[f"{col}33"] = int(q["q33"].iloc[0])
+        th[f"{col}66"] = int(q["q66"].iloc[0])
+    th_ref = ray.put(th)
+
+    def score(t: pa.Table) -> pa.Table:
+        h = ray.get(th_ref)
+        r = t["r"].to_numpy(zero_copy_only=False)
+        f = t["f"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        seg = ((1 + (r > h["r33"]) + (r > h["r66"])) * 100
+               + (1 + (f > h["f33"]) + (f > h["f66"])) * 10
+               + 1 + (m > h["m33"]) + (m > h["m66"])).astype(np.int64)
+        return pa.table({
+            "segment": pa.array(seg),
+            "one": pa.array(np.ones(len(seg), dtype=np.int64))})
+
+    out = hash_aggregate(
+        percust.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["segment"], [("one", "sum")], rename={"one_sum": "n_customers"},
+        exchange="coalesce").to_pandas()
+    # coalesce: key set = the 27 RFM codes
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["segment", "n_customers"]]
+            .sort_values("segment").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -8479,7 +8593,7 @@ _DRIVER_ORDER = [
     "source_lexical_diversity", "events_autocorr", "events_independence",
     "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
     "knn_label_accuracy", "priority_yoy_growth",
-    "embedding_quantization_error",
+    "embedding_quantization_error", "customer_rfm_segments",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "source_lexical_diversity", "events_autocorr", "events_independence",
     "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
     "knn_label_accuracy", "priority_yoy_growth",
-    "embedding_quantization_error",
+    "embedding_quantization_error", "customer_rfm_segments",
 ]
 
 
