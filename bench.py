@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "kg_scc_levels", "part_supplier_risk", "nation_trade_matrix",
     "knn_label_accuracy", "priority_yoy_growth",
     "embedding_quantization_error", "customer_rfm_segments",
+    "events_bounce_rate", "orders_moving_sum",
 ]
 
 
