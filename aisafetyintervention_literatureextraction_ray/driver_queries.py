@@ -8664,6 +8664,565 @@ def orders_moving_sum(sf_dir: str):
     return out.sort_values(["pri", "orderkey"]).reset_index(drop=True)
 
 
+# ------------------------------------------- decorrelated correlated subquery
+@query(
+    "customers_above_nation_avg",
+    """
+    WITH pc AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100)
+                                    AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey),
+    na AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(cents) AS BIGINT) AS tot
+           FROM pc GROUP BY c_nationkey)
+    SELECT pc.c_custkey, pc.c_nationkey, pc.cents
+    FROM pc JOIN na USING (c_nationkey)
+    WHERE na.n * pc.cents > na.tot
+    ORDER BY pc.c_custkey
+    """,
+)
+def customers_above_nation_avg(sf_dir: str):
+    """The classic correlated subquery ("customers spending more than
+    their nation's average customer"), DECORRELATED into the
+    aggregate-then-broadcast plan a distributed engine wants: one
+    orders pass folds to per-customer exact cents (zero-filled through
+    a left join so order-less customers count toward the average), a
+    second keyed reduce collapses those to 25 per-nation (n, total)
+    rows, and the threshold test runs as a broadcast filter —
+    ``n * cents > tot`` cross-multiplied so no float average ever
+    exists.  The per-nation side is bounded by the nation table, so
+    the broadcast is O(nations) regardless of corpus size."""
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(v)})
+
+    per_cust = hash_aggregate(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("cents", "sum")], rename={"cents_sum": "cents"},
+        exchange="shuffle")
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_nationkey", pa.int64())])
+    per_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("cents", pa.int64())])
+    joined = bucketed_join(cust, per_cust, left_key="c_custkey",
+                           right_key="o_custkey",
+                           right_value_cols=["cents"], how="left",
+                           left_schema=cust_schema,
+                           right_schema=per_schema)
+
+    def zfill(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = df["cents"].fillna(0).astype("int64")
+        return df
+
+    pc_ds = joined.map_batches(zfill, batch_format="pandas").materialize()
+
+    nation_stats = hash_aggregate(
+        pc_ds, ["c_nationkey"], [("cents", "count"), ("cents", "sum")],
+        rename={"cents_count": "n", "cents_sum": "tot"},
+        exchange="coalesce").to_pandas()  # bounded by |nation| = 25 rows
+    n_by = dict(zip(nation_stats["c_nationkey"].astype("int64"),
+                    nation_stats["n"].astype("int64")))
+    tot_by = dict(zip(nation_stats["c_nationkey"].astype("int64"),
+                      nation_stats["tot"].astype("int64")))
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["c_nationkey"].to_numpy()
+        n = np.array([n_by.get(int(k), 0) for k in nk], dtype=np.int64)
+        tot = np.array([tot_by.get(int(k), 0) for k in nk],
+                       dtype=np.int64)
+        keep = n * df["cents"].to_numpy(dtype=np.int64) > tot
+        return df[keep]
+
+    out = pc_ds.map_batches(above, batch_format="pandas").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("c_custkey", "c_nationkey",
+                                       "cents")})
+    for c in ("c_custkey", "c_nationkey", "cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ------------------------------------------------------- Poisson bootstrap CI
+# Poisson(1) CDF thresholds scaled by 2**32 (floor): a uniform 32-bit
+# hash h maps to the bootstrap weight w = #(h >= T_k) — the standard
+# streaming approximation of multinomial resampling, exact-integer so
+# engine and oracle replay identically.
+_POISSON_T = (1580030168, 3160060337, 3950075421, 4213413783,
+              4279248373, 4292415291, 4294609777)
+_BOOT_B = 32
+
+
+@query(
+    "orders_bootstrap_ci",
+    f"""
+    WITH reps AS (SELECT * FROM range({_BOOT_B}) AS t(b)),
+    w AS (
+      SELECT reps.b,
+             CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                                      || '_' || CAST(reps.b AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS h,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN reps),
+    wt AS (
+      SELECT b, cents,
+             {' + '.join(f'CAST(h >= {t} AS BIGINT)' for t in _POISSON_T)}
+                 AS wgt
+      FROM w),
+    r AS (SELECT b, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+                 CAST(SUM(wgt * cents) AS BIGINT) AS wc
+          FROM wt GROUP BY b),
+    m AS (SELECT b, CAST(wc // n_eff AS BIGINT) AS mean_cents FROM r),
+    s AS (SELECT mean_cents,
+                 ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn
+          FROM m)
+    SELECT 'ci_hi' AS stat,
+           (SELECT mean_cents FROM s WHERE rn = {_BOOT_B - 1})
+               AS value_cents
+    UNION ALL
+    SELECT 'ci_lo', (SELECT mean_cents FROM s WHERE rn = 2)
+    UNION ALL
+    SELECT 'point',
+           (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        // COUNT(*) AS BIGINT) FROM orders)
+    ORDER BY stat
+    """,
+)
+def orders_bootstrap_ci(sf_dir: str):
+    """Poisson bootstrap confidence interval for the mean order price —
+    THE bootstrap that works at web scale, because it never needs the
+    global row count up front: each row draws an independent
+    Poisson(1) resampling weight per replicate (inverse-CDF of a
+    deterministic md5 uniform, exact 32-bit integer thresholds), so
+    one streaming pass emits all 32 replicates' partial (sum w,
+    sum w*cents) pairs per block and the exchange carries 32 skinny
+    rows per block — no row ever leaves its block, no replicate ever
+    materializes.  Replicate means divide exact int64s; the 90% CI is
+    the lower-index 1/32 and 31/32 order statistics of the 32 means
+    (ties broken by replicate id on both sides)."""
+    import hashlib
+
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    thr = np.array(_POISSON_T, dtype=np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        keys = [str(k) for k in t["o_orderkey"].to_pylist()]
+        bs, n_effs, wcs = [], [], []
+        for b in range(_BOOT_B):
+            h = np.array(
+                [int(hashlib.md5(f"{k}_{b}".encode()).hexdigest()[:8], 16)
+                 for k in keys], dtype=np.uint64)
+            w = (h[:, None] >= thr[None, :]).sum(axis=1).astype(np.int64)
+            bs.append(b)
+            n_effs.append(int(w.sum()))
+            wcs.append(int((w * cents).sum()))
+        return pa.table({"b": pa.array(bs, pa.int64()),
+                         "n_eff": pa.array(n_effs, pa.int64()),
+                         "wc": pa.array(wcs, pa.int64())})
+
+    reps = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["b"], [("n_eff", "sum"), ("wc", "sum")],
+        rename={"n_eff_sum": "n_eff", "wc_sum": "wc"},
+        exchange="coalesce").to_pandas()  # bounded: B rows total
+
+    # point estimate from one exact partial pass
+    def tot(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"s": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([len(cents)], pa.int64())})
+
+    totals = ds.map_batches(tot, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    point = int(totals["s"].sum()) // max(int(totals["n"].sum()), 1)
+
+    reps["mean_cents"] = (reps["wc"].astype("int64")
+                          // reps["n_eff"].astype("int64"))
+    reps = reps.sort_values(["mean_cents", "b"], kind="mergesort")
+    means = reps["mean_cents"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "stat": ["ci_hi", "ci_lo", "point"],
+        "value_cents": pd.Series(
+            [int(means[_BOOT_B - 2]), int(means[1]), point],
+            dtype="int64")})
+
+
+# ------------------------------------------------------- readability profiling
+@query(
+    "doc_readability",
+    """
+    WITH c AS (
+      SELECT source,
+             length(regexp_extract_all(text, '\\S+')) AS words,
+             length(regexp_extract_all(text, '[a-zA-Z]')) AS letters,
+             length(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                 AS syllables
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(words) AS BIGINT)      AS words,
+           CAST(SUM(letters) AS BIGINT)    AS letters,
+           CAST(SUM(syllables) AS BIGINT)  AS syllables,
+           CAST(1000000 * SUM(syllables) // SUM(words) AS BIGINT)
+               AS syllables_per_word_ppm,
+           CAST(1000000 * SUM(letters) // SUM(words) AS BIGINT)
+               AS letters_per_word_ppm
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def doc_readability(sf_dir: str):
+    """Per-source readability profile (the Flesch-style corpus-quality
+    signal, adapted to this corpus's punctuation-free text): words,
+    letters and vowel-group syllable proxies counted by three
+    vectorized RE2 kernels (``pyarrow.compute.count_substring_regex``
+    — no Python touches a string), folded per block into per-source
+    partials so the exchange carries one skinny row per (source,
+    block), then the two readability ratios as exact integer ppm
+    divisions.  At 100 TB this is one streaming scan + a 20-key
+    reduce; the ratios only exist at the final aggregate, so no float
+    ever crosses an exchange."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t["text"].cast(pa.string()), "")
+        tt = pa.table({
+            "source": t["source"],
+            "words": pc.count_substring_regex(txt, r"\S+").cast(pa.int64()),
+            "letters": pc.count_substring_regex(
+                txt, r"[a-zA-Z]").cast(pa.int64()),
+            "syllables": pc.count_substring_regex(
+                txt, r"[aeiouAEIOU]+").cast(pa.int64()),
+            "one": pa.array(np.ones(len(t), dtype=np.int64))})
+        return pa.TableGroupBy(tt, ["source"]).aggregate(
+            [("one", "sum"), ("words", "sum"), ("letters", "sum"),
+             ("syllables", "sum")])
+
+    agg = hash_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source"],
+        [("one_sum", "sum"), ("words_sum", "sum"),
+         ("letters_sum", "sum"), ("syllables_sum", "sum")],
+        rename={"one_sum_sum": "n_docs", "words_sum_sum": "words",
+                "letters_sum_sum": "letters",
+                "syllables_sum_sum": "syllables"},
+        exchange="shuffle").to_pandas()
+    if len(agg) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n_docs", "words", "letters", "syllables",
+                         "syllables_per_word_ppm",
+                         "letters_per_word_ppm")}})
+    for c in ("n_docs", "words", "letters", "syllables"):
+        agg[c] = agg[c].astype("int64")
+    w = agg["words"].to_numpy(dtype=np.int64)
+    agg["syllables_per_word_ppm"] = (
+        1000000 * agg["syllables"].to_numpy(dtype=np.int64) // w)
+    agg["letters_per_word_ppm"] = (
+        1000000 * agg["letters"].to_numpy(dtype=np.int64) // w)
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------- Naive Bayes source model
+@query(
+    "doc_naive_bayes",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    t2 AS (SELECT doc_id, source, term FROM tok WHERE term <> ''),
+    is_test AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                 AS t
+      FROM documents),
+    train_tok AS (SELECT t2.doc_id, t2.source, t2.term
+                  FROM t2 JOIN is_test it ON it.doc_id = t2.doc_id
+                  WHERE NOT it.t),
+    c AS (SELECT term, source AS cand, CAST(COUNT(*) AS BIGINT) AS c
+          FROM train_tok GROUP BY term, source),
+    tot AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS tot
+            FROM c GROUP BY cand),
+    v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+          FROM train_tok),
+    pri AS (SELECT source AS cand, CAST(COUNT(*) AS BIGINT) AS nd
+            FROM is_test WHERE NOT t GROUP BY source),
+    consts AS (
+      SELECT tot.cand,
+             CAST(FLOOR(LN(CAST(pri.nd AS DOUBLE)) * 1e9) AS BIGINT)
+                 AS pr,
+             CAST(FLOOR(LN(CAST(tot.tot + v.v AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS lt
+      FROM tot JOIN pri USING (cand) CROSS JOIN v),
+    test_docs AS (SELECT doc_id, source FROM is_test WHERE t),
+    tf AS (SELECT t2.doc_id, t2.term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t2 JOIN test_docs td ON td.doc_id = t2.doc_id
+           GROUP BY t2.doc_id, t2.term),
+    vocab AS (SELECT DISTINCT term FROM c),
+    nd AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_d
+           FROM tf JOIN vocab USING (term) GROUP BY tf.doc_id),
+    contrib AS (
+      SELECT tf.doc_id, c.cand,
+             CAST(SUM(tf.tf * CAST(FLOOR(LN(CAST(c.c + 1 AS DOUBLE))
+                                         * 1e9) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM tf JOIN c USING (term) GROUP BY tf.doc_id, c.cand),
+    scores AS (
+      SELECT td.doc_id, td.source AS actual, co.cand,
+             co.pr - COALESCE(nd.n_d, 0) * co.lt + COALESCE(ct.s, 0)
+                 AS score
+      FROM test_docs td CROSS JOIN consts co
+      LEFT JOIN nd ON nd.doc_id = td.doc_id
+      LEFT JOIN contrib ct ON ct.doc_id = td.doc_id
+                          AND ct.cand = co.cand),
+    pred AS (
+      SELECT doc_id, actual, cand,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rn
+      FROM scores)
+    SELECT actual AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CAST(cand = actual AS BIGINT)) AS BIGINT)
+               AS n_correct,
+           CAST(1000000 * SUM(CAST(cand = actual AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS accuracy_ppm
+    FROM pred WHERE rn = 1
+    GROUP BY actual ORDER BY actual
+    """,
+)
+def doc_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes source classifier, trained and evaluated
+    in one distributed pipeline — the standard sanity model for "is
+    this corpus separable by provenance" before spending GPU time.
+    Deterministic md5 split (1/8 test); training is ONE keyed count of
+    (term, source) term frequencies; the per-source totals, vocabulary
+    size and doc priors are bounded reduces (20 rows / one scalar).
+    Scoring is add-one smoothing in disguise-free integer form: each
+    log is snapped to ``floor(ln(x) * 1e9)`` int64 BEFORE any keyed
+    sum, and a test term UNSEEN for a source contributes
+    ``floor(ln(0+1)*1e9) = 0`` — so the (term, cand) join can be
+    INNER and missing pairs cost nothing, the trick that keeps the
+    score join sparse at 100 TB.  The per-doc argmax runs vectorized
+    over a doc_id-bucketed lattice (docs x candidate sources, built
+    per bucket, never globally); accuracy is an exact integer ppm per
+    actual source.  The oracle replays the identical snapped-log op
+    tree, window-ranked."""
+    import hashlib
+
+    from .functions.agg import bucketed_apply, bucketed_join, \
+        hash_aggregate
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(t["text"].cast(pa.string()), "")),
+            pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        tt = pa.table({"doc_id": t["doc_id"].take(pa.array(doc_idx)),
+                       "source": t["source"].take(pa.array(doc_idx)),
+                       "term": flat})
+        tt = tt.filter(pc.not_equal(tt["term"], ""))
+        agg = pa.TableGroupBy(tt, ["doc_id", "source", "term"]).aggregate(
+            [([], "count_all")])
+        return agg.set_column(
+            agg.schema.get_field_index("count_all"), "tf",
+            pc.cast(agg["count_all"], pa.int64()))
+
+    def is_test_ids(ids: list) -> np.ndarray:
+        return np.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1")
+             for i in ids], dtype=bool)
+
+    tf_all = docs.map_batches(tf_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def split(keep_test: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = is_test_ids(t["doc_id"].to_pylist())
+            return t.filter(pa.array(m if keep_test else ~m))
+        return fn
+
+    train_tf = tf_all.map_batches(split(False), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    test_tf = tf_all.map_batches(split(True), batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .drop_columns(["source"]).materialize()
+
+    c_ds = hash_aggregate(
+        train_tf.map_batches(
+            lambda t: t.rename_columns(["doc_id", "cand", "term", "tf"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["term", "cand"], [("tf", "sum")], rename={"tf_sum": "c"},
+        exchange="shuffle").materialize()
+
+    tot = hash_aggregate(c_ds, ["cand"], [("c", "sum")],
+                         rename={"c_sum": "tot"},
+                         exchange="coalesce").to_pandas()  # <= |sources|
+    vocab = hash_aggregate(c_ds, ["term"], [("c", "count")],
+                           rename={"c_count": "m"},
+                           exchange="shuffle") \
+        .select_columns(["term"]).materialize()
+    n_vocab = vocab.count()
+
+    def doc_flags(t: pa.Table) -> pa.Table:
+        m = is_test_ids(t["doc_id"].to_pylist())
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "t": pa.array(m)})
+
+    flags = docs.select_columns(["doc_id", "source"]).map_batches(
+        doc_flags, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+    pri = hash_aggregate(
+        flags.map_batches(
+            lambda t: t.filter(pc.invert(t["t"])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("doc_id", "count")], rename={"doc_id_count": "nd"},
+        exchange="coalesce").to_pandas()  # <= |sources|
+
+    tot_by = dict(zip(tot["cand"], tot["tot"].astype("int64")))
+    nd_by = dict(zip(pri["source"], pri["nd"].astype("int64")))
+    cands = sorted(set(tot_by) & set(nd_by))
+    if not cands:  # degenerate split: no usable training sources
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n_test", "n_correct", "accuracy_ppm")}})
+    consts = pd.DataFrame({
+        "cand": cands,
+        "pr": [int(np.floor(np.log(float(nd_by[s])) * 1e9))
+               for s in cands],
+        "lt": [int(np.floor(np.log(float(tot_by[s] + n_vocab)) * 1e9))
+               for s in cands]})
+
+    # schemas hoisted once (chained joins must not re-derive from
+    # possibly-empty intermediates)
+    id_type = pa.int64()
+    test_tf_schema = pa.schema([("doc_id", id_type),
+                                ("term", pa.string()),
+                                ("tf", pa.int64())])
+    c_schema = pa.schema([("term", pa.string()), ("cand", pa.string()),
+                          ("c", pa.int64())])
+    vocab_schema = pa.schema([("term", pa.string())])
+
+    # n_d: in-vocab token count per test doc (semi-join to the vocab)
+    iv = bucketed_join(test_tf, vocab.map_batches(
+        lambda t: t.append_column("m", pa.array(
+            np.ones(len(t), dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True),
+        left_key="term", right_key="term", right_value_cols=["m"],
+        left_schema=test_tf_schema,
+        right_schema=vocab_schema.append(pa.field("m", pa.int64())))
+    nd_ds = hash_aggregate(iv, ["doc_id"], [("tf", "sum")],
+                           rename={"tf_sum": "n_d"}, exchange="shuffle")
+
+    # per-(doc, cand) contribution: tf * snapped ln(c+1); unseen pairs
+    # contribute exactly 0 so the join stays INNER and sparse
+    joined = bucketed_join(test_tf, c_ds, left_key="term",
+                           right_key="term",
+                           right_value_cols=["cand", "c"],
+                           left_schema=test_tf_schema,
+                           right_schema=c_schema)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        lnc = np.floor(np.log(
+            df["c"].to_numpy(dtype=np.float64) + 1.0) * 1e9).astype(
+                np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "cand": df["cand"],
+            "s": df["tf"].to_numpy(dtype=np.int64) * lnc})
+
+    contrib_ds = hash_aggregate(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["doc_id", "cand"], [("s", "sum")], rename={"s_sum": "s"},
+        exchange="shuffle")
+
+    test_docs = flags.map_batches(
+        lambda t: t.filter(t["t"]).drop_columns(["t"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    td_schema = pa.schema([("doc_id", id_type), ("source", pa.string())])
+    nd_schema = pa.schema([("doc_id", id_type), ("n_d", pa.int64())])
+    with_nd = bucketed_join(test_docs, nd_ds, left_key="doc_id",
+                            right_key="doc_id", right_value_cols=["n_d"],
+                            how="left", left_schema=td_schema,
+                            right_schema=nd_schema)
+    wn_schema = pa.schema([("doc_id", id_type), ("source", pa.string()),
+                           ("n_d", pa.int64())])
+    ct_schema = pa.schema([("doc_id", id_type), ("cand", pa.string()),
+                           ("s", pa.int64())])
+    lattice_in = bucketed_join(with_nd, contrib_ds, left_key="doc_id",
+                               right_key="doc_id",
+                               right_value_cols=["cand", "s"],
+                               how="left", left_schema=wn_schema,
+                               right_schema=ct_schema)
+
+    def argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        docs_u = df[["doc_id", "source", "n_d"]].drop_duplicates(
+            subset=["doc_id"]).copy()
+        docs_u["n_d"] = docs_u["n_d"].fillna(0).astype("int64")
+        lat = docs_u.merge(consts, how="cross")
+        ct = df[df["cand"].notna()][["doc_id", "cand", "s"]]
+        lat = lat.merge(ct, on=["doc_id", "cand"], how="left")
+        lat["s"] = lat["s"].fillna(0).astype("int64")
+        lat["score"] = (lat["pr"].astype("int64")
+                        - lat["n_d"] * lat["lt"].astype("int64")
+                        + lat["s"])
+        lat = lat.sort_values(["doc_id", "score", "cand"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = lat.groupby("doc_id", sort=False).head(1)
+        return pd.DataFrame({
+            "source": top["source"].to_numpy(),
+            "correct": (top["cand"].to_numpy()
+                        == top["source"].to_numpy()).astype(np.int64)})
+
+    per_doc = bucketed_apply(lattice_in, ["doc_id"], argmax_bucket,
+                             exchange="shuffle")
+    out = hash_aggregate(per_doc, ["source"],
+                         [("correct", "count"), ("correct", "sum")],
+                         rename={"correct_count": "n_test",
+                                 "correct_sum": "n_correct"},
+                         exchange="coalesce").to_pandas()  # <= |sources|
+    if len(out) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n_test", "n_correct", "accuracy_ppm")}})
+    for c in ("n_test", "n_correct"):
+        out[c] = out[c].astype("int64")
+    out["accuracy_ppm"] = (1000000 * out["n_correct"]) // out["n_test"]
+    return out.sort_values("source").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -8745,6 +9304,9 @@ _DRIVER_ORDER = [
     "knn_label_accuracy", "priority_yoy_growth",
     "embedding_quantization_error", "customer_rfm_segments",
     "events_bounce_rate", "orders_moving_sum",
+    # round-5 session-5 additions
+    "customers_above_nation_avg", "orders_bootstrap_ci",
+    "doc_readability", "doc_naive_bayes",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
