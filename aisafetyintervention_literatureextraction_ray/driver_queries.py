@@ -9223,6 +9223,73 @@ def doc_naive_bayes(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+# --------------------------------------------------- greedy maximal matching
+def _matching_sql(n: int) -> str:
+    """Unroll the hash-derandomized greedy-matching rounds
+    (functions/graph.py::greedy_matching) into chained DuckDB CTEs:
+    per round one edge-priority table
+    ``md5(a || '|' || b || '|r') || '|' || a || '|' || b``, one keyed
+    MIN over the exploded (endpoint, key) rows, the bilocal-minimum
+    winner join, and two left-join anti filters dropping edges that
+    touch matched nodes — the identical keyed op tree, so the oracle
+    is bit-equal."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a,"
+        " GREATEST(s, d) AS b FROM e WHERE s <> d),",
+    ]
+    for r in range(1, n + 1):
+        parts += [
+            f"k{r} AS MATERIALIZED (SELECT a, b,"
+            f" md5(a || '|' || b || '|{r}') || '|' || a || '|' || b AS k"
+            f" FROM e{r - 1}),",
+            f"mn{r} AS MATERIALIZED (SELECT node_id, MIN(k) AS mk FROM"
+            f" (SELECT a AS node_id, k FROM k{r}"
+            f" UNION ALL SELECT b, k FROM k{r}) AS x{r}"
+            f" GROUP BY node_id),",
+            f"m{r} AS MATERIALIZED (SELECT kk.a, kk.b FROM k{r} kk"
+            f" JOIN mn{r} ma ON ma.node_id = kk.a"
+            f" JOIN mn{r} mb ON mb.node_id = kk.b"
+            f" WHERE kk.k = ma.mk AND kk.k = mb.mk),",
+            f"mv{r} AS (SELECT a AS node_id FROM m{r}"
+            f" UNION SELECT b FROM m{r}),",
+            f"e{r} AS MATERIALIZED (SELECT t.a, t.b FROM e{r - 1} t"
+            f" LEFT JOIN mv{r} x ON x.node_id = t.a"
+            f" LEFT JOIN mv{r} y ON y.node_id = t.b"
+            f" WHERE x.node_id IS NULL AND y.node_id IS NULL),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT a, b, CAST({r} AS BIGINT) AS match_round FROM m{r}"
+        for r in range(1, n + 1))
+    parts.append(
+        f"SELECT a, b, match_round FROM ({selects}) AS allm"
+        f" ORDER BY a, b")
+    return "\n".join(parts)
+
+
+@query("kg_matching", _matching_sql(12))
+def kg_matching(sf_dir: str):
+    """Hash-derandomized greedy maximal matching over the resolved KG
+    (functions/graph.py::greedy_matching): disjoint entity PAIRS no
+    two of which share an endpoint — the conflict-free work units for
+    pairwise merge adjudication or parallel per-pair relation updates
+    (the edge analogue of kg_mis).  md5 edge priorities make every
+    round deterministic and SQL-replayable; an edge matches when its
+    key is minimal at BOTH endpoints (Israeli-Itai locally-lightest
+    rule); ``match_round`` records when."""
+    from .functions.graph import greedy_matching
+
+    out = greedy_matching(_kg_simple_edges(sf_dir), src="src_id",
+                          dst="dst_id", n_rounds=12).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "match_round": pd.Series([], dtype="int64")})
+    out["match_round"] = out["match_round"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9306,7 +9373,7 @@ _DRIVER_ORDER = [
     "events_bounce_rate", "orders_moving_sum",
     # round-5 session-5 additions
     "customers_above_nation_avg", "orders_bootstrap_ci",
-    "doc_readability", "doc_naive_bayes",
+    "doc_readability", "doc_naive_bayes", "kg_matching",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

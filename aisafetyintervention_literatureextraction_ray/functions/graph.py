@@ -2916,6 +2916,203 @@ def _luby_driver(e: rd.Dataset, n_rounds: int, *,
         "round": pa.array(rounds, pa.int64())}))
 
 
+# -------------------------------------------------------- greedy matching
+def greedy_matching(edges: rd.Dataset, *, src: str = "src",
+                    dst: str = "dst", n_rounds: int = 12,
+                    num_buckets: int | None = None,
+                    driver_threshold: int = 2_000_000) -> rd.Dataset:
+    """``(a, b, match_round)`` — hash-derandomized greedy MAXIMAL
+    MATCHING over the undirected distinct simple graph: a set of edges
+    no two of which share an endpoint (KG use: pairing entities for
+    pairwise merge adjudication, or carving a relation set into
+    disjoint work units so parallel per-pair updates never conflict —
+    the edge-analogue of :func:`luby_mis`).
+
+    Round ``r`` gives every residual edge the deterministic priority
+    key ``md5(str(a) + '|' + str(b) + '|' + str(r)) + '|a|b'`` (unique,
+    so comparisons are strict; SQL replays it as
+    ``md5(a || '|' || b || '|r') || '|' || a || '|' || b``).  An edge
+    matches iff its key is the MINIMUM among all residual edges at
+    BOTH endpoints (the locally-lightest-edge rule of parallel greedy
+    matching, cf. Israeli-Itai); matched endpoints leave the graph.
+    The globally-smallest residual key always matches, so the residual
+    set strictly shrinks; with ``n_rounds`` FIXED the output is the
+    well-defined "matching after n rounds" on both engine paths and in
+    the unrolled-CTE oracle (maximal whenever the rounds sufficed —
+    expected O(log m)).
+
+    Scale shape per round: one edge-key map, one keyed min over the
+    exploded (endpoint, key) rows, two mark joins against the
+    per-node minima, and two left-join anti filters to drop edges
+    touching matched nodes — all skinny bucketed exchanges with
+    hoisted static schemas.  Below ``driver_threshold`` distinct edges
+    (MEASURED, the connected_components 2M policy) the identical
+    recurrence runs vectorized on the driver."""
+    import hashlib
+
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
+    id_type = _input_id_type(edges, src)
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "match_round": pa.array([], type=pa.int64())}))
+
+    n_und = und.count()
+    if n_und == 0:
+        return empty()
+    if driver_threshold and n_und <= driver_threshold:
+        return _matching_driver(und, n_rounds, id_type=id_type)
+
+    e_schema = pa.schema([("a", id_type), ("b", id_type)])
+    ek_schema = pa.schema([("a", id_type), ("b", id_type),
+                           ("k", pa.string())])
+    mn_schema = pa.schema([("node_id", id_type), ("mk", pa.string())])
+    cur = und
+    matched_rounds: list[rd.Dataset] = []
+    for r in range(1, n_rounds + 1):
+        if cur.count() == 0:
+            break
+
+        def with_key(t: pa.Table, _r=r) -> pa.Table:
+            pairs = zip(t.column("a").to_pylist(),
+                        t.column("b").to_pylist())
+            ks = [hashlib.md5(f"{a}|{b}|{_r}".encode()).hexdigest()
+                  + f"|{a}|{b}" for a, b in pairs]
+            return pa.table({"a": t.column("a"), "b": t.column("b"),
+                             "k": pa.array(ks, pa.string())})
+
+        ek = cur.map_batches(with_key, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+        def explode(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node_id": pa.chunked_array(
+                    [t.column("a"), t.column("b")]).combine_chunks(),
+                "k": pa.chunked_array(
+                    [t.column("k"), t.column("k")]).combine_chunks()})
+
+        mn = hash_aggregate(
+            ek.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["node_id"], [("k", "min")], rename={"k_min": "mk"},
+            num_buckets=num_buckets, exchange="shuffle").materialize()
+
+        j1 = bucketed_join(ek, mn, left_key="a", right_key="node_id",
+                           right_value_cols=["mk"],
+                           num_buckets=num_buckets,
+                           left_schema=ek_schema, right_schema=mn_schema)
+        j1 = j1.map_batches(
+            lambda t: t.rename_columns(["a", "b", "k", "mka"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        j1_schema = pa.schema([("a", id_type), ("b", id_type),
+                               ("k", pa.string()), ("mka", pa.string())])
+        j2 = bucketed_join(j1, mn, left_key="b", right_key="node_id",
+                           right_value_cols=["mk"],
+                           num_buckets=num_buckets,
+                           left_schema=j1_schema, right_schema=mn_schema)
+
+        def winners(t: pa.Table) -> pa.Table:
+            won = pc.and_(pc.equal(t.column("k"), t.column("mka")),
+                          pc.equal(t.column("k"), t.column("mk")))
+            return pa.table({"a": t.column("a").filter(won),
+                             "b": t.column("b").filter(won)})
+
+        m = j2.map_batches(winners, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+        if m.count() == 0:
+            # no edge is bilocally minimal only when the residual is
+            # empty, so this is unreachable; guard keeps rounds total
+            break
+        matched_rounds.append(m.map_batches(
+            lambda t, _r=r: t.append_column(
+                "match_round",
+                pa.array(np.full(t.num_rows, _r, np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize())
+
+        mv = hash_aggregate(
+            m.map_batches(
+                lambda t: pa.table({"node_id": pa.chunked_array(
+                    [t.column("a"), t.column("b")]).combine_chunks()}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["node_id"], [("node_id", "count")],
+            num_buckets=num_buckets, exchange="shuffle",
+        ).select_columns(["node_id"]).map_batches(
+            lambda t: t.append_column(
+                "f", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        mv_schema = pa.schema([("node_id", id_type), ("f", pa.int8())])
+
+        surv = bucketed_join(cur, mv, left_key="a",
+                             right_key="node_id", right_value_cols=["f"],
+                             how="left", num_buckets=num_buckets,
+                             left_schema=e_schema,
+                             right_schema=mv_schema).map_batches(
+            lambda t: pa.table({
+                "a": t.column("a").filter(pc.is_null(t.column("f"))),
+                "b": t.column("b").filter(pc.is_null(t.column("f")))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cur = bucketed_join(surv, mv, left_key="b",
+                            right_key="node_id", right_value_cols=["f"],
+                            how="left", num_buckets=num_buckets,
+                            left_schema=e_schema,
+                            right_schema=mv_schema).map_batches(
+            lambda t: pa.table({
+                "a": t.column("a").filter(pc.is_null(t.column("f"))),
+                "b": t.column("b").filter(pc.is_null(t.column("f")))}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if not matched_rounds:
+        return empty()
+    out = matched_rounds[0]
+    for m in matched_rounds[1:]:
+        out = out.union(m)
+    return out
+
+
+def _matching_driver(und: rd.Dataset, n_rounds: int, *,
+                     id_type: pa.DataType) -> rd.Dataset:
+    """Dict-based form of the identical keyed recurrence over the
+    (already canonical ``a < b`` distinct, driver-gathered) edges."""
+    import hashlib
+
+    df = und.to_pandas()
+    residual = list(zip(df["a"], df["b"]))
+    out_a: list = []
+    out_b: list = []
+    rounds: list[int] = []
+    for r in range(1, n_rounds + 1):
+        if not residual:
+            break
+        key = {(a, b): hashlib.md5(f"{a}|{b}|{r}".encode()).hexdigest()
+               + f"|{a}|{b}" for a, b in residual}
+        mk: dict = {}
+        for (a, b), k in key.items():
+            if a not in mk or k < mk[a]:
+                mk[a] = k
+            if b not in mk or k < mk[b]:
+                mk[b] = k
+        matched = [(a, b) for (a, b), k in key.items()
+                   if mk[a] == k and mk[b] == k]
+        gone = {v for ab in matched for v in ab}
+        out_a.extend(a for a, _ in matched)
+        out_b.extend(b for _, b in matched)
+        rounds.extend([r] * len(matched))
+        residual = [(a, b) for a, b in residual
+                    if a not in gone and b not in gone]
+    return rd.from_arrow(pa.table({
+        "a": pa.array(out_a).cast(id_type) if out_a
+        else pa.array([], type=id_type),
+        "b": pa.array(out_b).cast(id_type) if out_b
+        else pa.array([], type=id_type),
+        "match_round": pa.array(rounds, pa.int64())}))
+
+
 # ----------------------------------------------------------------- k-truss
 def _edge_supports(und: rd.Dataset, *,
                    num_buckets: int | None) -> rd.Dataset:

@@ -1643,6 +1643,95 @@ def test_luby_mis_contracts(driver_threshold):
         luby_mis(ds, n_rounds=0, driver_threshold=driver_threshold)
 
 
+# -------------------------------------------------------- greedy matching
+def _matching_reference(und_edges, n_rounds):
+    """Dict-based greedy matching with the md5-key derandomization."""
+    import hashlib
+
+    residual = sorted(und_edges)
+    out = {}
+    for r in range(1, n_rounds + 1):
+        if not residual:
+            break
+        key = {(a, b): hashlib.md5(f"{a}|{b}|{r}".encode()).hexdigest()
+               + f"|{a}|{b}" for a, b in residual}
+        mk: dict = {}
+        for (a, b), k in key.items():
+            mk[a] = min(mk.get(a, k), k)
+            mk[b] = min(mk.get(b, k), k)
+        matched = [(a, b) for (a, b), k in key.items()
+                   if mk[a] == k and mk[b] == k]
+        gone = {v for ab in matched for v in ab}
+        out.update({ab: r for ab in matched})
+        residual = [(a, b) for a, b in residual
+                    if a not in gone and b not in gone]
+    return out, residual
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (13, 20, 40, 0),          # forced DISTRIBUTED path
+    (13, 20, 40, 2_000_000),  # measured driver fast path, same input
+    (7, 12, 24, 2_000_000),
+])
+def test_greedy_matching_matches_reference(seed, n_nodes, n_edges,
+                                           driver_threshold):
+    """Both paths == the dict-based md5-keyed reference, and the
+    converged result is a genuine maximal matching: no two matched
+    edges share an endpoint, and every residual edge touches a
+    matched node."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import greedy_matching
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}",
+            f"v{rng.randrange(n_nodes):02d}") for _ in range(n_edges)]
+    dedup = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    ref, leftover = _matching_reference(dedup, 12)
+    assert not leftover  # 12 rounds converge at this size
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = greedy_matching(ds, n_rounds=12,
+                          driver_threshold=driver_threshold).to_pandas()
+    got_map = {(r.a, r.b): r.match_round for r in got.itertuples()}
+    assert got_map == ref
+
+    ends: list = []
+    for a, b in got_map:
+        ends += [a, b]
+    assert len(ends) == len(set(ends))  # disjoint pairs
+    matched_nodes = set(ends)
+    assert all(a in matched_nodes or b in matched_nodes
+               for a, b in dedup)      # maximal
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_greedy_matching_contracts(driver_threshold):
+    """Path a-b-c: exactly one edge matches in round 1 (the md5-min);
+    self-loops don't participate; empty input gives a typed empty;
+    n_rounds < 1 raises."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import greedy_matching
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "b", "x"], "dst": ["b", "c", "x"]}))
+    got = greedy_matching(ds, n_rounds=12,
+                          driver_threshold=driver_threshold).to_pandas()
+    assert len(got) == 1 and got["match_round"].iloc[0] == 1
+    assert (got["a"].iloc[0], got["b"].iloc[0]) in {("a", "b"),
+                                                    ("b", "c")}
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = greedy_matching(empty, driver_threshold=driver_threshold)
+    assert out.schema().names == ["a", "b", "match_round"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        greedy_matching(ds, n_rounds=0,
+                        driver_threshold=driver_threshold)
+
+
 # -------------------------------------------------------- rollup aggregate
 def test_rollup_aggregate_levels():
     """All rollup levels from one shuffle: finest groups, per-prefix
