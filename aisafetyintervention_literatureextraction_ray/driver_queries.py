@@ -9030,8 +9030,7 @@ def doc_naive_bayes(sf_dir: str):
     tree, window-ranked."""
     import hashlib
 
-    from .functions.agg import bucketed_apply, bucketed_join, \
-        hash_aggregate
+    from .functions.agg import bucketed_apply, hash_aggregate
 
     docs = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
 
@@ -9123,74 +9122,109 @@ def doc_naive_bayes(sf_dir: str):
         "lt": [int(np.floor(np.log(float(tot_by[s] + n_vocab)) * 1e9))
                for s in cands]})
 
-    # schemas hoisted once (chained joins must not re-derive from
-    # possibly-empty intermediates)
-    id_type = pa.int64()
-    test_tf_schema = pa.schema([("doc_id", id_type),
-                                ("term", pa.string()),
-                                ("tf", pa.int64())])
-    c_schema = pa.schema([("term", pa.string()), ("cand", pa.string()),
-                          ("c", pa.int64())])
-    vocab_schema = pa.schema([("term", pa.string())])
+    # ONE term-bucketed co-group pass does the (term -> cand) score
+    # join AND the in-vocab token count, with per-bucket partial
+    # combining so the second exchange carries (doc, cand) partials —
+    # never the docs x terms x cands join rows (the
+    # carry-payload-through-one-group-map policy; a separate
+    # bucketed_join + keyed sum measured ~3x slower here).  Unseen
+    # (term, cand) pairs contribute floor(ln(0+1)*1e9) = 0, so the
+    # in-bucket merge stays INNER and sparse.
+    _ND = "\x00nd"  # sentinel cand: in-vocab token-count partials
 
-    # n_d: in-vocab token count per test doc (semi-join to the vocab)
-    iv = bucketed_join(test_tf, vocab.map_batches(
-        lambda t: t.append_column("m", pa.array(
-            np.ones(len(t), dtype=np.int64))),
-        batch_format="pyarrow", zero_copy_batch=True),
-        left_key="term", right_key="term", right_value_cols=["m"],
-        left_schema=test_tf_schema,
-        right_schema=vocab_schema.append(pa.field("m", pa.int64())))
-    nd_ds = hash_aggregate(iv, ["doc_id"], [("tf", "sum")],
-                           rename={"tf_sum": "n_d"}, exchange="shuffle")
+    def as_union_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "term": t["term"], "doc_id": t["doc_id"],
+            "tf": t["tf"],
+            "cand": pa.array([""] * n, pa.string()),
+            "c": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
 
-    # per-(doc, cand) contribution: tf * snapped ln(c+1); unseen pairs
-    # contribute exactly 0 so the join stays INNER and sparse
-    joined = bucketed_join(test_tf, c_ds, left_key="term",
-                           right_key="term",
-                           right_value_cols=["cand", "c"],
-                           left_schema=test_tf_schema,
-                           right_schema=c_schema)
+    def as_union_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "term": t["term"],
+            "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "tf": pa.array(np.zeros(n, dtype=np.int64)),
+            "cand": t["cand"], "c": t["c"],
+            "side": pa.array(np.ones(n, dtype=np.int8))})
 
-    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+    both = test_tf.map_batches(as_union_left, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        c_ds.map_batches(as_union_right, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "cand": pd.Series([], dtype=object),
+                              "s": pd.Series([], dtype="int64")})
+        if left.empty or right.empty:
+            return empty
+        m = left[["doc_id", "term", "tf"]].merge(
+            right[["term", "cand", "c"]], on="term")
+        if m.empty:
+            return empty
         lnc = np.floor(np.log(
-            df["c"].to_numpy(dtype=np.float64) + 1.0) * 1e9).astype(
+            m["c"].to_numpy(dtype=np.float64) + 1.0) * 1e9).astype(
                 np.int64)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "cand": df["cand"],
-            "s": df["tf"].to_numpy(dtype=np.int64) * lnc})
+        m["s"] = m["tf"].to_numpy(dtype=np.int64) * lnc
+        contrib = (m.groupby(["doc_id", "cand"], sort=False)["s"].sum()
+                   .reset_index())
+        iv = m.drop_duplicates(subset=["doc_id", "term"])
+        nd = iv.groupby("doc_id", sort=False)["tf"].sum().reset_index()
+        nd["cand"] = _ND
+        nd = nd.rename(columns={"tf": "s"})
+        return pd.concat([contrib, nd[["doc_id", "cand", "s"]]],
+                         ignore_index=True)
 
-    contrib_ds = hash_aggregate(
-        joined.map_batches(contrib, batch_format="pandas"),
-        ["doc_id", "cand"], [("s", "sum")], rename={"s_sum": "s"},
-        exchange="shuffle")
+    # per-term-bucket PARTIALS; the (doc, cand) sums complete inside
+    # the next doc_id-bucketed co-group (every doc lands in exactly one
+    # bucket), so no standalone keyed exchange is needed in between
+    combined = bucketed_apply(both, ["term"], cogroup,
+                              exchange="shuffle").materialize()
 
-    test_docs = flags.map_batches(
-        lambda t: t.filter(t["t"]).drop_columns(["t"]),
+    # second (and last) co-group: the test-doc roster and the score
+    # partials share ONE doc_id exchange; the per-bucket lattice
+    # (docs x candidate sources) is built vectorized and collapses to
+    # per-(actual source) accuracy PARTIALS before leaving the bucket
+    def as_roster(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].filter(t["t"])
+        n = len(ids)
+        return pa.table({
+            "doc_id": ids, "source": t["source"].filter(t["t"]),
+            "cand": pa.array([""] * n, pa.string()),
+            "s": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    test_docs = flags.map_batches(as_roster, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    score_rows = combined.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "source": pa.array(
+                [""] * len(t), pa.string()),
+            "cand": t["cand"], "s": t["s"],
+            "side": pa.array(np.ones(len(t), dtype=np.int8))}),
         batch_format="pyarrow", zero_copy_batch=True)
-    td_schema = pa.schema([("doc_id", id_type), ("source", pa.string())])
-    nd_schema = pa.schema([("doc_id", id_type), ("n_d", pa.int64())])
-    with_nd = bucketed_join(test_docs, nd_ds, left_key="doc_id",
-                            right_key="doc_id", right_value_cols=["n_d"],
-                            how="left", left_schema=td_schema,
-                            right_schema=nd_schema)
-    wn_schema = pa.schema([("doc_id", id_type), ("source", pa.string()),
-                           ("n_d", pa.int64())])
-    ct_schema = pa.schema([("doc_id", id_type), ("cand", pa.string()),
-                           ("s", pa.int64())])
-    lattice_in = bucketed_join(with_nd, contrib_ds, left_key="doc_id",
-                               right_key="doc_id",
-                               right_value_cols=["cand", "s"],
-                               how="left", left_schema=wn_schema,
-                               right_schema=ct_schema)
 
     def argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        docs_u = df[["doc_id", "source", "n_d"]].drop_duplicates(
-            subset=["doc_id"]).copy()
+        docs_u = df[df["side"] == 0][["doc_id", "source"]]
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "n_test": pd.Series([], dtype="int64"),
+                              "n_correct": pd.Series([], dtype="int64")})
+        if docs_u.empty:
+            return empty
+        parts = df[df["side"] == 1]
+        nd = (parts[parts["cand"] == _ND].groupby(
+            "doc_id", sort=False)["s"].sum().rename("n_d")
+            .reset_index())
+        docs_u = docs_u.merge(nd, on="doc_id", how="left")
         docs_u["n_d"] = docs_u["n_d"].fillna(0).astype("int64")
         lat = docs_u.merge(consts, how="cross")
-        ct = df[df["cand"].notna()][["doc_id", "cand", "s"]]
+        ct = (parts[parts["cand"] != _ND].groupby(
+            ["doc_id", "cand"], sort=False)["s"].sum().reset_index())
         lat = lat.merge(ct, on=["doc_id", "cand"], how="left")
         lat["s"] = lat["s"].fillna(0).astype("int64")
         lat["score"] = (lat["pr"].astype("int64")
@@ -9200,17 +9234,21 @@ def doc_naive_bayes(sf_dir: str):
                               ascending=[True, False, True],
                               kind="mergesort")
         top = lat.groupby("doc_id", sort=False).head(1)
-        return pd.DataFrame({
-            "source": top["source"].to_numpy(),
-            "correct": (top["cand"].to_numpy()
-                        == top["source"].to_numpy()).astype(np.int64)})
+        ok = (top["cand"].to_numpy() == top["source"].to_numpy())
+        g = pd.DataFrame({"source": top["source"].to_numpy(),
+                          "correct": ok.astype(np.int64)})
+        agg = g.groupby("source", sort=False)["correct"].agg(
+            ["count", "sum"]).reset_index()
+        return pd.DataFrame({"source": agg["source"],
+                             "n_test": agg["count"].astype("int64"),
+                             "n_correct": agg["sum"].astype("int64")})
 
-    per_doc = bucketed_apply(lattice_in, ["doc_id"], argmax_bucket,
-                             exchange="shuffle")
-    out = hash_aggregate(per_doc, ["source"],
-                         [("correct", "count"), ("correct", "sum")],
-                         rename={"correct_count": "n_test",
-                                 "correct_sum": "n_correct"},
+    per_src = bucketed_apply(test_docs.union(score_rows), ["doc_id"],
+                             argmax_bucket, exchange="shuffle")
+    out = hash_aggregate(per_src, ["source"],
+                         [("n_test", "sum"), ("n_correct", "sum")],
+                         rename={"n_test_sum": "n_test",
+                                 "n_correct_sum": "n_correct"},
                          exchange="coalesce").to_pandas()  # <= |sources|
     if len(out) == 0:
         return pd.DataFrame({

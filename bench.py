@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "knn_label_accuracy", "priority_yoy_growth",
     "embedding_quantization_error", "customer_rfm_segments",
     "events_bounce_rate", "orders_moving_sum",
+    "customers_above_nation_avg", "orders_bootstrap_ci",
+    "doc_readability", "doc_naive_bayes", "kg_matching",
 ]
 
 
