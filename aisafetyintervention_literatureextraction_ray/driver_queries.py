@@ -9328,6 +9328,76 @@ def kg_matching(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# -------------------------------------------------------- minimizer sketch
+_MZ_W = 16  # minimizer window: ~2/(w+1) of grams survive
+
+
+@query(
+    "doc_minimizer_sketch",
+    f"""
+    WITH cp AS (
+      SELECT doc_id, len(coalesce(text, '')) AS n,
+             list_transform(range(1, len(coalesce(text, '')) + 1),
+                            k -> CAST(unicode(coalesce(text, '')[k])
+                                      AS HUGEINT)) AS c
+      FROM documents),
+    wh AS (
+      SELECT doc_id, n,
+             list_transform(range(1, greatest(n - 7, 1) + 1),
+               i -> ({_FP_TERMS}) % {_FP_M}::HUGEINT) AS hs
+      FROM cp),
+    ws AS (
+      SELECT doc_id, n, len(hs) AS n_grams,
+             list_transform(
+               range(1, greatest(len(hs) - {_MZ_W - 1}, 1) + 1),
+               i -> list_aggregate(hs[i:i+{_MZ_W - 1}], 'min')) AS m
+      FROM wh)
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0 ELSE n_grams END AS n_grams,
+           CASE WHEN n = 0 THEN 0 ELSE len(m) END AS n_windows,
+           CASE WHEN n = 0 THEN 0
+                ELSE len(list_distinct(m)) END AS n_minimizers,
+           CASE WHEN n = 0 THEN 0
+                ELSE CAST(1000000 * len(list_distinct(m)) // len(m)
+                          AS BIGINT) END AS density_ppm
+    FROM ws ORDER BY doc_id
+    """,
+)
+def doc_minimizer_sketch(sf_dir: str):
+    """Winnowing / minimizer sketch statistics per document
+    (functions/text.py::minimizer_stats): every 16-window of the
+    rolling 8-gram hashes keeps its MINIMUM — the position-robust
+    ~2/(w+1) gram subsample behind minimap-style containment and
+    plagiarism detection, here reported as per-doc gram / window /
+    distinct-minimizer counts plus the sketch density in exact integer
+    ppm.  Embarrassingly parallel (one numpy stride-trick pass per
+    doc, no exchange at all); minima compare in the unsigned 64-bit
+    domain on both sides, so the DuckDB list-lambda oracle replays
+    the counts exactly."""
+    from .functions.text import minimizer_stats
+
+    def project(t: pa.Table) -> pa.Table:
+        g, w, m = minimizer_stats(t.column("text").to_pylist(), w=_MZ_W)
+        dens = np.where(w > 0, 1000000 * m // np.maximum(w, 1), 0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_grams": pa.array(g), "n_windows": pa.array(w),
+            "n_minimizers": pa.array(m),
+            "density_ppm": pa.array(dens.astype(np.int64))})
+
+    out = (_pq(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(project, batch_format="pyarrow",
+                        batch_size=4096)
+           .to_pandas())
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n_grams", "n_windows", "n_minimizers",
+                         "density_ppm")}})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9412,6 +9482,7 @@ _DRIVER_ORDER = [
     # round-5 session-5 additions
     "customers_above_nation_avg", "orders_bootstrap_ci",
     "doc_readability", "doc_naive_bayes", "kg_matching",
+    "doc_minimizer_sketch",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -149,6 +149,53 @@ def fingerprint64(texts: list[str]) -> np.ndarray:
     return out
 
 
+def minimizer_stats(texts: list[str], w: int = 16) -> tuple[
+        np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc (w, 8)-minimizer sketch statistics: the rolling 8-gram
+    hashes of :func:`fingerprint64`, reduced to the MINIMUM hash of
+    every ``w``-window — the winnowing/minimizer sampling scheme
+    (Schleimer et al. winnowing; minimap-style sketches) that picks a
+    position-robust ~2/(w+1) subset of grams for containment and
+    overlap detection.  Returns ``(n_grams, n_windows,
+    n_minimizers)`` int64 arrays: gram count, window count, and the
+    DISTINCT minimizer count per document.
+
+    Window minima compare in the UNSIGNED 64-bit domain (the raw
+    mod-2^64 polynomial value), which a DuckDB oracle replays exactly
+    with nonnegative HUGEINTs (``list_aggregate(hs[i:i+w-1], 'min')``)
+    — no signed bit view anywhere, because only counts of distinct
+    minima leave this function.  Texts shorter than one full window
+    produce a single window over whatever grams exist; empty text is
+    (0, 0, 0)."""
+    n_docs = len(texts)
+    n_grams = np.zeros(n_docs, dtype=np.int64)
+    n_windows = np.zeros(n_docs, dtype=np.int64)
+    n_minimizers = np.zeros(n_docs, dtype=np.int64)
+    weights = np.uint64(2654435761) ** np.arange(8, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        cps = np.frombuffer((t or "").encode("utf-32-le"),
+                            dtype=np.uint32).astype(np.uint64)
+        n = len(cps)
+        if n == 0:
+            continue
+        if n >= 8:
+            win = np.lib.stride_tricks.sliding_window_view(cps, 8)
+            hashes = (win * weights).sum(axis=1)  # wraps mod 2^64
+        else:
+            hashes = np.array([(cps * weights[:n]).sum()],
+                              dtype=np.uint64)
+        nh = len(hashes)
+        if nh >= w:
+            mins = np.lib.stride_tricks.sliding_window_view(
+                hashes, w).min(axis=1)
+        else:
+            mins = hashes.min(keepdims=True)
+        n_grams[i] = nh
+        n_windows[i] = len(mins)
+        n_minimizers[i] = len(np.unique(mins))
+    return n_grams, n_windows, n_minimizers
+
+
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fingerprint") -> pa.Table:
     fp = fingerprint64(batch.column(text_col).to_pylist())
