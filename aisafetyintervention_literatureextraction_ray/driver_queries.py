@@ -9398,6 +9398,78 @@ def doc_minimizer_sketch(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ----------------------------------------------- shortest-path counting
+def _path_counts_sql(n_rounds: int, n_seeds: int) -> str:
+    """Unroll the (min, sum-over-argmin) Jacobi rounds
+    (functions/graph.py::bfs_path_counts) into chained DuckDB CTEs:
+    per round one frontier join, the seed base rows re-unioned, and a
+    window argmin + keyed sum — pure integer ops, so the oracle is
+    bit-equal under any execution order."""
+    parts = [
+        f"WITH {_KG_EDGE_SET_SQL},",
+        "sym AS MATERIALIZED (SELECT s AS x, d AS y FROM e WHERE s <> d"
+        " UNION SELECT d, s FROM e WHERE s <> d),",
+        f"seeds AS (SELECT DISTINCT x AS p FROM sym ORDER BY p"
+        f" LIMIT {n_seeds}),",
+        "s0 AS (SELECT p AS pivot_id, p AS node_id, CAST(0 AS BIGINT)"
+        " AS dist, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts += [
+            f",c{t} AS (SELECT s.pivot_id, sym.y AS node_id,"
+            f" s.dist + 1 AS dist, s.sigma"
+            f" FROM s{t-1} s JOIN sym ON sym.x = s.node_id),",
+            f"u{t} AS (SELECT * FROM c{t}"
+            f" UNION ALL SELECT * FROM s0),",
+            f"s{t} AS MATERIALIZED ("
+            f" SELECT pivot_id, node_id, dist,"
+            f" CAST(SUM(sigma) AS BIGINT) AS sigma FROM ("
+            f"  SELECT pivot_id, node_id, dist, sigma,"
+            f"  MIN(dist) OVER (PARTITION BY pivot_id, node_id) AS md"
+            f"  FROM u{t}) AS w{t}"
+            f" WHERE dist = md GROUP BY pivot_id, node_id, dist)",
+        ]
+    parts.append(
+        f"SELECT pivot_id, node_id, dist, sigma FROM s{n_rounds}"
+        f" ORDER BY pivot_id, node_id")
+    return "\n".join(parts)
+
+
+@query("kg_path_counts", _path_counts_sql(6, 3))
+def kg_path_counts(sf_dir: str):
+    """Shortest-path COUNTING from 3 pivot entities over the resolved
+    KG (functions/graph.py::bfs_path_counts — the integer-exact
+    forward pass of Brandes betweenness): for every reached node, the
+    BFS hop distance and the number of distinct shortest claim chains
+    ``sigma`` connecting it to the pivot — the evidence-multiplicity
+    signal (one fragile chain vs many independent ones).  Synchronous
+    Jacobi rounds on the (min, sum-over-argmin) semiring; settled
+    nodes are provably stable, so the fixed 6-round output is
+    well-defined and the unrolled-CTE oracle replays it exactly."""
+    from .functions.graph import bfs_path_counts
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    seeds = _smallest_node_ids(edges, 3)
+    if not seeds:  # empty graph: typed empty result
+        return pd.DataFrame({
+            "pivot_id": pd.Series([], dtype=object),
+            "node_id": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype="int64"),
+            "sigma": pd.Series([], dtype="int64")})
+    out = bfs_path_counts(edges, src="src_id", dst="dst_id",
+                          seeds=seeds, n_rounds=6).to_pandas()
+    out = out.rename(columns={"pivot": "pivot_id"})
+    if len(out) == 0:
+        return pd.DataFrame({
+            "pivot_id": pd.Series([], dtype=object),
+            "node_id": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype="int64"),
+            "sigma": pd.Series([], dtype="int64")})
+    out["dist"] = out["dist"].astype("int64")
+    out["sigma"] = out["sigma"].astype("int64")
+    return out.sort_values(["pivot_id", "node_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9482,7 +9554,7 @@ _DRIVER_ORDER = [
     # round-5 session-5 additions
     "customers_above_nation_avg", "orders_bootstrap_ci",
     "doc_readability", "doc_naive_bayes", "kg_matching",
-    "doc_minimizer_sketch",
+    "doc_minimizer_sketch", "kg_path_counts",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -1643,6 +1643,95 @@ def test_luby_mis_contracts(driver_threshold):
         luby_mis(ds, n_rounds=0, driver_threshold=driver_threshold)
 
 
+# -------------------------------------------------------- path counting
+def _path_counts_reference(und_edges, seeds, n_rounds):
+    """Textbook BFS with path counting (sigma accumulation by level)."""
+    adj: dict[str, set] = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for p in seeds:
+        if p not in adj:
+            continue
+        dist = {p: 0}
+        sigma = {p: 1}
+        frontier = [p]
+        for lvl in range(1, n_rounds + 1):
+            nxt: dict[str, int] = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v in dist and dist[v] < lvl:
+                        continue
+                    nxt[v] = nxt.get(v, 0) + sigma[u]
+            frontier = []
+            for v, s in nxt.items():
+                if v not in dist:
+                    dist[v], sigma[v] = lvl, s
+                    frontier.append(v)
+        for v in dist:
+            out[(p, v)] = (dist[v], sigma[v])
+    return out
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,driver_threshold", [
+    (11, 14, 30, 0),          # forced DISTRIBUTED path
+    (11, 14, 30, 2_000_000),  # measured driver fast path, same input
+    (3, 10, 18, 2_000_000),
+])
+def test_bfs_path_counts_matches_reference(seed, n_nodes, n_edges,
+                                           driver_threshold):
+    """Both paths equal the textbook level-BFS sigma accumulation —
+    the Jacobi full-recompute recurrence converges to exact distances
+    AND exact shortest-path counts for every node within n_rounds."""
+    import random
+
+    from aisafetyintervention_literatureextraction_ray.functions.graph import bfs_path_counts
+
+    rng = random.Random(seed)
+    raw = [(f"v{rng.randrange(n_nodes):02d}",
+            f"v{rng.randrange(n_nodes):02d}") for _ in range(n_edges)]
+    dedup = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    nodes = sorted({v for ab in dedup for v in ab})
+    seeds = nodes[:2]
+    ref = _path_counts_reference(dedup, seeds, 6)
+
+    ds = rd.from_arrow(pa.table({"src": [a for a, _ in raw],
+                                 "dst": [b for _, b in raw]}))
+    got = bfs_path_counts(ds, seeds=seeds, n_rounds=6,
+                          driver_threshold=driver_threshold).to_pandas()
+    got_map = {(r.pivot, r.node_id): (r.dist, r.sigma)
+               for r in got.itertuples()}
+    assert got_map == ref
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_bfs_path_counts_contracts(driver_threshold):
+    """Diamond a-{b,c}-d: two shortest paths to d; empty input gives a
+    typed empty; empty seeds / n_rounds < 1 raise."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import bfs_path_counts
+
+    ds = rd.from_arrow(pa.table({
+        "src": ["a", "a", "b", "c"], "dst": ["b", "c", "d", "d"]}))
+    got = bfs_path_counts(ds, seeds=["a"], n_rounds=6,
+                          driver_threshold=driver_threshold).to_pandas()
+    m = {r.node_id: (r.dist, r.sigma) for r in got.itertuples()}
+    assert m == {"a": (0, 1), "b": (1, 1), "c": (1, 1), "d": (2, 2)}
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = bfs_path_counts(empty, seeds=["a"],
+                          driver_threshold=driver_threshold)
+    assert out.schema().names == ["pivot", "node_id", "dist", "sigma"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        bfs_path_counts(ds, seeds=[], driver_threshold=driver_threshold)
+    with pytest.raises(ValueError):
+        bfs_path_counts(ds, seeds=["a"], n_rounds=0,
+                        driver_threshold=driver_threshold)
+
+
 # -------------------------------------------------------- greedy matching
 def _matching_reference(und_edges, n_rounds):
     """Dict-based greedy matching with the md5-key derandomization."""
