@@ -9470,6 +9470,102 @@ def kg_path_counts(sf_dir: str):
     return out.sort_values(["pivot_id", "node_id"]).reset_index(drop=True)
 
 
+# ------------------------------------------------ Markov stationary mass
+_MK_SCALE = 1_000_000_000_000  # fixed-point 1e12
+_MK_ROUNDS = 20
+
+
+def _markov_sql(n_rounds: int) -> str:
+    """Unroll the fixed-point power iteration
+    (events_markov_stationary) into chained DuckDB CTEs: one
+    transition-count pass, then per round one matrix-vector product
+    with per-term truncating division ``val * cnt // rsum`` in
+    HUGEINT — identical to the engine's Python-int arithmetic, so the
+    oracle is bit-equal."""
+    parts = [
+        """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    tr AS (SELECT prev_type AS f, event_type AS t,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    rs AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS rsum
+           FROM tr GROUP BY f),
+    trn AS (SELECT tr.f, tr.t, tr.cnt, rs.rsum
+            FROM tr JOIN rs USING (f)),
+    types AS (SELECT DISTINCT f AS typ FROM tr),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),"""
+        + f"""
+    p0 AS (SELECT typ, CAST({_MK_SCALE} // nt.k AS BIGINT) AS val
+           FROM types, nt)""",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(f"""
+    ,p{t} AS (SELECT trn.t AS typ,
+                CAST(SUM(CAST(p.val AS HUGEINT) * trn.cnt // trn.rsum)
+                     AS BIGINT) AS val
+              FROM p{t-1} p JOIN trn ON trn.f = p.typ
+              GROUP BY trn.t)""")
+    parts.append(f"""
+    SELECT typ AS event_type, val AS mass_e12 FROM p{n_rounds}
+    ORDER BY event_type""")
+    return "".join(parts)
+
+
+@query("events_markov_stationary", _markov_sql(_MK_ROUNDS))
+def events_markov_stationary(sf_dir: str):
+    """Stationary mass of the per-user event-type Markov chain
+    (power iteration over the events_type_transitions matrix): where
+    an average session ultimately spends its time — the steady-state
+    engagement mix.  ONE distributed pass builds the transition counts
+    (per-user ordered shift + keyed sum, the transitions machinery);
+    the matrix is bounded by |event types|^2, so the 20-round power
+    iteration runs on the gathered counts in ARBITRARY-PRECISION
+    Python ints with truncating per-term division
+    ``val * cnt // rsum`` — bit-identical to the HUGEINT SQL replay,
+    no float ever, and deterministic under any summation order
+    because every term is snapped before the keyed sum."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame({"f": g["event_type"].shift(1),
+                            "t": g["event_type"]})
+        return out[out["f"].notna()]
+
+    rows = bucketed_group_map(ds, ["user_id"], transitions,
+                              exchange="shuffle")
+    tr = hash_aggregate(rows, ["f", "t"], [("t", "count")],
+                        rename={"t_count": "cnt"},
+                        exchange="coalesce").to_pandas()  # <= |types|^2
+    if len(tr) == 0:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "mass_e12": pd.Series([], dtype="int64")})
+    cnt = {(r.f, r.t): int(r.cnt) for r in tr.itertuples()}
+    rsum: dict = {}
+    for (f, _), c in cnt.items():
+        rsum[f] = rsum.get(f, 0) + c
+    types = sorted(rsum)
+    val = {typ: _MK_SCALE // len(types) for typ in types}
+    for _ in range(_MK_ROUNDS):
+        nxt: dict = {}
+        for (f, t), c in cnt.items():
+            if f in val:
+                nxt[t] = nxt.get(t, 0) + val[f] * c // rsum[f]
+        val = nxt
+    out = pd.DataFrame({
+        "event_type": sorted(val),
+        "mass_e12": pd.Series([val[t] for t in sorted(val)],
+                              dtype="int64")})
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9555,6 +9651,7 @@ _DRIVER_ORDER = [
     "customers_above_nation_avg", "orders_bootstrap_ci",
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
+    "events_markov_stationary",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
