@@ -9566,6 +9566,88 @@ def events_markov_stationary(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ------------------------------------------------- product quantization
+def _pq_sql(k: int, n_iters: int, n_sub: int = 4,
+            scale: int = 1_000_000) -> str:
+    """Unroll the product-quantization Lloyd recurrence
+    (stages/similarity.py::product_quantization) into chained DuckDB
+    CTEs: the kmeans oracle's integer op tree with a ``dim // sub_d``
+    subspace key, so all ``n_sub`` codebooks replay in one
+    recurrence."""
+    parts = [
+        "WITH dd AS (SELECT CAST(len(embedding) // "
+        f"{n_sub} AS BIGINT) AS sd FROM embeddings LIMIT 1),",
+        "x0 AS MATERIALIZED (",
+        "  SELECT vec_id, UNNEST(range(len(embedding))) AS dim,",
+        f"         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)"
+        f" * {scale}) AS BIGINT) AS fp",
+        "  FROM embeddings),",
+        "x AS MATERIALIZED (SELECT x0.vec_id, x0.dim, x0.fp,"
+        " CAST(x0.dim // dd.sd AS BIGINT) AS sub FROM x0, dd),",
+        "sv AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)"
+        " - 1 AS BIGINT) AS cid FROM (SELECT vec_id FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k}) AS s0),",
+        "cc0 AS MATERIALIZED (SELECT sv.cid, x.dim, x.fp FROM sv"
+        " JOIN x USING (vec_id)),",
+    ]
+    for i in range(1, n_iters + 1):
+        parts += [
+            f"d{i} AS MATERIALIZED (SELECT x.vec_id, x.sub, c.cid,"
+            f" SUM((x.fp - c.fp) * (x.fp - c.fp)) AS dist"
+            f" FROM x JOIN cc{i - 1} c USING (dim)"
+            f" GROUP BY x.vec_id, x.sub, c.cid),",
+            f"a{i} AS MATERIALIZED (SELECT vec_id, sub, cid, dist FROM"
+            f" (SELECT vec_id, sub, cid, dist, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn"
+            f" FROM d{i}) AS r{i} WHERE rn = 1),",
+        ]
+        if i < n_iters:
+            parts += [
+                f"s{i} AS MATERIALIZED (SELECT a.cid, x.dim,"
+                f" CAST(SUM(x.fp) AS BIGINT) AS s,"
+                f" CAST(COUNT(*) AS BIGINT) AS n FROM a{i} a"
+                f" JOIN x ON x.vec_id = a.vec_id AND x.sub = a.sub"
+                f" GROUP BY a.cid, x.dim),",
+                f"cc{i} AS MATERIALIZED (SELECT p.cid, p.dim,"
+                f" CAST(COALESCE(s.s // s.n, p.fp) AS BIGINT) AS fp"
+                f" FROM cc{i - 1} p LEFT JOIN s{i} s"
+                f" ON s.cid = p.cid AND s.dim = p.dim),",
+            ]
+    parts[-1] = parts[-1].rstrip(",")
+    codes = ", ".join(
+        f"CAST(MAX(CASE WHEN sub = {j} THEN cid END) AS BIGINT)"
+        f" AS code_{j}" for j in range(n_sub))
+    parts.append(
+        f"SELECT vec_id, {codes}, CAST(SUM(dist) AS BIGINT) AS err"
+        f" FROM a{n_iters} GROUP BY vec_id ORDER BY vec_id")
+    return "\n".join(parts)
+
+
+@query("embedding_pq_codes", _pq_sql(4, 2))
+def embedding_pq_codes(sf_dir: str):
+    """Product quantization of the embeddings table
+    (stages/similarity.py::product_quantization): 4 subspace codebooks
+    (k=4 each) trained by the exact-fixed-point Lloyd recurrence in
+    ONE pass per iteration (the global dim index encodes the
+    subspace, so the update exchange stays the k x dims bounded
+    lattice), then every vector encoded as its per-subspace
+    nearest-centroid ids + the exact integer squared reconstruction
+    error — the billion-vector ANN memory layout, oracle-checked
+    bit-for-bit against the sub-keyed unrolled-CTE replay."""
+    from .stages.similarity import product_quantization
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = product_quantization(ds, id_col="vec_id", n_sub=4, k=4,
+                               n_iters=2).to_pandas()
+    cols = ["vec_id", "code_0", "code_1", "code_2", "code_3", "err"]
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9651,7 +9733,7 @@ _DRIVER_ORDER = [
     "customers_above_nation_avg", "orders_bootstrap_ci",
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
-    "events_markov_stationary",
+    "events_markov_stationary", "embedding_pq_codes",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -494,6 +494,124 @@ def kmeans_fixed_point(ds: rd.Dataset, *, id_col: str = "vec_id",
                             zero_copy_batch=True)
 
 
+def product_quantization(ds: rd.Dataset, *, id_col: str = "vec_id",
+                         emb_col: str = "embedding", n_sub: int = 4,
+                         k: int = 4, n_iters: int = 2,
+                         scale: int = 1_000_000,
+                         num_buckets: int | None = None) -> rd.Dataset:
+    """``(id_col, code_0..code_{n_sub-1}, err)`` — product
+    quantization: the embedding splits into ``n_sub`` contiguous
+    subspaces, each clustered by the SAME exact-fixed-point Lloyd
+    recurrence as :func:`kmeans_fixed_point`, and every vector is
+    encoded as its per-subspace nearest-centroid ids (the PQ code that
+    stores a 64-dim float vector in ``n_sub`` small ints — the memory
+    layout ANN systems use at billion-vector scale).  ``err`` is the
+    exact integer squared reconstruction error (sum of the per-sub
+    argmin distances in the snapped fixed-point domain).
+
+    All ``n_sub`` codebooks train in ONE pass per iteration: the
+    per-batch partial emits (cluster, GLOBAL dim) sums — the global
+    dim index encodes the subspace, so the keyed exchange stays the
+    k x d bounded lattice of ``kmeans_fixed_point`` and the driver
+    update is bounded by design.  Init: the ``k`` smallest ids'
+    subvectors per subspace; ties, truncating-division means and
+    empty-cluster carryover follow the kmeans contract exactly, so
+    the whole recurrence (with a ``dim // sub_d`` subspace key)
+    unrolls into DuckDB SQL bit-for-bit."""
+    from ..functions.agg import hash_aggregate
+
+    if k < 1 or n_iters < 1 or n_sub < 1:
+        raise ValueError("k, n_iters and n_sub must be >= 1")
+
+    seed_rows = (ds.select_columns([id_col, emb_col])
+                 .sort(id_col).limit(k).take_all())
+    id_type = _pa_col_type(ds, id_col)
+    code_cols = [f"code_{j}" for j in range(n_sub)]
+    if not seed_rows:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            **{c: pa.array([], type=pa.int64()) for c in code_cols},
+            "err": pa.array([], type=pa.int64())}))
+    S = np.floor(np.asarray(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in seed_rows]
+    ) * scale).astype(np.int64)  # (k' x d), k' <= k
+    kk, d = S.shape
+    if d % n_sub != 0:
+        raise ValueError(f"embedding dim {d} not divisible by {n_sub}")
+    sub_d = d // n_sub
+    C = np.ascontiguousarray(
+        S.reshape(kk, n_sub, sub_d).transpose(1, 0, 2))  # (n_sub,k',sub_d)
+
+    def fp_subs(t: pa.Table) -> np.ndarray:
+        M = np.floor(embeddings_to_numpy(t[emb_col]).astype(
+            np.float64) * scale).astype(np.int64)
+        return M.reshape(len(M), n_sub, sub_d)
+
+    def update_partial(cent_ref):
+        def f(t: pa.Table) -> pa.Table:
+            Cs = ray.get(cent_ref)
+            R = fp_subs(t)
+            rows_c, rows_d, rows_s, rows_n = [], [], [], []
+            for s in range(n_sub):
+                dists = ((R[:, s, None, :] - Cs[s][None]) ** 2).sum(-1)
+                a = np.argmin(dists, axis=1)
+                sums = np.zeros((len(Cs[s]), sub_d), np.int64)
+                np.add.at(sums, a, R[:, s, :])
+                cnt = np.bincount(a, minlength=len(Cs[s])).astype(
+                    np.int64)
+                rows_c.append(np.repeat(
+                    np.arange(len(Cs[s]), dtype=np.int64), sub_d))
+                rows_d.append(s * sub_d + np.tile(
+                    np.arange(sub_d, dtype=np.int64), len(Cs[s])))
+                rows_s.append(sums.ravel())
+                rows_n.append(np.repeat(cnt, sub_d))
+            return pa.table({
+                "cluster": pa.array(np.concatenate(rows_c)),
+                "dim": pa.array(np.concatenate(rows_d)),
+                "s": pa.array(np.concatenate(rows_s)),
+                "n": pa.array(np.concatenate(rows_n))})
+        return f
+
+    data = ds.select_columns([id_col, emb_col]).materialize()
+    for _ in range(n_iters - 1):
+        cent_ref = ray.put(C)
+        agg = hash_aggregate(
+            data.map_batches(update_partial(cent_ref),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["cluster", "dim"], [("s", "sum"), ("n", "sum")],
+            rename={"s_sum": "s", "n_sum": "n"},
+            num_buckets=num_buckets, exchange="shuffle").take_all()
+        new = C.copy()  # empty clusters keep their centroid
+        for r in agg:
+            if r["n"] > 0:
+                s = int(r["s"])
+                nn = int(r["n"])
+                g = int(r["dim"])
+                new[g // sub_d, r["cluster"], g % sub_d] = (
+                    s // nn if s >= 0 else -((-s) // nn))
+        C = new
+
+    def encode(cent_ref):
+        def f(t: pa.Table) -> pa.Table:
+            Cs = ray.get(cent_ref)
+            R = fp_subs(t)
+            out = {id_col: t[id_col]}
+            err = np.zeros(len(R), np.int64)
+            for s in range(n_sub):
+                dists = ((R[:, s, None, :] - Cs[s][None]) ** 2).sum(-1)
+                a = np.argmin(dists, axis=1)
+                out[f"code_{s}"] = pa.array(a.astype(np.int64))
+                err += dists[np.arange(len(R)), a]
+            out["err"] = pa.array(err)
+            return pa.table(out)
+        return f
+
+    return data.map_batches(encode(ray.put(C)),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def _pa_col_type(ds: rd.Dataset, col: str) -> pa.DataType:
     from ..functions.agg import pa_type_of
 
