@@ -2091,3 +2091,56 @@ def test_dag_levels_rejects_cycles(driver_threshold):
     loop = rd.from_arrow(pa.table({"src": ["a"], "dst": ["a"]}))
     with pytest.raises(ValueError, match="self-loop"):
         dag_levels(loop, driver_threshold=driver_threshold)
+
+
+# -------------------------------------------------------- minimizer sketch
+def test_minimizer_stats_contracts():
+    """Empty text is (0,0,0); short text (< 8 cps) hashes one gram and
+    one window with one minimizer; repetitive text collapses its
+    distinct-minimizer count; counts respect the w-window algebra."""
+    from aisafetyintervention_literatureextraction_ray.functions.text import minimizer_stats
+
+    g, w, m = minimizer_stats(["", "abc", "x" * 100, "abcdefgh" * 8],
+                              w=16)
+    assert (g[0], w[0], m[0]) == (0, 0, 0)
+    assert (g[1], w[1], m[1]) == (1, 1, 1)
+    # constant text: every 8-gram hash equal -> exactly one minimizer
+    assert g[2] == 100 - 7 and w[2] == g[2] - 15 and m[2] == 1
+    # periodic text: at most 8 distinct 8-grams
+    assert m[3] <= 8
+    # window algebra: n_windows = max(n_grams - w + 1, 1) when grams exist
+    assert all(wi == max(gi - 15, 1) for gi, wi in zip(g, w) if gi > 0)
+
+
+# -------------------------------------------------------- product quantization
+def test_product_quantization_contracts():
+    """Codes are in range, errors nonnegative, and a vector equal to a
+    codebook seed reconstructs its own subvectors exactly (err 0 when
+    the seed stays a centroid); indivisible dims and empty input are
+    handled."""
+    from aisafetyintervention_literatureextraction_ray.stages.similarity import product_quantization
+
+    vecs = [[float(i + j) / 10.0 for j in range(8)] for i in range(6)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    out = product_quantization(ds, n_sub=4, k=2, n_iters=1).to_pandas()
+    assert len(out) == 6
+    for j in range(4):
+        assert out[f"code_{j}"].between(0, 1).all()
+    assert (out["err"] >= 0).all()
+    # n_iters=1 -> centroids ARE the two smallest-id vectors: those
+    # vectors quantize to themselves with zero error
+    assert out.sort_values("vec_id")["err"].iloc[0] == 0
+    assert out.sort_values("vec_id")["err"].iloc[1] == 0
+
+    with pytest.raises(ValueError):
+        product_quantization(ds, n_sub=3, k=2, n_iters=1).to_pandas()
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out2 = product_quantization(empty, n_sub=4, k=2, n_iters=1)
+    assert out2.count() == 0
+    assert out2.schema().names == ["vec_id", "code_0", "code_1",
+                                   "code_2", "code_3", "err"]
