@@ -9648,6 +9648,120 @@ def embedding_pq_codes(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+# ------------------------------------------------------ Wald-Wolfowitz runs
+@query(
+    "events_runs_test",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, m FROM (
+        SELECT event_type, cnt AS m,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt, hour) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM h) AS q WHERE rn = (n + 1) // 2),
+    s AS (
+      SELECT h.event_type, h.hour,
+             CASE WHEN h.cnt > med.m THEN 1 ELSE 0 END AS ab
+      FROM h JOIN med USING (event_type) WHERE h.cnt <> med.m),
+    r AS (SELECT event_type, ab,
+                 LAG(ab) OVER (PARTITION BY event_type
+                               ORDER BY hour) AS prev
+          FROM s),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ab) AS BIGINT) AS n_above,
+             CAST(COUNT(*) - SUM(ab) AS BIGINT) AS n_below,
+             CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND ab <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM r GROUP BY event_type)
+    SELECT event_type, n, n_above, n_below, runs,
+           CAST(CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 THEN 0
+                WHEN 10000 * (CAST(n AS HUGEINT) * (runs - 1)
+                              - 2 * CAST(n_above AS HUGEINT) * n_below)
+                           * (CAST(n AS HUGEINT) * (runs - 1)
+                              - 2 * CAST(n_above AS HUGEINT) * n_below)
+                           * (n - 1)
+                     > 76832 * CAST(n_above AS HUGEINT) * n_below
+                             * (2 * CAST(n_above AS HUGEINT) * n_below
+                                - n)
+                THEN 1 ELSE 0 END AS BIGINT) AS nonrandom
+    FROM st ORDER BY event_type
+    """,
+)
+def events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test per event type: is the hourly volume
+    series random around its median, or does it trend/cluster (the
+    seasonality-vs-noise gate before fitting anything fancier)?
+    One keyed pass builds the (type, hour) counts; each type's ordered
+    series folds IN ITS BUCKET to (n, n_above, n_below, runs) —
+    median-tied hours dropped per the textbook test — and the 5%
+    two-sided decision is ONE exact integer comparison,
+    ``10000 * D^2 * (n-1) > 76832 * ab * (2ab - n)`` with
+    ``D = n*(R-1) - 2ab`` (the z^2 > 1.96^2 inequality cross-multiplied
+    in arbitrary-precision ints / HUGEINT — no float, no sqrt, the
+    events_ab_test policy)."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"event_type": t["event_type"],
+                       "hour": pc.floor_temporal(t["ts"], unit="hour")})
+        return pa.TableGroupBy(tt, ["event_type", "hour"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "hour", "cnt"])
+
+    hourly = hash_aggregate(
+        ds.map_batches(hour_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], [("cnt", "sum")],
+        rename={"cnt_sum": "cnt"}, exchange="shuffle")
+
+    def runs_stat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour", kind="mergesort")
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        med = int(np.sort(cnt)[(len(cnt) - 1) // 2])
+        ab = cnt[cnt != med] > med
+        n = int(len(ab))
+        if n == 0:  # every hour ties the median: the oracle's s CTE
+            # has no rows for this type, so it must vanish here too
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype="int64")
+                   for c in ("n", "n_above", "n_below", "runs",
+                             "nonrandom")}})
+        a = int(ab.sum())
+        b = n - a
+        runs = int(1 + (ab[1:] != ab[:-1]).sum()) if n else 0
+        if a == 0 or b == 0 or n < 2:
+            nonr = 0
+        else:
+            D = n * (runs - 1) - 2 * a * b
+            nonr = int(10000 * D * D * (n - 1)
+                       > 76832 * a * b * (2 * a * b - n))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [n], "n_above": [a], "n_below": [b],
+            "runs": [runs], "nonrandom": [nonr]})
+
+    out = bucketed_group_map(hourly, ["event_type"], runs_stat,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("n", "n_above", "n_below", "runs",
+                         "nonrandom")}})
+    for c in ("n", "n_above", "n_below", "runs", "nonrandom"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9734,6 +9848,7 @@ _DRIVER_ORDER = [
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
+    "events_runs_test",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
