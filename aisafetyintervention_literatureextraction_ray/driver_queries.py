@@ -9762,6 +9762,101 @@ def events_runs_test(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# -------------------------------------------------- directed motif census
+@query(
+    "kg_motif_census",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    de AS (SELECT DISTINCT s, d FROM e WHERE s <> d),
+    w AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+          FROM de e1 JOIN de e2 ON e2.s = e1.d AND e2.d <> e1.s)
+    SELECT 'cycle' AS motif,
+           CAST(COUNT(*) // 3 AS BIGINT) AS n
+    FROM w JOIN de e3 ON e3.s = w.c AND e3.d = w.a
+    UNION ALL
+    SELECT 'feedforward',
+           CAST(COUNT(*) AS BIGINT)
+    FROM w JOIN de e3 ON e3.s = w.a AND e3.d = w.c
+    ORDER BY motif
+    """,
+)
+def kg_motif_census(sf_dir: str):
+    """Directed 3-node motif census over the resolved KG: cyclic
+    triangles (a->b->c->a — circular evidence, the pattern a causal
+    claim graph should NOT accumulate) vs feed-forward triangles
+    (a->b->c with the a->c shortcut — the hierarchy/refinement
+    pattern).  Two partitioned wedge joins over the DISTINCT directed
+    simple edge set and exact integer counts; a cycle is found once
+    per rotation so its count divides by 3, a feed-forward triangle
+    has exactly one base wedge so it counts once — the SQL 3-way
+    self-join replays both numbers exactly."""
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    raw = _kg_simple_edges(sf_dir)
+    de = hash_aggregate(
+        raw.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["src_id"],
+                                                  t["dst_id"]))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["src_id", "dst_id"], [("src_id", "count")],
+        exchange="shuffle").select_columns(
+        ["src_id", "dst_id"]).materialize()
+    id_type = pa.string()
+    de_schema = pa.schema([("src_id", id_type), ("dst_id", id_type)])
+
+    # wedges a->b->c (c != a), keyed for the two closing joins
+    w = bucketed_join(
+        de.map_batches(lambda t: t.rename_columns(["a", "b"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        de.map_batches(lambda t: t.rename_columns(["b2", "c"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        left_key="b", right_key="b2", right_value_cols=["c"],
+        left_schema=pa.schema([("a", id_type), ("b", id_type)]),
+        right_schema=pa.schema([("b2", id_type), ("c", id_type)]),
+    ).map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["a"], t["c"]))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    w_schema = pa.schema([("a", id_type), ("b", id_type),
+                          ("c", id_type)])
+
+    def pair_key(t: pa.Table, x: str, y: str) -> pa.Table:
+        return t.append_column(
+            "k", pc.binary_join_element_wise(t[x], t[y], "\x1f"))
+
+    ek = de.map_batches(
+        lambda t: pa.table({
+            "k": pc.binary_join_element_wise(t["src_id"], t["dst_id"],
+                                             "\x1f"),
+            "f": pa.array(np.ones(len(t), np.int8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ek_schema = pa.schema([("k", pa.string()), ("f", pa.int8())])
+
+    def count_closed(keyed: rd.Dataset, left_schema: pa.Schema) -> int:
+        closed = bucketed_join(keyed, ek, left_key="k", right_key="k",
+                               right_value_cols=["f"],
+                               left_schema=left_schema,
+                               right_schema=ek_schema)
+        parts = closed.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows],
+                                              pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        return int(parts["n"].sum()) if len(parts) else 0
+
+    wk_schema = pa.schema([("a", id_type), ("b", id_type),
+                           ("c", id_type), ("k", pa.string())])
+    n_cycle = count_closed(
+        w.map_batches(lambda t: pair_key(t, "c", "a"),
+                      batch_format="pyarrow", zero_copy_batch=True),
+        wk_schema) // 3
+    n_ff = count_closed(
+        w.map_batches(lambda t: pair_key(t, "a", "c"),
+                      batch_format="pyarrow", zero_copy_batch=True),
+        wk_schema)
+    return pd.DataFrame({
+        "motif": ["cycle", "feedforward"],
+        "n": pd.Series([n_cycle, n_ff], dtype="int64")})
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9848,7 +9943,7 @@ _DRIVER_ORDER = [
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
-    "events_runs_test",
+    "events_runs_test", "kg_motif_census",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "events_bounce_rate", "orders_moving_sum",
     "customers_above_nation_avg", "orders_bootstrap_ci",
     "doc_readability", "doc_naive_bayes", "kg_matching",
+    "doc_minimizer_sketch", "kg_path_counts",
+    "events_markov_stationary", "embedding_pq_codes",
+    "events_runs_test",
 ]
 
 
