@@ -9857,6 +9857,142 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# ---------------------------------------------------------- BPE training
+_BPE_MERGES = 8
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unroll BPE merge training into chained DuckDB CTEs: the vocab
+    is the word-frequency table; each round counts freq-weighted
+    adjacent token pairs, picks the (count DESC, pair ASC) argmax, and
+    replays the merge with a plain leftmost-non-overlapping
+    ``replace`` on the sentinel-guarded token string — the identical
+    greedy-left semantics of the engine's
+    ``pyarrow.compute.replace_substring``."""
+    parts = [
+        """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents),
+    v0 AS MATERIALIZED (
+      SELECT chr(31) || array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]),
+               chr(31) || chr(31)) || chr(31) AS repr,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok WHERE w <> '' GROUP BY w)"""]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""
+    ,tk{t} AS (SELECT string_split(trim(repr, chr(31)),
+                                   chr(31) || chr(31)) AS tk, freq
+              FROM v{t-1}),
+    b{t} AS (SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || chr(31) || tk[i+1])) AS pair, freq
+             FROM tk{t}),
+    c{t} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+             FROM b{t} GROUP BY pair),
+    p{t} AS (SELECT string_split(pair, chr(31))[1] AS f,
+                    string_split(pair, chr(31))[2] AS s, n
+             FROM c{t} ORDER BY n DESC, pair ASC LIMIT 1),
+    v{t} AS MATERIALIZED (
+      SELECT CASE WHEN p.f IS NULL THEN v.repr
+                  ELSE replace(v.repr,
+                               chr(31) || p.f || chr(31) || chr(31)
+                                       || p.s || chr(31),
+                               chr(31) || p.f || p.s || chr(31))
+             END AS repr, v.freq
+      FROM v{t-1} v LEFT JOIN p{t} p ON TRUE)""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS merge_round, f AS first_tok,"
+        f" s AS second_tok, n FROM p{t}" for t in range(1, n_merges + 1))
+    parts.append(f"""
+    SELECT merge_round, first_tok, second_tok, n FROM ({selects}) AS m
+    ORDER BY merge_round""")
+    return "".join(parts)
+
+
+@query("bpe_train_merges", _bpe_sql(_BPE_MERGES))
+def bpe_train_merges(sf_dir: str):
+    """BPE tokenizer TRAINING, distributed: the corpus folds once to
+    the word-frequency vocabulary (the standard BPE working set), and
+    each of the 8 merge rounds is one vectorized pair-count partial
+    over the vocab dataset + one keyed sum + a deterministic
+    (count DESC, pair ASC) argmax, then a broadcast merge applied with
+    leftmost-non-overlapping ``replace_substring`` on the
+    sentinel-guarded token string (pyarrow and DuckDB ``replace`` have
+    identical greedy-left semantics, so the oracle replays every
+    merge bit-for-bit).  The vocab stays a DATASET with keyed
+    exchanges — at web scale the word-frequency table is millions of
+    rows, which is exactly the layout real tokenizer training uses —
+    and only the single argmax row is ever gathered per round."""
+    from .functions.agg import hash_aggregate
+    from .functions.text import term_count_partial
+
+    SEP = "\x1f"
+    ds = _pq(sf_dir, "documents", ["text"])
+    vocab = hash_aggregate(
+        ds.map_batches(term_count_partial, batch_format="pyarrow",
+                       batch_size=256, zero_copy_batch=True),
+        ["term"], [("n", "sum")], rename={"n_sum": "freq"},
+        exchange="shuffle")
+
+    def to_repr(t: pa.Table) -> pa.Table:
+        reprs = [SEP + (SEP + SEP).join(list(w)) + SEP
+                 for w in t["term"].to_pylist()]
+        return pa.table({"repr": pa.array(reprs, pa.string()),
+                         "freq": t["freq"]})
+
+    v = vocab.map_batches(to_repr, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    merges = []
+    for r in range(1, _BPE_MERGES + 1):
+        def pair_partial(t: pa.Table) -> pa.Table:
+            fs, ns = [], []
+            agg: dict = {}
+            for rep, fq in zip(t["repr"].to_pylist(),
+                               t["freq"].to_pylist()):
+                tk = rep.strip(SEP).split(SEP + SEP)
+                for i in range(len(tk) - 1):
+                    key = tk[i] + SEP + tk[i + 1]
+                    agg[key] = agg.get(key, 0) + fq
+            return pa.table({
+                "pair": pa.array(list(agg), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64())})
+
+        best = hash_aggregate(
+            v.map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+            ["pair"], [("n", "sum")], rename={"n_sum": "n"},
+            exchange="shuffle").sort(
+            ["n", "pair"], descending=[True, False]).limit(1).take_all()
+        if not best:
+            break
+        f, s = best[0]["pair"].split(SEP)
+        n = int(best[0]["n"])
+        merges.append((r, f, s, n))
+        pat = SEP + f + SEP + SEP + s + SEP
+        rep = SEP + f + s + SEP
+
+        v = v.map_batches(
+            lambda t, _p=pat, _r=rep: pa.table({
+                "repr": pc.replace_substring(t["repr"], pattern=_p,
+                                             replacement=_r),
+                "freq": t["freq"]}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if not merges:
+        return pd.DataFrame({
+            "merge_round": pd.Series([], dtype="int64"),
+            "first_tok": pd.Series([], dtype=object),
+            "second_tok": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64")})
+    return pd.DataFrame({
+        "merge_round": pd.Series([m[0] for m in merges], dtype="int64"),
+        "first_tok": [m[1] for m in merges],
+        "second_tok": [m[2] for m in merges],
+        "n": pd.Series([m[3] for m in merges], dtype="int64")})
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -9943,7 +10079,7 @@ _DRIVER_ORDER = [
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
-    "events_runs_test", "kg_motif_census",
+    "events_runs_test", "kg_motif_census", "bpe_train_merges",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
-    "events_runs_test",
+    "events_runs_test", "kg_motif_census",
 ]
 
 
