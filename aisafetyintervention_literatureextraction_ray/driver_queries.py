@@ -9857,6 +9857,51 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# ------------------------------------------------- PQ bucket blocking
+@query(
+    "embedding_pq_buckets",
+    f"""
+    SELECT code_0, code_1, code_2, code_3,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(vec_id) AS rep_vec_id,
+           CAST(MIN(err) AS BIGINT) AS min_err,
+           CAST(MAX(err) AS BIGINT) AS max_err
+    FROM ({_pq_sql(4, 2)}) AS pq
+    GROUP BY code_0, code_1, code_2, code_3
+    ORDER BY code_0, code_1, code_2, code_3
+    """,
+)
+def embedding_pq_buckets(sf_dir: str):
+    """PQ-code blocking: vectors sharing all four subspace codes form
+    one bucket — the coarse candidate-generation layout for
+    billion-vector near-dup / ANN (only same-bucket pairs ever get an
+    exact check).  One keyed reduce over the embedding_pq_codes
+    output: bucket population, deterministic representative, and the
+    reconstruction-error range inside the bucket (a wide range means
+    the bucket needs a finer codebook)."""
+    from .functions.agg import hash_aggregate
+    from .stages.similarity import product_quantization
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    codes = product_quantization(ds, id_col="vec_id", n_sub=4, k=4,
+                                 n_iters=2)
+    keys = ["code_0", "code_1", "code_2", "code_3"]
+    out = hash_aggregate(
+        codes, keys,
+        [("vec_id", "count"), ("vec_id", "min"), ("err", "min"),
+         ("err", "max")],
+        rename={"vec_id_count": "n_vectors", "vec_id_min": "rep_vec_id",
+                "err_min": "min_err", "err_max": "max_err"},
+        exchange="shuffle").to_pandas()
+    cols = keys + ["n_vectors", "rep_vec_id", "min_err", "max_err"]
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[cols].sort_values(keys).reset_index(drop=True)
+
+
 # ---------------------------------------------------------- BPE training
 _BPE_MERGES = 8
 
@@ -10080,6 +10125,7 @@ _DRIVER_ORDER = [
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
+    "embedding_pq_buckets",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
