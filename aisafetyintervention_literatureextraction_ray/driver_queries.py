@@ -9857,6 +9857,81 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# --------------------------------------------------- behavioral similarity
+@query(
+    "user_similarity_topk",
+    """
+    WITH prof AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    act AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS total
+      FROM prof GROUP BY user_id
+      ORDER BY total DESC, user_id ASC LIMIT 100),
+    p AS (SELECT prof.* FROM prof JOIN act USING (user_id)),
+    dots AS (
+      SELECT a.user_id AS u, b.user_id AS v,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM p a JOIN p b ON b.event_type = a.event_type
+                       AND b.user_id > a.user_id
+      GROUP BY a.user_id, b.user_id)
+    SELECT u, v, dot FROM dots
+    ORDER BY dot DESC, u ASC, v ASC LIMIT 20
+    """,
+)
+def user_similarity_topk(sf_dir: str):
+    """Behavioral user similarity: each user's event-type count vector
+    is their interaction profile; the 20 most-similar pairs by EXACT
+    integer dot product among the 100 most active users (the bounded
+    head where similarity is meaningful and the pair space is
+    O(head^2), the standard candidate cap).  One keyed profile pass,
+    one bounded sort+limit for the head, a broadcast semi-filter, and
+    the dot products as a type-keyed self-join + keyed sum — no float,
+    so the top-k cut is deterministic with (dot DESC, u, v)
+    tie-breaks on both sides."""
+    from .functions.agg import bucketed_apply, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    prof = hash_aggregate(
+        ds, ["user_id", "event_type"], [("event_type", "count")],
+        rename={"event_type_count": "c"}, exchange="shuffle"
+    ).materialize()
+    head = hash_aggregate(
+        prof, ["user_id"], [("c", "sum")], rename={"c_sum": "total"},
+        exchange="shuffle").sort(
+        ["total", "user_id"], descending=[True, False]).limit(100) \
+        .select_columns(["user_id"]).take_all()
+    head_ids = pa.array(sorted(r["user_id"] for r in head))
+
+    sel = prof.map_batches(
+        lambda t: t.filter(pc.is_in(t["user_id"], value_set=head_ids)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def dots(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="event_type", suffixes=("_a", "_b"))
+        m = m[m["user_id_b"] > m["user_id_a"]]
+        m["dot"] = (m["c_a"].to_numpy(dtype=np.int64)
+                    * m["c_b"].to_numpy(dtype=np.int64))
+        g = m.groupby(["user_id_a", "user_id_b"], sort=False)["dot"] \
+            .sum().reset_index()
+        return g.rename(columns={"user_id_a": "u", "user_id_b": "v"})
+
+    pairs = hash_aggregate(
+        bucketed_apply(sel, ["event_type"], dots, exchange="shuffle"),
+        ["u", "v"], [("dot", "sum")], rename={"dot_sum": "dot"},
+        exchange="shuffle")
+    out = pairs.sort(["dot", "u", "v"],
+                     descending=[True, False, False]).limit(20) \
+        .to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                             "v": pd.Series([], dtype="int64"),
+                             "dot": pd.Series([], dtype="int64")})
+    for c in ("u", "v", "dot"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------------- PQ bucket blocking
 @query(
     "embedding_pq_buckets",
@@ -10125,7 +10200,7 @@ _DRIVER_ORDER = [
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
-    "embedding_pq_buckets",
+    "embedding_pq_buckets", "user_similarity_topk",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
