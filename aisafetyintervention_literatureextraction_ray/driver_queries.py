@@ -9857,6 +9857,83 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# -------------------------------------------------- SRP (hyperplane) LSH
+_SRP_BITS = 16
+
+
+@query(
+    "embedding_srp_signatures",
+    f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS fp
+      FROM embeddings),
+    w AS MATERIALIZED (
+      SELECT x.dim, b.bit,
+             CAST(('0x' || substr(md5(CAST(x.dim AS VARCHAR) || '_'
+                                      || CAST(b.bit AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2001 - 1000 AS wt
+      FROM (SELECT DISTINCT dim FROM x) x
+      CROSS JOIN (SELECT unnest(range({_SRP_BITS})) AS bit) b),
+    dots AS (
+      SELECT x.vec_id, w.bit, CAST(SUM(x.fp * w.wt) AS BIGINT) AS s
+      FROM x JOIN w USING (dim) GROUP BY x.vec_id, w.bit)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM dots GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def embedding_srp_signatures(sf_dir: str):
+    """Signed-random-projection (Charikar hyperplane) LSH signatures
+    over the embeddings: 16 deterministic integer hyperplanes (each
+    component an md5-derived int in [-1000, 1000]), one exact int64
+    matmul per batch, sign bits packed into one int64 signature —
+    Hamming distance between signatures estimates the cosine angle,
+    the standard cheap pre-filter in front of exact cosine at
+    billion-vector scale.  Embarrassingly parallel (the dims x 16
+    weight matrix is built once on the driver from the same md5
+    strings the oracle derives in SQL; vectors never leave their
+    batch); every arithmetic step is exact integer, so signatures are
+    bit-identical on both sides."""
+    import hashlib
+
+    from .stages.similarity import embeddings_to_numpy
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "sig": pd.Series([], dtype="int64")})
+    d = len(first[0]["embedding"])
+    W = np.empty((d, _SRP_BITS), dtype=np.int64)
+    for i in range(d):
+        for b in range(_SRP_BITS):
+            h = int(hashlib.md5(f"{i}_{b}".encode()).hexdigest()[:8],
+                    16)
+            W[i, b] = h % 2001 - 1000
+    pow2 = (np.int64(1) << np.arange(_SRP_BITS, dtype=np.int64))
+
+    def sign(t: pa.Table) -> pa.Table:
+        M = np.floor(embeddings_to_numpy(t["embedding"]).astype(
+            np.float64) * 1_000_000).astype(np.int64)
+        S = M @ W
+        sig = ((S > 0).astype(np.int64) * pow2).sum(axis=1)
+        return pa.table({"vec_id": t["vec_id"],
+                         "sig": pa.array(sig, pa.int64())})
+
+    out = ds.map_batches(sign, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "sig": pd.Series([], dtype="int64")})
+    for c in ("vec_id", "sig"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # --------------------------------------------------- behavioral similarity
 @query(
     "user_similarity_topk",
@@ -10201,6 +10278,7 @@ _DRIVER_ORDER = [
     "events_markov_stationary", "embedding_pq_codes",
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
     "embedding_pq_buckets", "user_similarity_topk",
+    "embedding_srp_signatures",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

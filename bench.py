@@ -91,7 +91,8 @@ BENCH_QUERIES = [
     "doc_readability", "doc_naive_bayes", "kg_matching",
     "doc_minimizer_sketch", "kg_path_counts",
     "events_markov_stationary", "embedding_pq_codes",
-    "events_runs_test", "kg_motif_census",
+    "events_runs_test", "kg_motif_census", "bpe_train_merges",
+    "embedding_pq_buckets", "user_similarity_topk",
 ]
 
 
