@@ -1,6 +1,7 @@
 """Driver-contract replication: every oracle-backed query must match
 DuckDB at sf0.001 on row count, column names and sorted value hash."""
 
+import os
 import sys
 
 import duckdb
@@ -97,3 +98,20 @@ def test_oracle_sql_first_ordering(con, monkeypatch, tmp_path):
                            ("ann_ivf_topk", 1)):
         out = con.execute(sql[name]).fetchdf()
         assert len(out) >= min_rows, name
+
+
+def test_bench_list_subset_of_registry():
+    """Every BENCH_QUERIES entry must resolve in the driver registry —
+    a bench run must never KeyError mid-suite."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..",
+                              "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    import __ray_entry__ as e
+
+    q = e.queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in q]
+    assert not missing, f"bench list names missing from registry: {missing}"
