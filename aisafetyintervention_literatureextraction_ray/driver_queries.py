@@ -9857,6 +9857,89 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# ---------------------------------------------------- dominating nominees
+@query(
+    "kg_dominators",
+    f"""
+    WITH {_KG_EDGE_SET_SQL},
+    u AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+          FROM e WHERE s <> d),
+    closed AS (SELECT a AS c, b AS n FROM u
+               UNION SELECT b, a FROM u
+               UNION SELECT a, a FROM u
+               UNION SELECT b, b FROM u),
+    dg AS (SELECT n AS node_id, CAST(COUNT(*) AS BIGINT) AS cdeg
+           FROM closed GROUP BY n),
+    nom AS (
+      SELECT c, n, ROW_NUMBER() OVER (
+               PARTITION BY c ORDER BY dg.cdeg DESC, n ASC) AS rn
+      FROM closed JOIN dg ON dg.node_id = closed.n)
+    SELECT n AS node_id, CAST(COUNT(*) AS BIGINT) AS n_nominations
+    FROM nom WHERE rn = 1
+    GROUP BY n ORDER BY node_id
+    """,
+)
+def kg_dominators(sf_dir: str):
+    """Nomination dominating set over the resolved KG: every node
+    nominates the highest-closed-degree member of its CLOSED
+    neighborhood (ties to the smaller id), and the nominated nodes —
+    which by construction dominate the whole graph in one round — are
+    the hub entities a curation pass should review first, weighted by
+    how many nodes chose them.  One symmetric-closure map, one keyed
+    degree count, one degree-attach join and one per-node argmax —
+    all skinny bucketed exchanges; deterministic total order makes the
+    SQL window replay exact."""
+    from .functions.agg import bucketed_group_map, bucketed_join, \
+        hash_aggregate
+
+    raw = _kg_simple_edges(sf_dir)
+
+    def closed(t: pa.Table) -> pa.Table:
+        a, b = t["src_id"], t["dst_id"]
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({
+            "c": pa.chunked_array([a, b, a, b]).combine_chunks(),
+            "n": pa.chunked_array([b, a, a, b]).combine_chunks()})
+
+    cl = hash_aggregate(
+        raw.map_batches(closed, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["c", "n"], [("c", "count")],
+        exchange="shuffle").select_columns(["c", "n"]).materialize()
+    dg = hash_aggregate(cl, ["n"], [("c", "count")],
+                        rename={"c_count": "cdeg"}, exchange="shuffle")
+    id_type = pa.string()
+    cl_schema = pa.schema([("c", id_type), ("n", id_type)])
+    dg_schema = pa.schema([("n", id_type), ("cdeg", pa.int64())])
+    j = bucketed_join(cl, dg.map_batches(
+        lambda t: t.rename_columns(["n2", "cdeg"]),
+        batch_format="pyarrow", zero_copy_batch=True),
+        left_key="n", right_key="n2", right_value_cols=["cdeg"],
+        left_schema=cl_schema,
+        right_schema=pa.schema([("n2", id_type),
+                                ("cdeg", pa.int64())]))
+
+    def nominate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "cdeg", "n"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby("c", sort=False).head(1)
+        return pd.DataFrame({"n": top["n"].to_numpy()})
+
+    noms = bucketed_group_map(j, ["c"], nominate, exchange="shuffle")
+    out = hash_aggregate(noms, ["n"], [("n", "count")],
+                         rename={"n_count": "n_nominations"},
+                         exchange="shuffle").to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=object),
+            "n_nominations": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"n": "node_id"})
+    out["n_nominations"] = out["n_nominations"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
 # -------------------------------------------------- SRP (hyperplane) LSH
 _SRP_BITS = 16
 
@@ -10278,7 +10361,7 @@ _DRIVER_ORDER = [
     "events_markov_stationary", "embedding_pq_codes",
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
     "embedding_pq_buckets", "user_similarity_topk",
-    "embedding_srp_signatures",
+    "embedding_srp_signatures", "kg_dominators",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
