@@ -93,7 +93,7 @@ BENCH_QUERIES = [
     "events_markov_stationary", "embedding_pq_codes",
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
     "embedding_pq_buckets", "user_similarity_topk",
-    "embedding_srp_signatures",
+    "embedding_srp_signatures", "kg_dominators",
 ]
 
 
