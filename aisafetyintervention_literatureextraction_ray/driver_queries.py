@@ -8694,38 +8694,45 @@ def customers_above_nation_avg(sf_dir: str):
     ``n * cents > tot`` cross-multiplied so no float average ever
     exists.  The per-nation side is bounded by the nation table, so
     the broadcast is O(nations) regardless of corpus size."""
-    from .functions.agg import bucketed_join, hash_aggregate
+    from .functions.agg import bucketed_apply, hash_aggregate
 
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def cents(t: pa.Table) -> pa.Table:
+    # ONE custkey-hash co-group replaces the aggregate + left-join pair:
+    # order rows carry (cents, nation=-1), customer rows carry
+    # (0 cents, nation); the bucket folds both to one zero-filled
+    # (custkey, nation, cents) row per customer
+    def order_rows(t: pa.Table) -> pa.Table:
         v = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
                      * 100.0).astype(np.int64)
-        return pa.table({"o_custkey": t["o_custkey"],
-                         "cents": pa.array(v)})
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_nationkey": pa.array(np.full(len(t), -1, np.int64)),
+            "cents": pa.array(v)})
 
-    per_cust = hash_aggregate(
-        orders.map_batches(cents, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        ["o_custkey"], [("cents", "sum")], rename={"cents_sum": "cents"},
-        exchange="shuffle")
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "cents": pa.array(np.zeros(len(t), np.int64))})
 
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cust_schema = pa.schema([("c_custkey", pa.int64()),
-                             ("c_nationkey", pa.int64())])
-    per_schema = pa.schema([("o_custkey", pa.int64()),
-                            ("cents", pa.int64())])
-    joined = bucketed_join(cust, per_cust, left_key="c_custkey",
-                           right_key="o_custkey",
-                           right_value_cols=["cents"], how="left",
-                           left_schema=cust_schema,
-                           right_schema=per_schema)
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pyarrow",
+                     zero_copy_batch=True))
 
-    def zfill(df: pd.DataFrame) -> pd.DataFrame:
-        df["cents"] = df["cents"].fillna(0).astype("int64")
-        return df
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_custkey", sort=False).agg(
+            c_nationkey=("c_nationkey", "max"),
+            cents=("cents", "sum")).reset_index()
+        # customers absent from the customer table (none in TPC-H data,
+        # orphan orders in theory) would carry nation -1: drop them to
+        # match the oracle's inner customer anchor
+        return g[g["c_nationkey"] >= 0]
 
-    pc_ds = joined.map_batches(zfill, batch_format="pandas").materialize()
+    pc_ds = bucketed_apply(both, ["c_custkey"], fold,
+                           exchange="shuffle").materialize()
 
     nation_stats = hash_aggregate(
         pc_ds, ["c_nationkey"], [("cents", "count"), ("cents", "sum")],
