@@ -9864,6 +9864,154 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# --------------------------------------------------- TPC-H Q3 shipping race
+_Q3_DATE = "1998-06-01"
+
+
+@query(
+    "shipping_priority_topk",
+    f"""
+    WITH rev AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * 1000) AS BIGINT)) AS BIGINT)
+                 AS revenue_milli
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '{_Q3_DATE}'
+      GROUP BY l_orderkey),
+    o AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}')
+    SELECT o.o_orderkey, rev.revenue_milli, o.o_orderdate,
+           o.o_orderpriority
+    FROM o JOIN rev ON rev.l_orderkey = o.o_orderkey
+    ORDER BY rev.revenue_milli DESC, o.o_orderdate ASC,
+             o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(sf_dir: str):
+    """TPC-H Q3 (shipping priority): unshipped revenue of BUILDING
+    customers' pre-cutoff orders, top-10.  The Ray plan prunes every
+    read (3 columns of lineitem survive the scan filter), pre-reduces
+    lineitem to one (orderkey, revenue) partial per batch BEFORE any
+    exchange, resolves the customer segment with one partitioned
+    custkey join, and lands the orders-revenue match as a TAGGED-UNION
+    orderkey co-group (one exchange, no second join).  Revenue snaps
+    to ``floor(extprice * (1 - disc) * 1000)`` int64 per row — the
+    identical IEEE op tree in numpy and DuckDB — so the top-10 cut is
+    exact with (revenue DESC, date, key) tie-breaks."""
+    import datetime as _dt
+
+    from .functions.agg import bucketed_apply, bucketed_join, \
+        hash_aggregate
+
+    cutoff = np.datetime64(_Q3_DATE)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount",
+              "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship > cutoff
+        ext = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        tt = pa.table({"l_orderkey": pa.array(ok),
+                       "revenue_milli": pa.array(milli)})
+        return pa.TableGroupBy(tt, ["l_orderkey"]).aggregate(
+            [("revenue_milli", "sum")]).rename_columns(
+            ["l_orderkey", "revenue_milli"])
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"].filter(
+                pc.equal(t["c_mktsegment"], "BUILDING")),
+            "m": pa.array(np.ones(int(pc.sum(pc.equal(
+                t["c_mktsegment"], "BUILDING").cast(pa.int64()))
+                .as_py() or 0), np.int8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(
+            t["o_orderdate"], pa.scalar(
+                _dt.datetime.fromisoformat(_Q3_DATE)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64()),
+                          ("o_orderdate", pa.timestamp("us")),
+                          ("o_orderpriority", pa.string())])
+    c_schema = pa.schema([("c_custkey", pa.int64()),
+                          ("m", pa.int8())])
+    o_building = bucketed_join(orders, cust, left_key="o_custkey",
+                               right_key="c_custkey",
+                               right_value_cols=["m"],
+                               left_schema=o_schema,
+                               right_schema=c_schema)
+
+    # tagged-union orderkey co-group: order rows (side 0) meet the
+    # revenue partials (side 1) in ONE exchange
+    def o_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue_milli": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8))})
+
+    def r_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "revenue_milli": t["revenue_milli"],
+            "side": pa.array(np.ones(n, np.int8))})
+
+    both = o_building.map_batches(o_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True).union(
+        rev.map_batches(r_rows, batch_format="pyarrow",
+                        zero_copy_batch=True))
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0][["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]]
+        r = df[df["side"] == 1].groupby("o_orderkey", sort=False)[
+            "revenue_milli"].sum().reset_index()
+        m = o.merge(r, on="o_orderkey")
+        # per-bucket top-10 prune: the global cut only needs each
+        # bucket's local winners
+        return m.sort_values(
+            ["revenue_milli", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True], kind="mergesort").head(10)
+
+    out = (bucketed_apply(both, ["o_orderkey"], cogroup,
+                          exchange="shuffle")
+           .sort(["revenue_milli", "o_orderdate", "o_orderkey"],
+                 descending=[True, False, False])
+           .limit(10).to_pandas())
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "revenue_milli": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series([], dtype=object)})
+    for c in ("o_orderkey", "revenue_milli"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------- dominating nominees
 @query(
     "kg_dominators",
@@ -10369,6 +10517,7 @@ _DRIVER_ORDER = [
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
     "embedding_pq_buckets", "user_similarity_topk",
     "embedding_srp_signatures", "kg_dominators",
+    "shipping_priority_topk",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
