@@ -9864,6 +9864,163 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# ---------------------------------------------------- curation gate
+_GATE_QUALITY_MIN = 0.3
+
+
+def _curation_sql() -> str:
+    """Composite curation gate: the doc_quality_scores expression
+    tree, three independent raw-text PII counts, and the md5 exact-dup
+    window, folded to per-reason counts with the engine's precedence
+    (dup > low_quality > pii > keep)."""
+    from .functions.text import PII_RULES
+
+    (_, email_re, _), (_, ssn_re, _), (_, phone_re, _) = PII_RULES
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'subscribe to our newsletter for updates'
+                  WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com'
+                  ELSE text END AS text
+      FROM documents),
+    p0 AS (
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM aug),
+    f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS DOUBLE) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',
+                  '', 'g')) AS DOUBLE) AS n_punct,
+             CAST({_EN_STOP_SQL} AS DOUBLE) AS n_stop
+      FROM p0),
+    g AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars_text,
+             least(greatest(
+               (least(n_stop / greatest(n_tokens, 1.0) * 3.0, 1.0) * 0.6
+                + greatest(1.0 - abs(n_chars / greatest(n_tokens, 1.0)
+                                     - 5.0) / 5.0, 0.0) * 0.4)
+               - n_punct / greatest(n_chars, 1.0) * 0.5, 0.0), 1.0)
+                 AS quality_score
+      FROM f),
+    pii AS (
+      SELECT doc_id,
+             length(regexp_extract_all(text, '{email_re}'))
+             + length(regexp_extract_all(text, '{ssn_re}'))
+             + length(regexp_extract_all(text, '{phone_re}')) AS n_pii
+      FROM aug),
+    rn AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+      FROM aug),
+    r AS (
+      SELECT g.doc_id,
+             CASE WHEN rn.rn > 1 THEN 'dup'
+                  WHEN g.quality_score < {_GATE_QUALITY_MIN}
+                    THEN 'low_quality'
+                  WHEN pii.n_pii > 0 THEN 'pii'
+                  ELSE 'keep' END AS reason,
+             g.n_chars_text
+      FROM g JOIN rn USING (doc_id) JOIN pii USING (doc_id))
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars_text) AS BIGINT) AS sum_chars
+    FROM r GROUP BY reason ORDER BY reason
+    """
+
+
+@query("doc_curation_gate", _curation_sql())
+def doc_curation_gate(sf_dir: str):
+    """The end-to-end training-data curation gate in one streaming
+    pass: every document gets its quality score
+    (functions/text.py::quality_scores — bit-identical doubles on both
+    sides), its raw-text PII hit count (the three redact_pii RE2
+    patterns counted independently), and its content hash; ONE
+    hash-bucketed exchange then decides each doc with the standard
+    precedence — exact duplicate > below quality floor > carries PII >
+    keep — and folds the verdicts to per-reason (count, chars)
+    partials in the same bucket visit.  This is the composite readout
+    a curation run reports; 2 exchanges total regardless of corpus
+    size, every kernel shared with its standalone oracle-checked
+    query."""
+    import hashlib
+
+    from .functions.agg import bucketed_apply, hash_aggregate
+    from .functions.text import PII_RULES, quality_scores
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    pats = [p for _, p, _ in PII_RULES]
+
+    def augment(t: pa.Table) -> pa.Table:
+        # deterministic gate-exercising corpus: every 11th doc becomes
+        # the same boilerplate string (the classic footer-dup pattern),
+        # every 7th gains an email (mirrors the pii_redaction idiom)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.coalesce(t["text"].cast(pa.string()), "").to_pylist()
+        out = [("subscribe to our newsletter for updates"
+                if i % 11 == 0 else
+                (x + f" contact user{i}@example.com"
+                 if i % 7 == 0 else x))
+               for i, x in zip(ids, txt)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    def features(t: pa.Table) -> pa.Table:
+        q = quality_scores(t)
+        txt = pc.coalesce(t["text"].cast(pa.string()), "")
+        n_pii = pc.count_substring_regex(txt, pats[0]).cast(pa.int64())
+        for p in pats[1:]:
+            n_pii = pc.add(n_pii, pc.count_substring_regex(
+                txt, p).cast(pa.int64()))
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h": pa.array(hs, pa.string()),
+            "quality_score": q["quality_score"],
+            "n_pii": n_pii,
+            "n_chars_text": q["n_chars_text"].cast(pa.int64())})
+
+    feats = ds.map_batches(augment, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .map_batches(features, batch_format="pyarrow",
+                     batch_size=4096, zero_copy_batch=True)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        rn = df.groupby("h", sort=False).cumcount()
+        reason = np.where(
+            rn > 0, "dup",
+            np.where(df["quality_score"].to_numpy()
+                     < _GATE_QUALITY_MIN, "low_quality",
+                     np.where(df["n_pii"].to_numpy() > 0, "pii",
+                              "keep")))
+        g = pd.DataFrame({"reason": reason,
+                          "n_chars_text": df["n_chars_text"]})
+        agg = g.groupby("reason", sort=False).agg(
+            n_docs=("n_chars_text", "size"),
+            sum_chars=("n_chars_text", "sum")).reset_index()
+        return agg
+
+    out = hash_aggregate(
+        bucketed_apply(feats, ["h"], gate, exchange="shuffle"),
+        ["reason"], [("n_docs", "sum"), ("sum_chars", "sum")],
+        rename={"n_docs_sum": "n_docs", "sum_chars_sum": "sum_chars"},
+        exchange="coalesce").to_pandas()  # <= 4 reason rows
+    if len(out) == 0:
+        return pd.DataFrame({
+            "reason": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype="int64"),
+            "sum_chars": pd.Series([], dtype="int64")})
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("reason").reset_index(drop=True)
+
+
 # --------------------------------------------------- TPC-H Q3 shipping race
 _Q3_DATE = "1998-06-01"
 
@@ -10517,7 +10674,7 @@ _DRIVER_ORDER = [
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
     "embedding_pq_buckets", "user_similarity_topk",
     "embedding_srp_signatures", "kg_dominators",
-    "shipping_priority_topk",
+    "shipping_priority_topk", "doc_curation_gate",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
