@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "events_runs_test", "kg_motif_census", "bpe_train_merges",
     "embedding_pq_buckets", "user_similarity_topk",
     "embedding_srp_signatures", "kg_dominators",
-    "shipping_priority_topk",
+    "shipping_priority_topk", "doc_curation_gate",
 ]
 
 
