@@ -9864,6 +9864,59 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# --------------------------------------------------- TPC-H Q6 revenue delta
+@query(
+    "forecast_revenue_change",
+    f"""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000)
+                         AS BIGINT)) AS BIGINT) AS revenue_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): the would-be revenue of
+    eliminating small discounts on low-quantity 1997 shipments — the
+    canonical predicate-pushdown + filtered-aggregate shape.  The Ray
+    plan reads four pruned columns, applies every predicate inside the
+    batch (vectorized comparisons), and emits ONE partial row per
+    block; the only exchange is the final scalar fold.  Each row's
+    contribution snaps to ``floor(extprice * discount * 1000)`` int64
+    — the identical IEEE op tree in numpy and DuckDB — so the sum is
+    order-independent and exact."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_extendedprice", "l_discount", "l_quantity",
+              "l_shipdate"])
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc >= 0.05) & (disc <= 0.07) & (qty < 24))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.floor(ext * disc[keep] * 1000.0).astype(np.int64)
+        return pa.table({
+            "revenue_milli": pa.array([int(milli.sum())], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({
+        "revenue_milli": pd.Series(
+            [int(parts["revenue_milli"].sum()) if len(parts) else 0],
+            dtype="int64"),
+        "n_rows": pd.Series(
+            [int(parts["n_rows"].sum()) if len(parts) else 0],
+            dtype="int64")})
+
+
 # ---------------------------------------------------- curation gate
 _GATE_QUALITY_MIN = 0.3
 
@@ -10675,6 +10728,7 @@ _DRIVER_ORDER = [
     "embedding_pq_buckets", "user_similarity_topk",
     "embedding_srp_signatures", "kg_dominators",
     "shipping_priority_topk", "doc_curation_gate",
+    "forecast_revenue_change",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
