@@ -9875,6 +9875,162 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# ---------------------------------------------------- Lorenz deciles
+@query(
+    "customer_spend_deciles",
+    """
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    d AS (SELECT cents,
+                 NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+          FROM pc),
+    g AS (SELECT CAST(decile AS BIGINT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM d GROUP BY decile),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM g)
+    SELECT g.decile, g.n_customers, g.cents,
+           CAST(1000000 * g.cents // t.total AS BIGINT) AS share_ppm,
+           CAST(1000000 * SUM(g.cents) OVER (ORDER BY g.decile)
+                // t.total AS BIGINT) AS cum_share_ppm
+    FROM g, t ORDER BY g.decile
+    """,
+)
+def customer_spend_deciles(sf_dir: str):
+    """Customer spend concentration (the Lorenz-curve decile table
+    behind "the top 10% drive X% of revenue"): one keyed fold to
+    exact per-customer cents, then decile assignment by the SQL NTILE
+    fill rule computed VECTORIZED in a single worker-side pass over
+    the sorted skinny (cents, custkey) pairs — the RFM-tertile policy,
+    bounded by the customer table, never the orders table — and exact
+    integer ppm shares + cumulative shares.  Complements
+    source_chars_gini with the banded view auditors actually read."""
+    from .functions.agg import hash_aggregate
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(v)})
+
+    per_cust = hash_aggregate(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("cents", "sum")], rename={"cents_sum": "cents"},
+        exchange="shuffle")
+
+    def deciles(df: pd.DataFrame) -> pd.DataFrame:
+        cv = df["cents"].to_numpy(dtype=np.int64)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ck, cv))
+        cv = cv[order]
+        n = len(cv)
+        # SQL NTILE fill: first n % 10 deciles get one extra member
+        base, extra = divmod(n, 10)
+        sizes = np.full(10, base, np.int64)
+        sizes[:extra] += 1
+        dec = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+        g = pd.DataFrame({"decile": dec, "cents": cv})
+        return (g.groupby("decile", as_index=False)
+                .agg(n_customers=("cents", "size"),
+                     cents=("cents", "sum")))
+
+    from .functions.agg import bucketed_apply
+
+    g = bucketed_apply(per_cust, ["o_custkey"], deciles,
+                       exchange="coalesce").to_pandas()  # RFM policy:
+    # one worker-side visit of the skinny per-customer table
+    if len(g) == 0:
+        return pd.DataFrame({
+            c: pd.Series([], dtype="int64")
+            for c in ("decile", "n_customers", "cents", "share_ppm",
+                      "cum_share_ppm")})
+    g = g.sort_values("decile")
+    total = int(g["cents"].sum())
+    g["share_ppm"] = (1000000 * g["cents"].astype("int64")
+                      // max(total, 1))
+    g["cum_share_ppm"] = (1000000 * g["cents"].astype("int64").cumsum()
+                          // max(total, 1))
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g.reset_index(drop=True)
+
+
+# ---------------------------------------------------- seasonal profile
+@query(
+    "events_seasonal_profile",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+            FROM h GROUP BY event_type),
+    pk AS (SELECT event_type, hod AS peak_hour FROM (
+             SELECT event_type, hod, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY n DESC, hod ASC) AS rn
+             FROM h) AS q WHERE rn = 1)
+    SELECT h.event_type, h.hod, h.n,
+           CAST(1000000 * h.n // tot.total AS BIGINT) AS share_ppm,
+           CAST(h.hod = pk.peak_hour AS BIGINT) AS is_peak
+    FROM h JOIN tot USING (event_type) JOIN pk USING (event_type)
+    ORDER BY event_type, hod
+    """,
+)
+def events_seasonal_profile(sf_dir: str):
+    """Hour-of-day seasonality profile per event type: the 24-slot
+    daily rhythm (exact integer ppm shares) with the deterministic
+    peak slot flagged — the seasonality fingerprint a forecaster
+    detrends against.  One vectorized hour-extraction pass folds to
+    per-block (type, hour) partials; the per-type totals and argmax
+    complete in the same 24-row-per-type bucket visit — the exchange
+    carries at most |types| x 24 rows regardless of corpus size."""
+    from .functions.agg import bucketed_group_map, hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def hod_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "event_type": t["event_type"],
+            "hod": pc.hour(t["ts"]).cast(pa.int64())})
+        return pa.TableGroupBy(tt, ["event_type", "hod"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "hod", "n"])
+
+    h = hash_aggregate(
+        ds.map_batches(hod_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hod"], [("n", "sum")], rename={"n_sum": "n"},
+        exchange="shuffle")
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hod", kind="mergesort").copy()
+        n = g["n"].to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        g["share_ppm"] = 1000000 * n // max(total, 1)
+        peak = g.sort_values(["n", "hod"],
+                             ascending=[False, True]).iloc[0]["hod"]
+        g["is_peak"] = (g["hod"] == peak).astype(np.int64)
+        return g[["event_type", "hod", "n", "share_ppm", "is_peak"]]
+
+    out = bucketed_group_map(h, ["event_type"], profile,
+                             exchange="shuffle").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype="int64")
+               for c in ("hod", "n", "share_ppm", "is_peak")}})
+    for c in ("hod", "n", "share_ppm", "is_peak"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "hod"])
+            .reset_index(drop=True))
+
+
 # --------------------------------------------------- TPC-H Q6 revenue delta
 @query(
     "forecast_revenue_change",
@@ -10758,7 +10914,8 @@ _DRIVER_ORDER = [
     "embedding_pq_buckets", "user_similarity_topk",
     "embedding_srp_signatures", "kg_dominators",
     "shipping_priority_topk", "doc_curation_gate",
-    "forecast_revenue_change",
+    "forecast_revenue_change", "events_seasonal_profile",
+    "customer_spend_deciles",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

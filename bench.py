@@ -95,7 +95,8 @@ BENCH_QUERIES = [
     "embedding_pq_buckets", "user_similarity_topk",
     "embedding_srp_signatures", "kg_dominators",
     "shipping_priority_topk", "doc_curation_gate",
-    "forecast_revenue_change",
+    "forecast_revenue_change", "events_seasonal_profile",
+    "customer_spend_deciles",
 ]
 
 
