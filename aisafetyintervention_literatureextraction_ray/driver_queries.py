@@ -9875,6 +9875,102 @@ def kg_motif_census(sf_dir: str):
         "n": pd.Series([n_cycle, n_ff], dtype="int64")})
 
 
+# ---------------------------------------------------- DAU/WAU stickiness
+@query(
+    "events_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM ud GROUP BY day),
+    w AS (SELECT DISTINCT user_id, day + o.o AS wday
+          FROM ud CROSS JOIN (SELECT UNNEST(range(7)) AS o) o),
+    wau AS (SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS wau
+            FROM w GROUP BY wday)
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(1000000 * dau.dau // wau.wau AS BIGINT)
+               AS stickiness_ppm
+    FROM dau JOIN wau USING (day) ORDER BY dau.day
+    """,
+)
+def events_stickiness(sf_dir: str):
+    """Product stickiness (DAU/WAU): how much of each trailing week's
+    audience shows up on a given day — the engagement-quality ratio
+    product teams track daily.  Composes the exact rolling-distinct
+    machinery of events_rolling_active_users (distinct activity
+    exploded to the 7 window-days it affects, never a per-window
+    rescan) with the per-day distinct count, matched on the fast
+    marker-union hash_aggregate path and reported as an exact integer
+    ppm ratio (WAU >= DAU on every real day by construction)."""
+    from .functions.agg import hash_aggregate
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(us, pa.scalar(86_400_000_000,
+                                           pa.int64()))})
+
+    ud = hash_aggregate(
+        ds.map_batches(to_day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"], [("day", "count")],
+        exchange="shuffle").select_columns(["user_id", "day"]) \
+        .materialize()
+
+    dau = hash_aggregate(ud, ["day"], [("user_id", "count")],
+                         rename={"user_id_count": "dau"},
+                         exchange="shuffle")
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.tile(np.arange(7, dtype=np.int64), len(d))
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, 7)),
+            "wday": pa.array(np.repeat(d, 7) + offs)})
+
+    wau = hash_aggregate(
+        hash_aggregate(
+            ud.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "wday"], [("wday", "count")],
+            exchange="shuffle").select_columns(["user_id", "wday"]),
+        ["wday"], [("user_id", "count")],
+        rename={"user_id_count": "wau"}, exchange="shuffle")
+
+    both = dau.map_batches(
+        lambda t: pa.table({
+            "day": t["day"], "dau": t["dau"],
+            "wau": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True).union(
+        wau.map_batches(
+            lambda t: pa.table({
+                "day": t["wday"],
+                "dau": pa.array(np.zeros(len(t), np.int64)),
+                "wau": t["wau"]}),
+            batch_format="pyarrow", zero_copy_batch=True))
+    agg = hash_aggregate(both, ["day"],
+                         [("dau", "sum"), ("wau", "sum")],
+                         rename={"dau_sum": "dau", "wau_sum": "wau"},
+                         exchange="shuffle")
+    out = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["dau"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(out) == 0:  # empty Ray to_pandas drops column names
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("day", "dau", "wau",
+                                       "stickiness_ppm")})
+    for c in ("day", "dau", "wau"):
+        out[c] = out[c].astype("int64")
+    out["stickiness_ppm"] = (1000000 * out["dau"]) // out["wau"]
+    return out.sort_values("day").reset_index(drop=True)
+
+
 # ---------------------------------------------------- Lorenz deciles
 @query(
     "customer_spend_deciles",
@@ -10915,7 +11011,7 @@ _DRIVER_ORDER = [
     "embedding_srp_signatures", "kg_dominators",
     "shipping_priority_topk", "doc_curation_gate",
     "forecast_revenue_change", "events_seasonal_profile",
-    "customer_spend_deciles",
+    "customer_spend_deciles", "events_stickiness",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

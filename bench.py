@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "embedding_srp_signatures", "kg_dominators",
     "shipping_priority_topk", "doc_curation_gate",
     "forecast_revenue_change", "events_seasonal_profile",
-    "customer_spend_deciles",
+    "customer_spend_deciles", "events_stickiness",
 ]
 
 
