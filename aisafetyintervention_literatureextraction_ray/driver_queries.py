@@ -10946,21 +10946,28 @@ _Q5_LO, _Q5_HI = "1997-01-01", "1998-01-01"
     ORDER BY revenue_milli DESC, nation_name ASC
     """,
 )
-def local_supplier_volume(sf_dir: str):
+def local_supplier_volume(sf_dir: str,
+                          broadcast_limit: int = 250_000):
     """TPC-H Q5 (local supplier volume): revenue a region's customers
     generated through SAME-NATION suppliers in one year — the classic
-    six-table join.  The Ray plan splits it into one broadcast and two
-    partitioned exchanges: supplier->nation is a dense int array
-    shipped once via ``ray.put`` and applied as a vectorized gather
-    inside the lineitem scan (suppliers are bounded at 10k x SF —
-    the textbook broadcast side), lineitem pre-reduces to one
-    (orderkey, supp_nation, revenue) partial per batch BEFORE its
-    exchange, orders x customer resolve the customer nation on a
-    bucketed custkey join, and the final orderkey join carries only
-    the skinny partials.  The c_nationkey = s_nationkey "local"
-    constraint becomes a vectorized equality filter AFTER the join,
-    and revenue snaps to floor(extprice * (1 - disc) * 1000) int64 —
-    the identical IEEE op tree in numpy and DuckDB."""
+    six-table join.  supplier->nation is always a dense int-array
+    broadcast gather inside the lineitem scan (suppliers are bounded
+    at 10k x SF — the textbook broadcast side); the remaining joins
+    pick their exchange from MEASURED row counts:
+
+    * region-filtered customers <= ``broadcast_limit``: custkey ->
+      nationkey ships via ``ray.put`` and the orders scan resolves the
+      buyer nation map-side; else one bucketed custkey join.
+    * window orders <= limit: orderkey -> buyer-nation ships the same
+      way and the WHOLE query is a single lineitem pass (the local
+      s_nat == c_nat test runs inside the scan) plus one
+      nations-sized reduce — zero wide exchanges.
+    * else: lineitem pre-reduces to per-orderkey revenue partials
+      PIVOTED across the region's <= 25 nations (bounded width), and
+      one marker-union keyed reduce replaces the orderkey join.
+
+    Revenue snaps to floor(extprice * (1 - disc) * 1000) int64 — the
+    identical IEEE op tree in numpy and DuckDB."""
     import datetime as _dt
     import pyarrow.parquet as pq
 
@@ -10976,6 +10983,8 @@ def local_supplier_volume(sf_dir: str):
         if rmap[rk] == _Q5_REGION)
     nname = dict(zip(nation["n_nationkey"].to_pylist(),
                      nation["n_name"].to_pylist()))
+    k = len(asia)
+    asia_np = np.asarray(asia, np.int64)
 
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])
@@ -10986,43 +10995,27 @@ def local_supplier_volume(sf_dir: str):
     # memory, never to wrong answers — unseen keys map to -1)
     s2n = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, np.int64)
     s2n[sk] = sn
-    bc = ray.put((s2n, np.asarray(asia, np.int64)))
+    bc = ray.put((s2n, asia_np))
 
-    empty_line = pa.table({"l_orderkey": pa.array([], pa.int64()),
-                           "s_nat": pa.array([], pa.int64()),
-                           "revenue_milli": pa.array([], pa.int64())})
+    def finish(out: pd.DataFrame) -> pd.DataFrame:
+        if len(out) == 0:
+            return pd.DataFrame({
+                "nation_name": pd.Series([], dtype=object),
+                "revenue_milli": pd.Series([], dtype="int64")})
+        out["nation_name"] = out["s_nat"].map(nname)
+        out["revenue_milli"] = out["revenue_milli"].astype("int64")
+        return out.sort_values(
+            ["revenue_milli", "nation_name"],
+            ascending=[False, True]).reset_index(drop=True)[
+            ["nation_name", "revenue_milli"]]
 
-    def line_partial(t: pa.Table) -> pa.Table:
-        s2n_a, asia_a = ray.get(bc)
-        skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        nat = s2n_a[skv]
-        keep = np.isin(nat, asia_a)
-        if not keep.any():
-            return empty_line
-        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
-        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
-        tt = pa.table({"l_orderkey": pa.array(ok),
-                       "s_nat": pa.array(nat[keep]),
-                       "revenue_milli": pa.array(milli)})
-        return pa.TableGroupBy(tt, ["l_orderkey", "s_nat"]).aggregate(
-            [("revenue_milli", "sum")]).rename_columns(
-            ["l_orderkey", "s_nat", "revenue_milli"])
-
-    line_rev = _pq(sf_dir, "lineitem",
-                   ["l_orderkey", "l_suppkey", "l_extendedprice",
-                    "l_discount"]).map_batches(
-        line_partial, batch_format="pyarrow", batch_size=65536,
-        zero_copy_batch=True)
-
+    # ---- buyer-nation per window order (measured exchange choice)
     asia_arr = pa.array(asia, pa.int64())
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(
         lambda t: t.filter(pc.is_in(t["c_nationkey"],
                                     value_set=asia_arr)),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     lo = _dt.datetime.fromisoformat(_Q5_LO)
     hi = _dt.datetime.fromisoformat(_Q5_HI)
@@ -11035,43 +11028,177 @@ def local_supplier_volume(sf_dir: str):
         .select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    o_cust = bucketed_join(
-        orders, cust, left_key="o_custkey", right_key="c_custkey",
-        right_value_cols=["c_nationkey"],
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_nationkey", pa.int64())]))
-    o_cust = o_cust.map_batches(
-        lambda t: t.select(["o_orderkey", "c_nationkey"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    if cust.count() <= broadcast_limit:
+        ct = pa.concat_tables(
+            cust.iter_batches(batch_format="pyarrow", batch_size=65536)
+        ) if cust.count() else pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_nationkey": pa.array([], pa.int64())})
+        cref = ray.put((pd.Index(ct["c_custkey"].to_numpy()),
+                        ct["c_nationkey"].to_numpy()))
 
-    joined = bucketed_join(
-        line_rev, o_cust, left_key="l_orderkey", right_key="o_orderkey",
-        right_value_cols=["c_nationkey"],
-        left_schema=pa.schema([("l_orderkey", pa.int64()),
-                               ("s_nat", pa.int64()),
-                               ("revenue_milli", pa.int64())]),
-        right_schema=pa.schema([("o_orderkey", pa.int64()),
-                                ("c_nationkey", pa.int64())]))
+        def attach_nat(t: pa.Table) -> pa.Table:
+            idx, vals = ray.get(cref)
+            pos = idx.get_indexer(t["o_custkey"].to_numpy())
+            ok = pos >= 0
+            nat = np.where(ok, vals[np.clip(pos, 0, None)], -1)
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "c_nationkey": pa.array(nat.astype(np.int64))}) \
+                .filter(pa.array(ok))
 
-    local = joined.map_batches(
-        lambda t: t.filter(pc.equal(t["s_nat"], t["c_nationkey"])),
-        batch_format="pyarrow", zero_copy_batch=True)
-    agg = hash_aggregate(local, ["s_nat"], [("revenue_milli", "sum")],
-                         rename={"revenue_milli_sum": "revenue_milli"},
-                         exchange="shuffle")
-    out = agg.to_pandas()
-    if len(out) == 0:
-        return pd.DataFrame({
-            "nation_name": pd.Series([], dtype=object),
-            "revenue_milli": pd.Series([], dtype="int64")})
-    out["nation_name"] = out["s_nat"].map(nname)
-    out["revenue_milli"] = out["revenue_milli"].astype("int64")
-    return out.sort_values(
-        ["revenue_milli", "nation_name"],
-        ascending=[False, True]).reset_index(drop=True)[
-        ["nation_name", "revenue_milli"]]
+        o_cust = orders.map_batches(attach_nat, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        o_cust = bucketed_join(
+            orders, cust, left_key="o_custkey", right_key="c_custkey",
+            right_value_cols=["c_nationkey"],
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())])) \
+            .map_batches(
+            lambda t: t.select(["o_orderkey", "c_nationkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    o_cust = o_cust.materialize()
+    n_window = o_cust.count()
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice",
+              "l_discount"])
+
+    if n_window <= broadcast_limit:
+        # single-pass plan: orderkey -> buyer nation ships once; the
+        # local constraint resolves inside the scan, the only exchange
+        # is the <= 25-row nation reduce
+        ot = pa.concat_tables(
+            o_cust.iter_batches(batch_format="pyarrow",
+                                batch_size=65536)
+        ) if n_window else pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "c_nationkey": pa.array([], pa.int64())})
+        oref = ray.put((pd.Index(ot["o_orderkey"].to_numpy()),
+                        ot["c_nationkey"].to_numpy()))
+
+        def line_local(t: pa.Table) -> pa.Table:
+            s2n_a, asia_a = ray.get(bc)
+            idx, cnat = ray.get(oref)
+            skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nat = s2n_a[skv]
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = idx.get_indexer(ok)
+            hit = pos >= 0
+            buyer = np.where(hit, cnat[np.clip(pos, 0, None)], -2)
+            keep = hit & (buyer == nat) & np.isin(nat, asia_a)
+            if not keep.any():
+                return pa.table({
+                    "s_nat": pa.array([], pa.int64()),
+                    "revenue_milli": pa.array([], pa.int64())})
+            ext = t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep]
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            milli = np.floor(ext * (1.0 - disc) * 1000.0) \
+                .astype(np.int64)
+            tt = pa.table({"s_nat": pa.array(nat[keep]),
+                           "revenue_milli": pa.array(milli)})
+            return pa.TableGroupBy(tt, ["s_nat"]).aggregate(
+                [("revenue_milli", "sum")]).rename_columns(
+                ["s_nat", "revenue_milli"])
+
+        agg = hash_aggregate(
+            li.map_batches(line_local, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True),
+            ["s_nat"], [("revenue_milli", "sum")],
+            rename={"revenue_milli_sum": "revenue_milli"},
+            exchange="shuffle")
+        return finish(agg.to_pandas())
+
+    # ---- distributed plan: revenue pivoted across the region's <= 25
+    # nations (bounded schema width) so ONE marker-union keyed reduce
+    # replaces the orderkey join
+    rev_cols = [f"rev_{i}" for i in range(k)]
+
+    def line_pivot(t: pa.Table) -> pa.Table:
+        s2n_a, asia_a = ray.get(bc)
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nat = s2n_a[skv]
+        keep = np.isin(nat, asia_a)
+        n = int(keep.sum())
+        if n == 0:
+            cols = {"o_orderkey": pa.array([], pa.int64()),
+                    "c_nat": pa.array([], pa.int64()),
+                    "n_o": pa.array([], pa.int64())}
+            cols.update({c: pa.array([], pa.int64())
+                         for c in rev_cols})
+            return pa.table(cols)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        pos = np.searchsorted(asia_a, nat[keep])
+        rev = np.zeros((n, k), np.int64)
+        rev[np.arange(n), pos] = milli
+        cols = {"o_orderkey": pa.array(ok)}
+        cols.update({rev_cols[i]: pa.array(rev[:, i])
+                     for i in range(k)})
+        tt = pa.table(cols)
+        g = pa.TableGroupBy(tt, ["o_orderkey"]).aggregate(
+            [(c, "sum") for c in rev_cols]).rename_columns(
+            ["o_orderkey"] + rev_cols)
+        n2 = g.num_rows
+        return g.append_column(
+            "c_nat", pa.array(np.full(n2, -1, np.int64))) \
+            .append_column("n_o", pa.array(np.zeros(n2, np.int64)))
+
+    def o_marks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"o_orderkey": t["o_orderkey"]}
+        cols.update({c: pa.array(np.zeros(n, np.int64))
+                     for c in rev_cols})
+        cols["c_nat"] = t["c_nationkey"]
+        cols["n_o"] = pa.array(np.ones(n, np.int64))
+        return pa.table(cols)
+
+    both = li.map_batches(line_pivot, batch_format="pyarrow",
+                          batch_size=65536, zero_copy_batch=True) \
+        .union(o_cust.map_batches(o_marks, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    per_key = hash_aggregate(
+        both, ["o_orderkey"],
+        [(c, "sum") for c in rev_cols] + [("c_nat", "max"),
+                                          ("n_o", "sum")],
+        rename={**{f"{c}_sum": c for c in rev_cols},
+                "c_nat_max": "c_nat", "n_o_sum": "n_o"},
+        exchange="shuffle")
+
+    def pick_local(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["n_o"], 0),
+                       pc.greater_equal(t["c_nat"], 0)).to_numpy(
+            zero_copy_only=False)
+        if not keep.any():
+            return pa.table({"s_nat": pa.array([], pa.int64()),
+                             "revenue_milli": pa.array([], pa.int64())})
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)[keep]
+        idx = np.searchsorted(asia_np, cn)
+        rev = np.stack([t[c].to_numpy(zero_copy_only=False)[keep]
+                        for c in rev_cols], axis=1)
+        sel = rev[np.arange(len(cn)), idx]
+        nz = sel != 0
+        tt = pa.table({"s_nat": pa.array(cn[nz]),
+                       "revenue_milli": pa.array(sel[nz])})
+        return pa.TableGroupBy(tt, ["s_nat"]).aggregate(
+            [("revenue_milli", "sum")]).rename_columns(
+            ["s_nat", "revenue_milli"])
+
+    agg = hash_aggregate(
+        per_key.map_batches(pick_local, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["s_nat"], [("revenue_milli", "sum")],
+        rename={"revenue_milli_sum": "revenue_milli"},
+        exchange="shuffle")
+    return finish(agg.to_pandas())
 
 
 # ---------------------------------------------------- TPC-H Q18 big orders
@@ -11098,17 +11225,20 @@ _Q18_QTY = 300
     LIMIT 100
     """,
 )
-def large_orders_topk(sf_dir: str):
+def large_orders_topk(sf_dir: str, broadcast_limit: int = 250_000):
     """TPC-H Q18 (large-volume customers): orders whose total line
     quantity exceeds a threshold, with buyer names, top-100 by order
     value.  The groupby-HAVING semi-join shrinks FIRST: lineitem
-    pre-reduces to one (orderkey, qty) int64 partial per batch, the
+    pre-reduces to one (orderkey, qty) int64 partial per batch and the
     keyed sum + threshold filter leaves only the big-order tail
-    (~0.3% of orders), and both the orders and customer joins run
-    AFTER the shrink on bucketed exchanges, so the wide tables never
-    meet unfiltered.  Quantities are whole-valued doubles — floor +
-    int64 makes both the HAVING cut and the reported sums exact; the
-    top-100 cut pre-prunes per block before one small global sort."""
+    (~0.3% of orders).  The tail's size is then MEASURED: at or below
+    ``broadcast_limit`` rows it ships via ``ray.put`` and the orders
+    and customer scans resolve map-side (two semi-filtered scans, zero
+    further exchanges, driver merge bounded by the gate); above the
+    limit both dimension attaches run as bucketed exchanges.
+    Quantities are whole-valued doubles — floor + int64 makes both the
+    HAVING cut and the reported sums exact; the top-100 cut pre-prunes
+    per block before one small global sort."""
     from .functions.agg import bucketed_join, hash_aggregate
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -11129,19 +11259,78 @@ def large_orders_topk(sf_dir: str):
         rename={"sum_qty_sum": "sum_qty"}, exchange="shuffle") \
         .map_batches(
         lambda t: t.filter(pc.greater(t["sum_qty"], _Q18_QTY)),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    orders = _pq(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_orderdate",
-                  "o_totalprice"]).map_batches(
-        lambda t: pa.table({
+    empty = pd.DataFrame({
+        "c_name": pd.Series([], dtype=object),
+        "c_custkey": pd.Series([], dtype="int64"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "totalprice_milli": pd.Series([], dtype="int64"),
+        "sum_qty": pd.Series([], dtype="int64")})
+
+    n_big = big.count()
+    if n_big == 0:
+        return empty
+
+    def order_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
             "o_orderkey": t["o_orderkey"],
             "o_custkey": t["o_custkey"],
             "o_orderdate": t["o_orderdate"],
             "totalprice_milli": pa.array(np.floor(
                 t["o_totalprice"].to_numpy(zero_copy_only=False)
-                * 1000.0).astype(np.int64))}),
-        batch_format="pyarrow", zero_copy_batch=True)
+                * 1000.0).astype(np.int64))})
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]).map_batches(
+        order_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    if n_big <= broadcast_limit:
+        # map-side plan: the measured-small tail semi-filters both
+        # dimension scans; final assembly is a gate-bounded driver
+        # merge — no exchange after the HAVING reduce
+        bt = pa.concat_tables(
+            big.iter_batches(batch_format="pyarrow", batch_size=65536))
+        bref = ray.put(pd.Index(bt["l_orderkey"].to_numpy()))
+
+        def o_semi(t: pa.Table) -> pa.Table:
+            pos = ray.get(bref).get_indexer(t["o_orderkey"].to_numpy())
+            return t.filter(pa.array(pos >= 0))
+
+        o_hit = pa.concat_tables(
+            orders.map_batches(o_semi, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+        ck = np.unique(o_hit["o_custkey"].to_numpy())
+        ckref = ray.put(pd.Index(ck))
+
+        def c_semi(t: pa.Table) -> pa.Table:
+            pos = ray.get(ckref).get_indexer(t["c_custkey"].to_numpy())
+            return t.filter(pa.array(pos >= 0))
+
+        c_hit = pa.concat_tables(
+            _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(c_semi, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+        out = (o_hit.to_pandas()
+               .merge(bt.to_pandas(),
+                      left_on="o_orderkey", right_on="l_orderkey")
+               .merge(c_hit.to_pandas(),
+                      left_on="o_custkey", right_on="c_custkey"))
+        if len(out) == 0:
+            return empty
+        out = out.sort_values(
+            ["totalprice_milli", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True]).head(100)
+        for c in ("c_custkey", "o_orderkey", "totalprice_milli",
+                  "sum_qty"):
+            out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)[
+            ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+             "totalprice_milli", "sum_qty"]]
 
     wide = bucketed_join(
         big, orders, left_key="l_orderkey", right_key="o_orderkey",
@@ -11179,13 +11368,7 @@ def large_orders_topk(sf_dir: str):
                  descending=[True, False, False])
            .limit(100).to_pandas())
     if len(out) == 0:
-        return pd.DataFrame({
-            "c_name": pd.Series([], dtype=object),
-            "c_custkey": pd.Series([], dtype="int64"),
-            "o_orderkey": pd.Series([], dtype="int64"),
-            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
-            "totalprice_milli": pd.Series([], dtype="int64"),
-            "sum_qty": pd.Series([], dtype="int64")})
+        return empty
     out = out.rename(columns={"l_orderkey": "o_orderkey",
                               "o_custkey": "c_custkey"})
     for c in ("c_custkey", "o_orderkey", "totalprice_milli", "sum_qty"):
@@ -11312,16 +11495,19 @@ _Q10_LO, _Q10_HI = "1997-07-01", "1997-10-01"
     LIMIT 20
     """,
 )
-def returned_item_losses(sf_dir: str):
+def returned_item_losses(sf_dir: str, broadcast_limit: int = 250_000):
     """TPC-H Q10 (returned-item reporting): the quarter's top-20
-    customers by revenue lost to returns, with nation names.  Returned
-    lineitem rows pre-reduce to (orderkey, revenue) int64 partials in
-    the scan, one bucketed orderkey join attaches the window's buyer,
-    a keyed custkey sum folds the quarter, and the customer dimension
-    attaches AFTER the reduce (the join probe side is the small
-    aggregated tail, not raw lineitem).  Nation names ride the same
-    ``ray.put`` broadcast-gather as customer_nation_rollup; the top-20
-    cut pre-prunes per block before the global sort."""
+    customers by revenue lost to returns, with nation names.  The
+    window's orders are MEASURED first: a quarter that fits
+    ``broadcast_limit`` ships orderkey -> custkey via ``ray.put`` so
+    the returned-lineitem scan folds straight to per-customer revenue
+    partials (one small keyed exchange total); a bigger window falls
+    back to a bucketed orderkey join.  Either way the customer
+    dimension attaches AFTER the custkey reduce — the probe side is
+    the aggregated tail, never raw lineitem — and revenue snaps to
+    floor(extprice * (1 - disc) * 1000) int64 on both sides.  Nation
+    names ride the same ``ray.put`` broadcast-gather as
+    customer_nation_rollup; the top-20 cut pre-prunes per block."""
     import datetime as _dt
     import pyarrow.parquet as pq
 
@@ -11337,39 +11523,74 @@ def returned_item_losses(sf_dir: str):
             pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
             pc.less(t["o_orderdate"], pa.scalar(hi))))
         .select(["o_orderkey", "o_custkey"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_window = orders.count()
 
-    def rev_partial(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["l_returnflag"], "R")
-        t = t.filter(keep)
-        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
-        tt = pa.table({"l_orderkey": t["l_orderkey"],
-                       "revenue_milli": pa.array(milli)})
-        return pa.TableGroupBy(tt, ["l_orderkey"]).aggregate(
-            [("revenue_milli", "sum")]).rename_columns(
-            ["l_orderkey", "revenue_milli"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_extendedprice",
+              "l_discount"])
 
-    rev = _pq(sf_dir, "lineitem",
-              ["l_orderkey", "l_returnflag", "l_extendedprice",
-               "l_discount"]).map_batches(
-        rev_partial, batch_format="pyarrow", batch_size=65536,
-        zero_copy_batch=True)
+    if n_window <= broadcast_limit and n_window > 0:
+        ot = pa.concat_tables(
+            orders.iter_batches(batch_format="pyarrow",
+                                batch_size=65536))
+        oref = ray.put((pd.Index(ot["o_orderkey"].to_numpy()),
+                        ot["o_custkey"].to_numpy()))
 
-    joined = bucketed_join(
-        rev, orders, left_key="l_orderkey", right_key="o_orderkey",
-        right_value_cols=["o_custkey"],
-        left_schema=pa.schema([("l_orderkey", pa.int64()),
-                               ("revenue_milli", pa.int64())]),
-        right_schema=pa.schema([("o_orderkey", pa.int64()),
-                                ("o_custkey", pa.int64())]))
+        def cust_partial(t: pa.Table) -> pa.Table:
+            idx, cust = ray.get(oref)
+            t = t.filter(pc.equal(t["l_returnflag"], "R"))
+            pos = idx.get_indexer(t["l_orderkey"].to_numpy())
+            hit = pos >= 0
+            if not hit.any():
+                return pa.table({
+                    "o_custkey": pa.array([], pa.int64()),
+                    "revenue_milli": pa.array([], pa.int64())})
+            ext = t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[hit]
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
+            milli = np.floor(ext * (1.0 - disc) * 1000.0) \
+                .astype(np.int64)
+            ck = cust[pos[hit]]
+            tt = pa.table({"o_custkey": pa.array(ck),
+                           "revenue_milli": pa.array(milli)})
+            return pa.TableGroupBy(tt, ["o_custkey"]).aggregate(
+                [("revenue_milli", "sum")]).rename_columns(
+                ["o_custkey", "revenue_milli"])
 
-    per_cust = hash_aggregate(joined, ["o_custkey"],
-                              [("revenue_milli", "sum")],
-                              rename={"revenue_milli_sum":
-                                      "revenue_milli"},
-                              exchange="shuffle")
+        per_cust = hash_aggregate(
+            li.map_batches(cust_partial, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True),
+            ["o_custkey"], [("revenue_milli", "sum")],
+            rename={"revenue_milli_sum": "revenue_milli"},
+            exchange="shuffle")
+    else:
+        def rev_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["l_returnflag"], "R"))
+            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            milli = np.floor(ext * (1.0 - disc) * 1000.0) \
+                .astype(np.int64)
+            tt = pa.table({"l_orderkey": t["l_orderkey"],
+                           "revenue_milli": pa.array(milli)})
+            return pa.TableGroupBy(tt, ["l_orderkey"]).aggregate(
+                [("revenue_milli", "sum")]).rename_columns(
+                ["l_orderkey", "revenue_milli"])
+
+        joined = bucketed_join(
+            li.map_batches(rev_partial, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True),
+            orders, left_key="l_orderkey", right_key="o_orderkey",
+            right_value_cols=["o_custkey"],
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("revenue_milli", pa.int64())]),
+            right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                    ("o_custkey", pa.int64())]))
+        per_cust = hash_aggregate(joined, ["o_custkey"],
+                                  [("revenue_milli", "sum")],
+                                  rename={"revenue_milli_sum":
+                                          "revenue_milli"},
+                                  exchange="shuffle")
 
     named = bucketed_join(
         per_cust,

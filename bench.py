@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "shipping_priority_topk", "doc_curation_gate",
     "forecast_revenue_change", "events_seasonal_profile",
     "customer_spend_deciles", "events_stickiness",
+    # round-5 session-6 additions
+    "local_supplier_volume", "large_orders_topk",
+    "returned_orders_by_priority", "returned_item_losses",
+    "er_blocking_stats",
 ]
 
 

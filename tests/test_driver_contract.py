@@ -115,3 +115,20 @@ def test_bench_list_subset_of_registry():
     q = e.queries()
     missing = [n for n in bench.BENCH_QUERIES if n not in q]
     assert not missing, f"bench list names missing from registry: {missing}"
+
+
+@pytest.mark.parametrize("name", ["local_supplier_volume",
+                                  "large_orders_topk",
+                                  "returned_item_losses"])
+def test_measured_gate_distributed_path_matches_broadcast(name):
+    """The session-6 join queries pick broadcast vs bucketed exchange
+    from a MEASURED row count; force the distributed branch
+    (broadcast_limit=0) and require bit-equal output."""
+    from aisafetyintervention_literatureextraction_ray import (
+        driver_queries as dq,
+    )
+
+    fast = dq.QUERIES[name](SF_DIR).reset_index(drop=True)
+    slow = getattr(dq, name)(SF_DIR, broadcast_limit=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
