@@ -11716,6 +11716,540 @@ def er_blocking_stats(sf_dir: str):
          "retained_ppm"]]
 
 
+# ================================================================ session-7:
+# remaining TPC-H join/aggregate analogues (Q7/Q8/Q9/Q14/Q15/Q16/Q17/
+# Q19/Q22) + an order-vs-lineitem reconciliation audit.  Shared plan
+# vocabulary: dimension hops (supplier/part/nation/region) ship ONCE
+# as dense int-array gathers via ray.put (bounded at 10k-200k x SF —
+# the textbook broadcast side); fact-to-fact hops (lineitem->orders,
+# orders->customer) pre-reduce the fact side to skinny per-key
+# partials FIRST and pick broadcast vs bucketed exchange from a
+# MEASURED row count (the Q5/Q10 gate, reference merge.py:75-79's
+# driver-resident join inverted into a distributed one).  Money snaps
+# to exact integers (floor-milli / round-cents) so every sum is
+# order-independent and oracle-exact.
+
+def _supp_nation_gather(sf_dir: str):
+    """Dense ``s_suppkey -> s_nationkey`` int64 gather array (unseen
+    keys -> -1) — suppliers are bounded at 10k x SF, always the
+    broadcast side."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    sn = supp["s_nationkey"].to_numpy()
+    s2n = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, np.int64)
+    s2n[sk] = sn.astype(np.int64)
+    return s2n
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    return dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+
+
+def _orders_buyer_nation(sf_dir: str, broadcast_limit: int, *,
+                         with_year: bool = False,
+                         nation_keys: np.ndarray | None = None) -> rd.Dataset:
+    """Materialized ``(o_orderkey, c_nationkey[, year])`` — the
+    orders->customer fact-to-fact hop with a MEASURED exchange choice:
+    customers (optionally nation-filtered) ship as a ``ray.put``
+    custkey index when they fit ``broadcast_limit``, else one
+    partitioned custkey join.  ``year`` is EXTRACT(year FROM
+    o_orderdate) computed vectorized before the date column drops."""
+    from .functions.agg import bucketed_join
+
+    keyset = (pa.array(nation_keys.tolist(), pa.int64())
+              if nation_keys is not None else None)
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        out = pa.table({"c_custkey": t["c_custkey"],
+                        "c_nationkey": t["c_nationkey"].cast(
+                            pa.int64())})
+        if keyset is not None:
+            out = out.filter(pc.is_in(out["c_nationkey"],
+                                      value_set=keyset))
+        return out
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_proj, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    ocols = ["o_orderkey", "o_custkey"] + (
+        ["o_orderdate"] if with_year else [])
+    orders = _pq(sf_dir, "orders", ocols)
+    if with_year:
+        def add_year(t: pa.Table) -> pa.Table:
+            yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "o_custkey": t["o_custkey"],
+                             "year": yr})
+
+        orders = orders.map_batches(add_year, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    extra = ["year"] if with_year else []
+    if cust.count() <= broadcast_limit:
+        ct = pa.concat_tables(
+            cust.iter_batches(batch_format="pyarrow", batch_size=65536)
+        ) if cust.count() else pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_nationkey": pa.array([], pa.int64())})
+        cref = ray.put((pd.Index(ct["c_custkey"].to_numpy()),
+                        ct["c_nationkey"].to_numpy().astype(np.int64)))
+
+        def attach(t: pa.Table) -> pa.Table:
+            idx, vals = ray.get(cref)
+            pos = idx.get_indexer(t["o_custkey"].to_numpy())
+            ok = pos >= 0
+            nat = np.where(ok, vals[np.clip(pos, 0, None)], -1)
+            cols = {"o_orderkey": t["o_orderkey"],
+                    "c_nationkey": pa.array(nat.astype(np.int64))}
+            for c in extra:
+                cols[c] = t[c]
+            return pa.table(cols).filter(pa.array(ok))
+
+        out = orders.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        out = bucketed_join(
+            orders, cust, left_key="o_custkey", right_key="c_custkey",
+            right_value_cols=["c_nationkey"],
+            left_schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+                + [(c, pa.int64()) for c in extra]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())])) \
+            .map_batches(
+            lambda t: t.select(["o_orderkey", "c_nationkey"] + extra),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return out.materialize()
+
+
+def _attach_order_cols(partials: rd.Dataset, o_side: rd.Dataset,
+                       value_cols: list[str], broadcast_limit: int,
+                       partial_schema: pa.Schema) -> rd.Dataset:
+    """Attach per-orderkey columns from a MATERIALIZED (small-side
+    measured) orders projection onto skinny lineitem partials: a
+    ``ray.put`` orderkey index when the projection fits
+    ``broadcast_limit``, else one partitioned orderkey join.  Misses
+    (orderkey absent from the projection, e.g. window-filtered) drop —
+    inner-join semantics on both paths."""
+    from .functions.agg import bucketed_join
+
+    n = o_side.count()
+    if n <= broadcast_limit:
+        ot = pa.concat_tables(
+            o_side.iter_batches(batch_format="pyarrow",
+                                batch_size=65536)
+        ) if n else pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             **{c: pa.array([], pa.int64()) for c in value_cols}})
+        oref = ray.put((pd.Index(ot["o_orderkey"].to_numpy()),
+                        {c: ot[c].to_numpy().astype(np.int64)
+                         for c in value_cols}))
+
+        def attach(t: pa.Table) -> pa.Table:
+            idx, vals = ray.get(oref)
+            pos = idx.get_indexer(t["o_orderkey"].to_numpy())
+            ok = pos >= 0
+            safe = np.clip(pos, 0, None)
+            cols = {c: t[c] for c in t.column_names}
+            for c in value_cols:
+                cols[c] = pa.array(vals[c][safe])
+            return pa.table(cols).filter(pa.array(ok))
+
+        return partials.map_batches(attach, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    o_schema = pa.schema([("o_orderkey", pa.int64())]
+                         + [(c, pa.int64()) for c in value_cols])
+    return bucketed_join(partials, o_side, left_key="o_orderkey",
+                         right_key="o_orderkey",
+                         right_value_cols=value_cols,
+                         left_schema=partial_schema,
+                         right_schema=o_schema)
+
+
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+
+@query(
+    "nation_volume_shipping",
+    f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000) AS BIGINT)) AS BIGINT)
+               AS revenue_milli
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE s.s_nationkey <> c.c_nationkey
+      AND l.l_shipdate >= TIMESTAMP '{_Q7_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q7_HI}'
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, year
+    """,
+)
+def nation_volume_shipping(sf_dir: str, broadcast_limit: int = 250_000):
+    """TPC-H Q7 (volume shipping): cross-border revenue flows between
+    every (supplier nation, customer nation) pair per shipment year —
+    the international-trade matrix of the six-table schema.  Plan:
+    supplier->nation is the always-broadcast dense gather; lineitem
+    pre-reduces IN-BATCH to skinny (orderkey, supp_nation, year,
+    milli) partials inside the window scan; the buyer nation attaches
+    through the measured orderkey gate (:func:`_attach_order_cols`);
+    one keyed reduce on the bounded (25 x 25 x years) result key set
+    finishes.  The s_nat <> c_nat constraint is a vectorized filter
+    applied the moment both sides are in one batch."""
+    import datetime as _dt
+
+    from .functions.agg import hash_aggregate
+
+    s2n = _supp_nation_gather(sf_dir)
+    nname = _nation_names(sf_dir)
+    bc = ray.put(s2n)
+    o_nat = _orders_buyer_nation(sf_dir, broadcast_limit)
+
+    lo = _dt.datetime.fromisoformat(_Q7_LO)
+    hi = _dt.datetime.fromisoformat(_Q7_HI)
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_shipdate",
+              "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "s_nat": pa.array([], pa.int64()),
+                             "year": pa.array([], pa.int64()),
+                             "milli": pa.array([], pa.int64())})
+        s2n_a = ray.get(bc)
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nat = s2n_a[np.clip(skv, 0, len(s2n_a) - 1)]
+        nat[skv >= len(s2n_a)] = -1
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
+        tt = pa.table({"o_orderkey": t["l_orderkey"],
+                       "s_nat": pa.array(nat),
+                       "year": yr,
+                       "milli": pa.array(milli)})
+        return pa.TableGroupBy(tt, ["o_orderkey", "s_nat", "year"]) \
+            .aggregate([("milli", "sum")]).rename_columns(
+            ["o_orderkey", "s_nat", "year", "milli"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    pschema = pa.schema([("o_orderkey", pa.int64()),
+                         ("s_nat", pa.int64()), ("year", pa.int64()),
+                         ("milli", pa.int64())])
+    attached = _attach_order_cols(partials, o_nat, ["c_nationkey"],
+                                  broadcast_limit, pschema)
+
+    def crossborder(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t["s_nat"], t["c_nationkey"]),
+            pc.greater_equal(t["s_nat"], 0))
+        return t.filter(keep).select(
+            ["s_nat", "c_nationkey", "year", "milli"])
+
+    agg = hash_aggregate(
+        attached.map_batches(crossborder, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["s_nat", "c_nationkey", "year"], [("milli", "sum")],
+        rename={"milli_sum": "revenue_milli"}, exchange="shuffle")
+    out = agg.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "year": pd.Series([], dtype="int64"),
+            "revenue_milli": pd.Series([], dtype="int64")})
+    out["supp_nation"] = out["s_nat"].map(nname)
+    out["cust_nation"] = out["c_nationkey"].map(nname)
+    out["year"] = out["year"].astype("int64")
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "year"]) \
+        .reset_index(drop=True)[
+        ["supp_nation", "cust_nation", "year", "revenue_milli"]]
+
+
+_Q8_REGION = "ASIA"
+_Q8_PTYPE = "PROMO"
+
+
+@query(
+    "nation_market_share",
+    f"""
+    WITH tgt AS (
+      SELECT MIN(n.n_name) AS name
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{_Q8_REGION}'),
+    flows AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000)
+                  AS BIGINT) AS milli,
+             ns.n_name AS supp_name
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region rc  ON rc.r_regionkey = nc.n_regionkey
+      WHERE rc.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_PTYPE}'),
+    agg AS (
+      SELECT year,
+             CAST(SUM(milli) AS BIGINT) AS total_milli,
+             CAST(SUM(CASE WHEN supp_name = (SELECT name FROM tgt)
+                           THEN milli ELSE 0 END) AS BIGINT)
+                 AS nation_milli
+      FROM flows GROUP BY year)
+    SELECT year, total_milli, nation_milli,
+           CAST((1000000 * nation_milli) // total_milli AS BIGINT)
+               AS share_ppm
+    FROM agg ORDER BY year
+    """,
+)
+def nation_market_share(sf_dir: str, broadcast_limit: int = 250_000):
+    """TPC-H Q8 (national market share): of all {_Q8_PTYPE}-type part
+    revenue bought by {_Q8_REGION} customers, the share supplied by
+    the region's lexicographically-first nation, per order year.
+    Eight relations, two wide inputs: the part-type flag and the
+    supplier nation ride the dense broadcast gathers inside ONE
+    lineitem scan that pre-reduces to (orderkey, nation_milli,
+    total_milli); order year + buyer-region filter attach through the
+    measured orderkey gate; the final reduce is years-wide.  Share is
+    exact integer ppm (floor division on both sides)."""
+    import pyarrow.parquet as pq
+
+    from .functions.agg import hash_aggregate
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    nkeys = nation["n_nationkey"].to_pylist()
+    nnames = nation["n_name"].to_pylist()
+    in_region = [(nm, nk) for nk, nm, rk in
+                 zip(nkeys, nnames, nation["n_regionkey"].to_pylist())
+                 if rmap[rk] == _Q8_REGION]
+    region_keys = np.asarray(sorted(nk for _, nk in in_region),
+                             np.int64)
+    target_nat = min(in_region)[1] if in_region else -1
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    flag = np.zeros(int(pk.max()) + 1 if len(pk) else 1, np.bool_)
+    flag[pk[np.asarray(
+        pc.equal(part["p_type"], _Q8_PTYPE).to_numpy(
+            zero_copy_only=False))]] = True
+
+    s2n = _supp_nation_gather(sf_dir)
+    bc = ray.put((s2n, flag, target_nat))
+
+    o_nat = _orders_buyer_nation(sf_dir, broadcast_limit,
+                                 with_year=True,
+                                 nation_keys=region_keys)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey",
+              "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s2n_a, flag_a, tnat = ray.get(bc)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = (pkv < len(flag_a)) & flag_a[np.clip(pkv, 0,
+                                                  len(flag_a) - 1)]
+        if not ok.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "nation_milli": pa.array([], pa.int64()),
+                             "total_milli": pa.array([], pa.int64())})
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        nat = s2n_a[np.clip(skv, 0, len(s2n_a) - 1)]
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        tt = pa.table({
+            "o_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+            "nation_milli": pa.array(
+                np.where(nat == tnat, milli, 0)),
+            "total_milli": pa.array(milli)})
+        return pa.TableGroupBy(tt, ["o_orderkey"]).aggregate(
+            [("nation_milli", "sum"), ("total_milli", "sum")]) \
+            .rename_columns(["o_orderkey", "nation_milli",
+                             "total_milli"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    pschema = pa.schema([("o_orderkey", pa.int64()),
+                         ("nation_milli", pa.int64()),
+                         ("total_milli", pa.int64())])
+    attached = _attach_order_cols(partials, o_nat, ["year"],
+                                  broadcast_limit, pschema)
+    agg = hash_aggregate(
+        attached.map_batches(
+            lambda t: t.select(["year", "nation_milli",
+                                "total_milli"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["year"], [("total_milli", "sum"), ("nation_milli", "sum")],
+        rename={"total_milli_sum": "total_milli",
+                "nation_milli_sum": "nation_milli"},
+        exchange="shuffle")
+    out = agg.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "year": pd.Series([], dtype="int64"),
+            "total_milli": pd.Series([], dtype="int64"),
+            "nation_milli": pd.Series([], dtype="int64"),
+            "share_ppm": pd.Series([], dtype="int64")})
+    for c in ("year", "total_milli", "nation_milli"):
+        out[c] = out[c].astype("int64")
+    # exact integer ppm per year (arbitrary-precision python ints)
+    out["share_ppm"] = [
+        (1_000_000 * int(n)) // int(t) if int(t) else 0
+        for n, t in zip(out["nation_milli"], out["total_milli"])]
+    out["share_ppm"] = out["share_ppm"].astype("int64")
+    return out.sort_values("year").reset_index(drop=True)[
+        ["year", "total_milli", "nation_milli", "share_ppm"]]
+
+
+_Q9_WORD = "red "
+
+
+@query(
+    "nation_profit",
+    f"""
+    SELECT ns.n_name AS nation_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000) AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * 1000) AS BIGINT)
+                      * CAST(ROUND(l.l_quantity) AS BIGINT))
+                AS BIGINT) AS profit_milli
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '{_Q9_WORD}%'
+    GROUP BY ns.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation_name, year
+    """,
+)
+def nation_profit(sf_dir: str, broadcast_limit: int = 250_000):
+    """TPC-H Q9 (product-type profit): per supplier nation and order
+    year, net revenue minus catalog cost (retail price x quantity —
+    the schema's stand-in for ps_supplycost) over '{_Q9_WORD}'-named
+    parts.  The part filter AND its cost column ride one broadcast
+    gather (retail milli as a dense int64 array, -1 = not selected);
+    supplier nation rides the second; the lineitem scan pre-reduces to
+    (orderkey, s_nat, profit_milli) and the order year attaches via
+    the measured orderkey gate.  Profit can be negative — int64
+    everywhere, no unsigned traps."""
+    import pyarrow.parquet as pq
+
+    from .functions.agg import hash_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    pk = part["p_partkey"].to_numpy()
+    sel = np.asarray(
+        pc.starts_with(part["p_name"], _Q9_WORD).to_numpy(
+            zero_copy_only=False))
+    retail = np.full(int(pk.max()) + 1 if len(pk) else 1, -1,
+                     np.int64)
+    retail[pk[sel]] = np.round(
+        part["p_retailprice"].to_numpy()[sel] * 1000.0).astype(
+        np.int64)
+
+    s2n = _supp_nation_gather(sf_dir)
+    nname = _nation_names(sf_dir)
+    bc = ray.put((s2n, retail))
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "year": pc.year(t["o_orderdate"]).cast(
+                                pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+              "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s2n_a, retail_a = ray.get(bc)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cost = retail_a[np.clip(pkv, 0, len(retail_a) - 1)]
+        ok = (pkv < len(retail_a)) & (cost >= 0)
+        if not ok.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "s_nat": pa.array([], pa.int64()),
+                             "profit_milli": pa.array([], pa.int64())})
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        nat = s2n_a[np.clip(skv, 0, len(s2n_a) - 1)]
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        qty = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)[ok]).astype(np.int64)
+        profit = (np.floor(ext * (1.0 - disc) * 1000.0)
+                  .astype(np.int64) - cost[ok] * qty)
+        tt = pa.table({
+            "o_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+            "s_nat": pa.array(nat),
+            "profit_milli": pa.array(profit)})
+        return pa.TableGroupBy(tt, ["o_orderkey", "s_nat"]).aggregate(
+            [("profit_milli", "sum")]).rename_columns(
+            ["o_orderkey", "s_nat", "profit_milli"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    pschema = pa.schema([("o_orderkey", pa.int64()),
+                         ("s_nat", pa.int64()),
+                         ("profit_milli", pa.int64())])
+    attached = _attach_order_cols(partials, orders, ["year"],
+                                  broadcast_limit, pschema)
+    agg = hash_aggregate(
+        attached.map_batches(
+            lambda t: t.select(["s_nat", "year", "profit_milli"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["s_nat", "year"], [("profit_milli", "sum")],
+        rename={"profit_milli_sum": "profit_milli"},
+        exchange="shuffle")
+    out = agg.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "nation_name": pd.Series([], dtype=object),
+            "year": pd.Series([], dtype="int64"),
+            "profit_milli": pd.Series([], dtype="int64")})
+    out["nation_name"] = out["s_nat"].map(nname)
+    out["year"] = out["year"].astype("int64")
+    out["profit_milli"] = out["profit_milli"].astype("int64")
+    return out.sort_values(["nation_name", "year"]) \
+        .reset_index(drop=True)[
+        ["nation_name", "year", "profit_milli"]]
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -11812,6 +12346,8 @@ _DRIVER_ORDER = [
     "local_supplier_volume", "large_orders_topk",
     "returned_orders_by_priority", "returned_item_losses",
     "er_blocking_stats",
+    # round-5 session-7 additions
+    "nation_volume_shipping", "nation_market_share", "nation_profit",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -119,9 +119,12 @@ def test_bench_list_subset_of_registry():
 
 @pytest.mark.parametrize("name", ["local_supplier_volume",
                                   "large_orders_topk",
-                                  "returned_item_losses"])
+                                  "returned_item_losses",
+                                  "nation_volume_shipping",
+                                  "nation_market_share",
+                                  "nation_profit"])
 def test_measured_gate_distributed_path_matches_broadcast(name):
-    """The session-6 join queries pick broadcast vs bucketed exchange
+    """The session-6/7 join queries pick broadcast vs bucketed exchange
     from a MEASURED row count; force the distributed branch
     (broadcast_limit=0) and require bit-equal output."""
     from aisafetyintervention_literatureextraction_ray import (
