@@ -12250,6 +12250,240 @@ def nation_profit(sf_dir: str, broadcast_limit: int = 250_000):
         ["nation_name", "year", "profit_milli"]]
 
 
+_Q14_LO, _Q14_HI = "1997-01-01", "1998-01-01"
+
+
+@query(
+    "promo_revenue_share",
+    f"""
+    WITH f AS (
+      SELECT CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000)
+                  AS BIGINT) AS milli,
+             (p.p_type = '{_Q8_PTYPE}') AS is_promo
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+        AND l.l_shipdate <  TIMESTAMP '{_Q14_HI}'),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN is_promo THEN milli ELSE 0
+                                END), 0) AS BIGINT) AS promo_milli,
+             CAST(COALESCE(SUM(milli), 0) AS BIGINT) AS total_milli
+      FROM f)
+    SELECT promo_milli, total_milli,
+           CAST(CASE WHEN total_milli = 0 THEN 0
+                ELSE (1000000 * promo_milli) // total_milli END
+                AS BIGINT) AS promo_ppm
+    FROM agg
+    """,
+)
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 (promotion effect): the fraction of window revenue
+    carried by {_Q8_PTYPE}-type parts.  The only non-lineitem input is
+    a 1-bit-per-partkey flag array shipped ONCE via ray.put (parts are
+    bounded at 200k x SF; the flag is 1 byte each, ~200 MB even at
+    100 TB scale — a legitimate broadcast where the part TABLE would
+    not be).  The scan folds to one (promo, total) partial row per
+    block and a scalar driver fold — zero exchanges."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    flag = np.zeros(int(pk.max()) + 1 if len(pk) else 1, np.bool_)
+    flag[pk[np.asarray(pc.equal(part["p_type"], _Q8_PTYPE).to_numpy(
+        zero_copy_only=False))]] = True
+    bc = ray.put(flag)
+
+    lo = _dt.datetime.fromisoformat(_Q14_LO)
+    hi = _dt.datetime.fromisoformat(_Q14_HI)
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_shipdate", "l_extendedprice",
+              "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        if t.num_rows == 0:
+            return pa.table({"promo_milli": pa.array([], pa.int64()),
+                             "total_milli": pa.array([], pa.int64())})
+        flag_a = ray.get(bc)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        promo = (pkv < len(flag_a)) & flag_a[np.clip(pkv, 0,
+                                                     len(flag_a) - 1)]
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        return pa.table({
+            "promo_milli": pa.array([int(milli[promo].sum())]),
+            "total_milli": pa.array([int(milli.sum())])})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536,
+                           zero_copy_batch=True).to_pandas()
+    promo = int(parts["promo_milli"].sum()) if len(parts) else 0
+    total = int(parts["total_milli"].sum()) if len(parts) else 0
+    ppm = (1_000_000 * promo) // total if total else 0
+    return pd.DataFrame({"promo_milli": [promo],
+                         "total_milli": [total],
+                         "promo_ppm": [ppm]}).astype("int64")
+
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+@query(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * 1000) AS BIGINT)) AS BIGINT)
+                 AS revenue_milli
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+        AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.revenue_milli
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.revenue_milli = (SELECT MAX(revenue_milli) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum quarter
+    revenue — ALL ties returned, exactly the view-vs-max semantics of
+    the spec.  One keyed reduce builds the per-supplier revenue
+    dataset (bounded at 10k x SF — safe to finish driver-side); the
+    max and the tie filter are a vectorized pass over that bounded
+    result; names attach from the supplier dimension read."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    from .functions.agg import hash_aggregate
+
+    lo = _dt.datetime.fromisoformat(_Q15_LO)
+    hi = _dt.datetime.fromisoformat(_Q15_HI)
+    li = _pq(sf_dir, "lineitem",
+             ["l_suppkey", "l_shipdate", "l_extendedprice",
+              "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        tt = pa.table({"s_suppkey": t["l_suppkey"],
+                       "milli": pa.array(milli)})
+        return pa.TableGroupBy(tt, ["s_suppkey"]).aggregate(
+            [("milli", "sum")]).rename_columns(["s_suppkey", "milli"])
+
+    rev = hash_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        ["s_suppkey"], [("milli", "sum")],
+        rename={"milli_sum": "revenue_milli"},
+        exchange="shuffle").to_pandas()
+    if len(rev) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "revenue_milli": pd.Series([], dtype="int64")})
+    best = int(rev["revenue_milli"].max())
+    top = rev[rev["revenue_milli"] == best].copy()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp["s_suppkey"].to_pylist(),
+                     supp["s_name"].to_pylist()))
+    top["s_name"] = top["s_suppkey"].map(names)
+    top["s_suppkey"] = top["s_suppkey"].astype("int64")
+    top["revenue_milli"] = top["revenue_milli"].astype("int64")
+    return top.sort_values("s_suppkey").reset_index(drop=True)[
+        ["s_suppkey", "s_name", "revenue_milli"]]
+
+
+_Q19_CLAUSES = [("Brand#3", 1, 15, 1, 15),
+                ("Brand#15", 1, 25, 15, 30),
+                ("Brand#22", 1, 40, 25, 50)]
+
+
+@query(
+    "brand_multirange_revenue",
+    """
+    SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice
+                                        * (1 - l.l_discount) * 1000)
+                                  AS BIGINT)), 0) AS BIGINT)
+               AS revenue_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE """ + "\n       OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity >= {qlo} AND l.l_quantity <= {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_CLAUSES),
+)
+def brand_multirange_revenue(sf_dir: str):
+    """TPC-H Q19 (discounted revenue): an OR of three
+    (brand, size-range, quantity-range) clause families — the
+    disjunctive multi-predicate join the optimizer in a SQL engine
+    rewrites into a union of index scans.  Here the part attributes
+    (brand code int16 + size int8) ride one broadcast gather and the
+    whole disjunction evaluates as three vectorized masks inside the
+    lineitem scan; one partial row per block, scalar fold, zero
+    exchanges."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    brands = [c[0] for c in _Q19_CLAUSES]
+    code = np.full(int(pk.max()) + 1 if len(pk) else 1, -1, np.int8)
+    for i, b in enumerate(brands):
+        m = np.asarray(pc.equal(part["p_brand"], b).to_numpy(
+            zero_copy_only=False))
+        code[pk[m]] = i
+    size = np.zeros(len(code), np.int16)
+    size[pk] = part["p_size"].to_numpy().astype(np.int16)
+    bc = ray.put((code, size))
+    clauses = [(i, slo, shi, float(qlo), float(qhi))
+               for i, (_, slo, shi, qlo, qhi)
+               in enumerate(_Q19_CLAUSES)]
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice",
+              "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        code_a, size_a = ray.get(bc)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        safe = np.clip(pkv, 0, len(code_a) - 1)
+        c = np.where(pkv < len(code_a), code_a[safe], -1)
+        s = size_a[safe]
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(t.num_rows, np.bool_)
+        for i, slo, shi, qlo, qhi in clauses:
+            keep |= ((c == i) & (s >= slo) & (s <= shi)
+                     & (q >= qlo) & (q <= qhi))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        return pa.table({"revenue_milli": pa.array([int(milli.sum())]),
+                         "n_lines": pa.array([int(keep.sum())])})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536,
+                           zero_copy_batch=True).to_pandas()
+    rev = int(parts["revenue_milli"].sum()) if len(parts) else 0
+    n = int(parts["n_lines"].sum()) if len(parts) else 0
+    return pd.DataFrame({"revenue_milli": [rev],
+                         "n_lines": [n]}).astype("int64")
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -12348,6 +12582,8 @@ _DRIVER_ORDER = [
     "er_blocking_stats",
     # round-5 session-7 additions
     "nation_volume_shipping", "nation_market_share", "nation_profit",
+    "promo_revenue_share", "top_supplier_revenue",
+    "brand_multirange_revenue",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
