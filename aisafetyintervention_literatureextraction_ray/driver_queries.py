@@ -12484,6 +12484,506 @@ def brand_multirange_revenue(sf_dir: str):
                          "n_lines": [n]}).astype("int64")
 
 
+_Q16_EXCLUDE = "Brand#1"
+
+
+@query(
+    "part_supplier_counts",
+    f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{_Q16_EXCLUDE}'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 (parts/supplier relationship): how many DISTINCT
+    suppliers shipped parts of each (brand, type, size) — lineitem is
+    the partsupp stand-in.  COUNT(DISTINCT) at scale is the two-reduce
+    pattern: first a keyed reduce collapses lineitem to the distinct
+    (partkey, suppkey) pair set (the only wide exchange — pair
+    cardinality, never line cardinality), then the part attributes
+    attach from dictionary-coded broadcast gathers and a second keyed
+    reduce counts pairs per bounded attribute key.  String columns
+    travel as int codes through both exchanges and decode once at the
+    end."""
+    import pyarrow.parquet as pq
+
+    from .functions.agg import hash_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    brand_d = part["p_brand"].dictionary_encode().combine_chunks()
+    type_d = part["p_type"].dictionary_encode().combine_chunks()
+    brands = brand_d.dictionary.to_pylist()
+    types = type_d.dictionary.to_pylist()
+    n = int(pk.max()) + 1 if len(pk) else 1
+    bcode = np.full(n, -1, np.int32)
+    bcode[pk] = brand_d.indices.to_numpy().astype(np.int32)
+    tcode = np.full(n, -1, np.int32)
+    tcode[pk] = type_d.indices.to_numpy().astype(np.int32)
+    size = np.full(n, -1, np.int32)
+    size[pk] = part["p_size"].to_numpy().astype(np.int32)
+    excl = brands.index(_Q16_EXCLUDE) if _Q16_EXCLUDE in brands else -2
+    bc = ray.put((bcode, tcode, size))
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    # DISTINCT is on (brand, type, size, suppkey) — NOT on
+    # (partkey, suppkey): two parts sharing an attribute triple
+    # shipped by the same supplier count that supplier ONCE.  The
+    # attribute codes therefore attach INSIDE the scan (map-side
+    # gather) and the wide exchange dedups the 4-tuple directly.
+    def pair_partial(t: pa.Table) -> pa.Table:
+        bcode_a, tcode_a, size_a = ray.get(bc)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        safe = np.clip(pkv, 0, len(bcode_a) - 1)
+        b = np.where(pkv < len(bcode_a), bcode_a[safe], -1)
+        keep = (b >= 0) & (b != excl)
+        tt = pa.table({
+            "b": pa.array(b[keep]),
+            "ty": pa.array(tcode_a[safe][keep].astype(np.int64)),
+            "sz": pa.array(size_a[safe][keep].astype(np.int64)),
+            "sk": t["l_suppkey"].filter(pa.array(keep)),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+        # in-batch distinct before the exchange
+        return pa.TableGroupBy(tt, ["b", "ty", "sz", "sk"]).aggregate(
+            [("one", "max")]).rename_columns(
+            ["b", "ty", "sz", "sk", "one"])
+
+    quads = hash_aggregate(
+        li.map_batches(pair_partial, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        ["b", "ty", "sz", "sk"], [("one", "max")],
+        rename={"one_max": "one"}, exchange="shuffle")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tt = t.select(["b", "ty", "sz", "one"])
+        return pa.TableGroupBy(tt, ["b", "ty", "sz"]).aggregate(
+            [("one", "sum")]).rename_columns(["b", "ty", "sz", "cnt"])
+
+    agg = hash_aggregate(
+        quads.map_batches(count_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["b", "ty", "sz"], [("cnt", "sum")],
+        rename={"cnt_sum": "supplier_cnt"}, exchange="shuffle")
+    out = agg.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_type": pd.Series([], dtype=object),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64")})
+    out["p_brand"] = out["b"].map(dict(enumerate(brands)))
+    out["p_type"] = out["ty"].map(dict(enumerate(types)))
+    out["p_size"] = out["sz"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)[
+        ["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+_Q17_BRAND, _Q17_MAXSIZE = "Brand#23", 25
+
+
+@query(
+    "small_qty_revenue_loss",
+    f"""
+    WITH pf AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = '{_Q17_BRAND}' AND p_size <= {_Q17_MAXSIZE}),
+    li AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_quantity * 1000) AS BIGINT) AS qty_m,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey),
+    st AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qty_m) AS BIGINT) AS sum_qty_m
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(COALESCE(SUM(li.cents), 0) AS BIGINT) AS total_cents,
+           CAST(COALESCE(SUM(li.cents), 0) // 7 AS BIGINT)
+               AS avg_yearly_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM li JOIN st ON li.l_partkey = st.l_partkey
+    WHERE 5 * st.n * li.qty_m < st.sum_qty_m
+    """,
+)
+def small_qty_revenue_loss(sf_dir: str, broadcast_limit: int = 250_000):
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to
+    orders below 20% of a part's average order quantity — the
+    correlated-subquery pattern.  Pass 1 reduces the brand-filtered
+    lines to per-part (n, sum_qty) stats; pass 2 re-scans the same
+    filtered lines and evaluates the correlated predicate as the
+    EXACT integer cross-multiplication ``5 * n * qty < sum_qty`` (no
+    division, no floats).  The per-part stats attach via a MEASURED
+    gate: a ``ray.put`` partkey index when the qualifying part set
+    fits ``broadcast_limit``, else one partitioned partkey join."""
+    import pyarrow.parquet as pq
+
+    from .functions.agg import bucketed_join, hash_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    m = (np.asarray(pc.equal(part["p_brand"], _Q17_BRAND).to_numpy(
+        zero_copy_only=False))
+         & (part["p_size"].to_numpy() <= _Q17_MAXSIZE))
+    flag = np.zeros(int(pk.max()) + 1 if len(pk) else 1, np.bool_)
+    flag[pk[m]] = True
+    bc = ray.put(flag)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        flag_a = ray.get(bc)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = (pkv < len(flag_a)) & flag_a[np.clip(pkv, 0,
+                                                  len(flag_a) - 1)]
+        qty_m = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False) * 1000.0).astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_partkey": t["l_partkey"].filter(pa.array(ok)),
+            "qty_m": pa.array(qty_m[ok]),
+            "cents": pa.array(cents[ok])})
+
+    lines = li.map_batches(filt, batch_format="pyarrow",
+                           batch_size=65536,
+                           zero_copy_batch=True).materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        tt = t.append_column("n", pa.array(np.ones(t.num_rows,
+                                                   np.int64)))
+        return pa.TableGroupBy(tt, ["l_partkey"]).aggregate(
+            [("n", "sum"), ("qty_m", "sum")]).rename_columns(
+            ["l_partkey", "n", "sum_qty_m"])
+
+    stats = hash_aggregate(
+        lines.map_batches(stat_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["l_partkey"], [("n", "sum"), ("sum_qty_m", "sum")],
+        rename={"n_sum": "n", "sum_qty_m_sum": "sum_qty_m"},
+        exchange="shuffle").materialize()
+
+    if stats.count() <= broadcast_limit:
+        st = pa.concat_tables(
+            stats.iter_batches(batch_format="pyarrow",
+                               batch_size=65536)
+        ) if stats.count() else pa.table(
+            {"l_partkey": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "sum_qty_m": pa.array([], pa.int64())})
+        sref = ray.put((pd.Index(st["l_partkey"].to_numpy()),
+                        st["n"].to_numpy(), st["sum_qty_m"].to_numpy()))
+
+        def verify(t: pa.Table) -> pa.Table:
+            idx, n_a, sum_a = ray.get(sref)
+            pos = idx.get_indexer(t["l_partkey"].to_numpy())
+            ok = pos >= 0
+            safe = np.clip(pos, 0, None)
+            qty = t["qty_m"].to_numpy()
+            small = ok & (5 * n_a[safe] * qty < sum_a[safe])
+            cents = t["cents"].to_numpy()[small]
+            return pa.table({
+                "total_cents": pa.array([int(cents.sum())]),
+                "n_lines": pa.array([int(small.sum())])})
+
+        parts = lines.map_batches(verify, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    else:
+        joined = bucketed_join(
+            lines, stats, left_key="l_partkey", right_key="l_partkey",
+            right_value_cols=["n", "sum_qty_m"],
+            left_schema=pa.schema([("l_partkey", pa.int64()),
+                                   ("qty_m", pa.int64()),
+                                   ("cents", pa.int64())]),
+            right_schema=pa.schema([("l_partkey", pa.int64()),
+                                    ("n", pa.int64()),
+                                    ("sum_qty_m", pa.int64())]))
+
+        def verify_j(t: pa.Table) -> pa.Table:
+            qty = t["qty_m"].to_numpy(zero_copy_only=False)
+            n_a = t["n"].to_numpy(zero_copy_only=False)
+            sum_a = t["sum_qty_m"].to_numpy(zero_copy_only=False)
+            small = 5 * n_a * qty < sum_a
+            cents = t["cents"].to_numpy(zero_copy_only=False)[small]
+            return pa.table({
+                "total_cents": pa.array([int(cents.sum())]),
+                "n_lines": pa.array([int(small.sum())])})
+
+        parts = joined.map_batches(verify_j, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+
+    total = int(parts["total_cents"].sum()) if len(parts) else 0
+    n_l = int(parts["n_lines"].sum()) if len(parts) else 0
+    return pd.DataFrame({"total_cents": [total],
+                         "avg_yearly_cents": [total // 7],
+                         "n_lines": [n_l]}).astype("int64")
+
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+@query(
+    "idle_rich_customers",
+    f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c, stats
+      WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * stats.n
+              > stats.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >=
+                              TIMESTAMP '{_Q22_CUTOFF}'))
+    SELECT n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity): customers whose balance
+    beats the positive-balance average but who placed NO order since
+    {_Q22_CUTOFF} (the spec's seven-year dormancy test), grouped by
+    nation.  The global average is a per-block partial + scalar fold
+    (never a broadcast-then-recompute); the NOT EXISTS anti-join is
+    the marker-union pattern — customer rows and window-filtered
+    order custkeys union into ONE keyed reduce whose output says
+    "has customer row, has no recent-order row" with no row
+    multiplication.  The eligibility test is the exact integer
+    cross-multiplication ``cents * n > sum`` (no float average
+    anywhere)."""
+    import datetime as _dt
+
+    from .functions.agg import hash_aggregate
+
+    cutoff = _dt.datetime.fromisoformat(_Q22_CUTOFF)
+    nname = _nation_names(sf_dir)
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "cents": pa.array(cents),
+            "nat": t["c_nationkey"].cast(pa.int64()),
+            "n_c": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_o": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    cust_m = cust.map_batches(cust_proj, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # global positive-balance stats: one partial row per block
+    def stat_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy()
+        pos = c > 0
+        return pa.table({"n": pa.array([int(pos.sum())]),
+                         "s": pa.array([int(c[pos].sum())])})
+
+    sp = cust_m.map_batches(stat_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    n_pos = int(sp["n"].sum()) if len(sp) else 0
+    s_pos = int(sp["s"].sum()) if len(sp) else 0
+
+    def order_marks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"],
+                                      pa.scalar(cutoff)))
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "cents": pa.array(np.zeros(t.num_rows, np.int64)),
+            "nat": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "n_c": pa.array(np.zeros(t.num_rows, np.int64)),
+            "n_o": pa.array(np.ones(t.num_rows, np.int64))})
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate"]).map_batches(
+        order_marks, batch_format="pyarrow", zero_copy_batch=True)
+
+    per_cust = hash_aggregate(
+        cust_m.union(orders), ["c_custkey"],
+        [("cents", "sum"), ("nat", "max"), ("n_c", "sum"),
+         ("n_o", "sum")],
+        rename={"cents_sum": "cents", "nat_max": "nat",
+                "n_c_sum": "n_c", "n_o_sum": "n_o"},
+        exchange="shuffle")
+
+    def eligible(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        keep = ((t["n_c"].to_numpy(zero_copy_only=False) > 0)
+                & (t["n_o"].to_numpy(zero_copy_only=False) == 0)
+                & (cents * n_pos > s_pos))
+        tt = pa.table({
+            "nat": t["nat"].filter(pa.array(keep)),
+            "n_customers": pa.array(np.ones(int(keep.sum()),
+                                            np.int64)),
+            "sum_cents": pa.array(cents[keep])})
+        return pa.TableGroupBy(tt, ["nat"]).aggregate(
+            [("n_customers", "sum"), ("sum_cents", "sum")]) \
+            .rename_columns(["nat", "n_customers", "sum_cents"])
+
+    agg = hash_aggregate(
+        per_cust.map_batches(eligible, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["nat"], [("n_customers", "sum"), ("sum_cents", "sum")],
+        rename={"n_customers_sum": "n_customers",
+                "sum_cents_sum": "sum_cents"},
+        exchange="shuffle")
+    out = agg.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "nation_name": pd.Series([], dtype=object),
+            "n_customers": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")})
+    out["nation_name"] = out["nat"].map(nname)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("nation_name").reset_index(drop=True)[
+        ["nation_name", "n_customers", "sum_cents"]]
+
+
+@query(
+    "orders_reconciliation",
+    """
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * 1000) AS BIGINT)) AS BIGINT)
+                 AS net_milli
+      FROM lineitem GROUP BY l_orderkey),
+    o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 1000) AS BIGINT) AS total_milli
+      FROM orders),
+    j AS (
+      SELECT o.total_milli, l.net_milli
+      FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey),
+    c AS (
+      SELECT CASE
+        WHEN total_milli IS NULL THEN 'line_only'
+        WHEN net_milli IS NULL THEN 'order_only'
+        WHEN ABS(net_milli - total_milli) * 100 <= total_milli
+            THEN 'within_1pct'
+        WHEN ABS(net_milli - total_milli) * 20 <= total_milli
+            THEN 'within_5pct'
+        ELSE 'over_5pct' END AS bucket
+      FROM j)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM c GROUP BY bucket ORDER BY bucket
+    """,
+)
+def orders_reconciliation(sf_dir: str):
+    """Cross-table reconciliation audit — the data-quality gate every
+    warehouse load runs: per order, does the lineitem net sum agree
+    with the order header's total?  FULL OUTER semantics (orphan
+    headers AND orphan lines surface as their own buckets) with no
+    join row-multiplication: headers and per-orderkey line partials
+    union into ONE keyed reduce carrying presence markers, and the
+    deviation classifies vectorized with exact integer
+    cross-multiplications (|net - total| * 100 <= total is the 1%
+    band — no float division)."""
+    from .functions.agg import hash_aggregate
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "total_milli": pa.array(np.round(
+                t["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 1000.0).astype(np.int64)),
+            "net_milli": pa.array(np.zeros(t.num_rows, np.int64)),
+            "n_o": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_l": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
+        tt = pa.table({"o_orderkey": t["l_orderkey"],
+                       "net_milli": pa.array(milli)})
+        g = pa.TableGroupBy(tt, ["o_orderkey"]).aggregate(
+            [("net_milli", "sum")]).rename_columns(
+            ["o_orderkey", "net_milli"])
+        n = g.num_rows
+        return g.append_column(
+            "total_milli", pa.array(np.zeros(n, np.int64))) \
+            .append_column("n_o", pa.array(np.zeros(n, np.int64))) \
+            .append_column("n_l", pa.array(np.ones(n, np.int64))) \
+            .select(["o_orderkey", "total_milli", "net_milli",
+                     "n_o", "n_l"])
+
+    per_order = hash_aggregate(
+        orders.union(li.map_batches(line_partial,
+                                    batch_format="pyarrow",
+                                    batch_size=65536,
+                                    zero_copy_batch=True)),
+        ["o_orderkey"],
+        [("total_milli", "sum"), ("net_milli", "sum"),
+         ("n_o", "sum"), ("n_l", "sum")],
+        rename={"total_milli_sum": "total_milli",
+                "net_milli_sum": "net_milli",
+                "n_o_sum": "n_o", "n_l_sum": "n_l"},
+        exchange="shuffle")
+
+    buckets = ["line_only", "order_only", "within_1pct",
+               "within_5pct", "over_5pct"]
+
+    def classify(t: pa.Table) -> pa.Table:
+        n_o = t["n_o"].to_numpy(zero_copy_only=False)
+        n_l = t["n_l"].to_numpy(zero_copy_only=False)
+        total = t["total_milli"].to_numpy(zero_copy_only=False)
+        net = t["net_milli"].to_numpy(zero_copy_only=False)
+        dev = np.abs(net - total)
+        code = np.where(
+            n_o == 0, 0,                              # line_only
+            np.where(n_l == 0, 1,                     # order_only
+                     np.where(dev * 100 <= total, 2,  # within_1pct
+                              np.where(dev * 20 <= total, 3, 4))))
+        tt = pa.table({"code": pa.array(code.astype(np.int64)),
+                       "n_orders": pa.array(np.ones(t.num_rows,
+                                                    np.int64))})
+        return pa.TableGroupBy(tt, ["code"]).aggregate(
+            [("n_orders", "sum")]).rename_columns(["code", "n_orders"])
+
+    agg = hash_aggregate(
+        per_order.map_batches(classify, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["code"], [("n_orders", "sum")],
+        rename={"n_orders_sum": "n_orders"}, exchange="shuffle")
+    out = agg.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "bucket": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64")})
+    out["bucket"] = out["code"].map(dict(enumerate(buckets)))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)[
+        ["bucket", "n_orders"]]
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -12583,7 +13083,9 @@ _DRIVER_ORDER = [
     # round-5 session-7 additions
     "nation_volume_shipping", "nation_market_share", "nation_profit",
     "promo_revenue_share", "top_supplier_revenue",
-    "brand_multirange_revenue",
+    "brand_multirange_revenue", "part_supplier_counts",
+    "small_qty_revenue_loss", "idle_rich_customers",
+    "orders_reconciliation",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
