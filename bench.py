@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "local_supplier_volume", "large_orders_topk",
     "returned_orders_by_priority", "returned_item_losses",
     "er_blocking_stats",
+    # round-5 session-7 additions
+    "nation_volume_shipping", "nation_market_share", "nation_profit",
+    "promo_revenue_share", "top_supplier_revenue",
+    "brand_multirange_revenue", "part_supplier_counts",
+    "small_qty_revenue_loss", "idle_rich_customers",
+    "orders_reconciliation",
 ]
 
 
