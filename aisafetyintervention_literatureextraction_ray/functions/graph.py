@@ -3803,3 +3803,223 @@ def dag_levels(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"dag_levels did not converge within {max_rounds} rounds — "
         f"the input contains a directed cycle")
+
+
+# --------------------------------------------------- Boruvka spanning forest
+def minimum_spanning_forest(edges: rd.Dataset, *, src: str = "src",
+                            dst: str = "dst", max_rounds: int = 40,
+                            num_buckets: int | None = None,
+                            driver_threshold: int = 2_000_000
+                            ) -> rd.Dataset:
+    """``(a, b, w)`` — the UNIQUE minimum spanning forest of the
+    undirected distinct simple graph under the deterministic edge
+    weight ``w = md5(str(a) + '|' + str(b)) + '|a|b'`` (the repo's md5
+    priority idiom: the id suffix makes every weight distinct, so the
+    MSF is unique and ANY correct algorithm — the driver Kruskal, the
+    distributed Boruvka, a test-side reference — must return the
+    identical edge set).  KG use: a skeleton connecting every entity
+    cluster with the fewest, most-deterministic relations (dedup
+    backbone / visualization spine / cheapest-merge plan), the
+    weighted generalization of :func:`connected_components`.
+
+    Scale shape (Boruvka): each round attaches current component
+    labels to both endpoints (two bucketed joins), keeps the
+    cross-component residual, takes one keyed MIN per component over
+    the exploded (component, weight) rows, marks the per-component
+    winners (two more bucketed joins), then contracts by running
+    :func:`connected_components` over the CHOSEN edge pairs — a graph
+    whose size is bounded by the component count, not the edge count
+    (and whose own measured driver gate keeps late tiny rounds off
+    the cluster).  Components with any outgoing edge at least halve
+    per round, so rounds are O(log n); an unconverged exit raises
+    rather than returning a partial forest.  Below
+    ``driver_threshold`` distinct edges (MEASURED, the 2M policy) a
+    driver-side Kruskal over the identical weights runs instead."""
+    import hashlib
+
+    und = _undirected_simple_edges(edges, src, dst,
+                                   num_buckets=num_buckets)
+    id_type = _input_id_type(edges, src)
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "w": pa.array([], type=pa.string())}))
+
+    n_und = und.count()
+    if n_und == 0:
+        return empty()
+
+    def with_w(t: pa.Table) -> pa.Table:
+        pairs = zip(t.column("a").to_pylist(),
+                    t.column("b").to_pylist())
+        ws = [hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+              + f"|{a}|{b}" for a, b in pairs]
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "w": pa.array(ws, pa.string())})
+
+    ew = und.map_batches(with_w, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    if driver_threshold and n_und <= driver_threshold:
+        return _msf_driver(ew, id_type=id_type)
+
+    ew_schema = pa.schema([("a", id_type), ("b", id_type),
+                           ("w", pa.string())])
+    lb_schema = pa.schema([("node_id", id_type),
+                           ("component_id", id_type)])
+
+    # init: every endpoint its own component
+    def self_label(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array([t.column("a"),
+                                 t.column("b")]).combine_chunks()
+        return pa.table({"node_id": both, "component_id": both})
+
+    labels = hash_aggregate(
+        ew.map_batches(self_label, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["node_id"], [("component_id", "min")],
+        rename={"component_id_min": "component_id"},
+        num_buckets=num_buckets, exchange="shuffle").materialize()
+
+    chosen_rounds: list[rd.Dataset] = []
+    residual = ew
+    for _ in range(max_rounds):
+        # attach both endpoint labels (la, lb); drop intra-component
+        j1 = bucketed_join(residual, labels, left_key="a",
+                           right_key="node_id",
+                           right_value_cols=["component_id"],
+                           num_buckets=num_buckets,
+                           left_schema=ew_schema,
+                           right_schema=lb_schema).map_batches(
+            lambda t: t.rename_columns(["a", "b", "w", "la"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        j1_schema = pa.schema([("a", id_type), ("b", id_type),
+                               ("w", pa.string()), ("la", id_type)])
+        j2 = bucketed_join(j1, labels, left_key="b",
+                           right_key="node_id",
+                           right_value_cols=["component_id"],
+                           num_buckets=num_buckets,
+                           left_schema=j1_schema,
+                           right_schema=lb_schema).map_batches(
+            lambda t: t.rename_columns(
+                ["a", "b", "w", "la", "lb"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        cross = j2.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("la"),
+                                                  t.column("lb")))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        if cross.count() == 0:
+            forest = chosen_rounds[0] if chosen_rounds else empty()
+            for m in chosen_rounds[1:]:
+                forest = forest.union(m)
+            return forest
+
+        # keyed MIN weight per component over exploded endpoints
+        def explode(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "comp": pa.chunked_array(
+                    [t.column("la"), t.column("lb")]).combine_chunks(),
+                "w": pa.chunked_array(
+                    [t.column("w"), t.column("w")]).combine_chunks()})
+
+        mc = hash_aggregate(
+            cross.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["comp"], [("w", "min")], rename={"w_min": "mw"},
+            num_buckets=num_buckets, exchange="shuffle").materialize()
+        mc_schema = pa.schema([("comp", id_type),
+                               ("mw", pa.string())])
+
+        cross_schema = pa.schema([("a", id_type), ("b", id_type),
+                                  ("w", pa.string()), ("la", id_type),
+                                  ("lb", id_type)])
+        k1 = bucketed_join(cross, mc, left_key="la", right_key="comp",
+                           right_value_cols=["mw"],
+                           num_buckets=num_buckets,
+                           left_schema=cross_schema,
+                           right_schema=mc_schema).map_batches(
+            lambda t: t.rename_columns(
+                ["a", "b", "w", "la", "lb", "mwa"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        k1_schema = pa.schema([("a", id_type), ("b", id_type),
+                               ("w", pa.string()), ("la", id_type),
+                               ("lb", id_type), ("mwa", pa.string())])
+        k2 = bucketed_join(k1, mc, left_key="lb", right_key="comp",
+                           right_value_cols=["mw"],
+                           num_buckets=num_buckets,
+                           left_schema=k1_schema,
+                           right_schema=mc_schema)
+
+        def winners(t: pa.Table) -> pa.Table:
+            won = pc.or_(pc.equal(t.column("w"), t.column("mwa")),
+                         pc.equal(t.column("w"), t.column("mw")))
+            return t.filter(won)
+
+        chosen = k2.map_batches(winners, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        chosen_rounds.append(
+            chosen.select_columns(["a", "b", "w"]).materialize())
+        # intra-component edges never become cross-component again:
+        # next round scans only this round's residual
+        residual = cross.select_columns(["a", "b", "w"]).materialize()
+
+        # contract: CC over the chosen (la, lb) component pairs —
+        # bounded by the component count; its own gate handles size
+        contract = connected_components(
+            chosen.select_columns(["la", "lb"]),
+            id_a="la", id_b="lb", num_buckets=num_buckets) \
+            .map_batches(
+            lambda t: t.rename_columns(["node_id", "new_comp"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cl_schema = pa.schema([("node_id", id_type),
+                               ("new_comp", id_type)])
+        relab = bucketed_join(
+            labels, contract, left_key="component_id",
+            right_key="node_id", right_value_cols=["new_comp"],
+            how="left", num_buckets=num_buckets,
+            left_schema=lb_schema, right_schema=cl_schema)
+
+        def pick_new(t: pa.Table) -> pa.Table:
+            new = t.column("new_comp").cast(id_type)
+            old = t.column("component_id")
+            return pa.table({
+                "node_id": t.column("node_id"),
+                "component_id": pc.coalesce(new, old)})
+
+        labels = relab.map_batches(pick_new, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+    raise RuntimeError(
+        f"minimum_spanning_forest did not converge within "
+        f"{max_rounds} Boruvka rounds — raise max_rounds")
+
+
+def _msf_driver(ew: rd.Dataset, *, id_type: pa.DataType) -> rd.Dataset:
+    """Kruskal over the identical md5 weights (driver fast path —
+    the unique-MSF theorem makes it bit-equal to the Boruvka path)."""
+    df = ew.to_pandas().sort_values("w", kind="mergesort")
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    keep = np.zeros(len(df), np.bool_)
+    for i, (a, b) in enumerate(zip(df["a"].to_numpy(),
+                                   df["b"].to_numpy())):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            keep[i] = True
+    out = df[keep]
+    return rd.from_arrow(pa.table({
+        "a": pa.array(out["a"].tolist(), type=id_type),
+        "b": pa.array(out["b"].tolist(), type=id_type),
+        "w": pa.array(out["w"].tolist(), type=pa.string())}))

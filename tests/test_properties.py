@@ -2144,3 +2144,62 @@ def test_product_quantization_contracts():
     assert out2.count() == 0
     assert out2.schema().names == ["vec_id", "code_0", "code_1",
                                    "code_2", "code_3", "err"]
+
+
+# ------------------------------------------------- minimum spanning forest
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 60, 200),
+                                                  (11, 40, 45),
+                                                  (13, 30, 400)])
+def test_msf_boruvka_matches_kruskal(seed, n_nodes, n_edges):
+    """The distributed Boruvka path must be bit-equal to the
+    independent driver Kruskal (unique MSF under distinct md5
+    weights), and the forest must satisfy |F| = |V| - #components."""
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        connected_components,
+        minimum_spanning_forest,
+    )
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    edges = rd.from_arrow(pa.table(
+        {"src": [f"n{int(x):03d}" for x in src],
+         "dst": [f"n{int(x):03d}" for x in dst]}))
+
+    drv = minimum_spanning_forest(edges).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    dist = minimum_spanning_forest(edges, driver_threshold=0) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist)
+
+    labels = connected_components(
+        edges.map_batches(
+            lambda t: t.filter(
+                pa.compute.invert(pa.compute.equal(t["src"],
+                                                   t["dst"]))),
+            batch_format="pyarrow"),
+        id_a="src", id_b="dst").to_pandas()
+    n_v = labels["node_id"].nunique()
+    n_c = labels["component_id"].nunique()
+    assert len(drv) == n_v - n_c
+
+    # every forest edge is a real input edge
+    real = {(min(a, b), max(a, b))
+            for a, b in zip([f"n{int(x):03d}" for x in src],
+                            [f"n{int(x):03d}" for x in dst]) if a != b}
+    assert all((a, b) in real for a, b in zip(drv["a"], drv["b"]))
+
+
+def test_msf_empty_graph():
+    from aisafetyintervention_literatureextraction_ray.functions.graph import (
+        minimum_spanning_forest,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["x", "y"], pa.string()),
+        "dst": pa.array(["x", "y"], pa.string())}))  # only self-loops
+    out = minimum_spanning_forest(edges)
+    assert out.count() == 0
+    # empty Ray to_pandas drops column names; assert the typed schema
+    sch = out.schema()
+    assert list(sch.names) == ["a", "b", "w"]
