@@ -13005,6 +13005,101 @@ def kg_msf(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+@query(
+    "ship_delay_percentiles",
+    """
+    WITH d AS (
+      SELECT CAST(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                  AS BIGINT) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    c AS (SELECT delay, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM d GROUP BY delay),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+    cum AS (SELECT delay, SUM(cnt) OVER (ORDER BY delay) AS cum, t.n
+            FROM c, t)
+    SELECT CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN delay END)
+                AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN delay END)
+                AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN delay END)
+                AS BIGINT) AS p99,
+           CAST(MIN(delay) AS BIGINT) AS min_delay,
+           CAST(MAX(delay) AS BIGINT) AS max_delay,
+           CAST(MAX(n) AS BIGINT) AS n_lines
+    FROM cum
+    """,
+)
+def ship_delay_percentiles(sf_dir: str, broadcast_limit: int = 250_000):
+    """EXACT global percentiles of order-to-ship delay (days) — the
+    counting-sort percentile pattern for bounded integer domains: at
+    ANY data scale the delay domain stays a few thousand distinct
+    values, so the exact CDF is one keyed count reduce over (delay)
+    plus a driver-side cumsum over the bounded count table — no global
+    sort, no sampling, no t-digest approximation.  The
+    lineitem->orders hop pre-groups lines to (orderkey, ship_day,
+    count) partials and attaches the order date through the measured
+    orderkey gate.  Percentile rule = inverted discrete CDF (smallest
+    delay with cum*100 >= p*n), mirrored exactly by the window-sum
+    oracle."""
+    from .functions.agg import hash_aggregate
+
+    US_PER_DAY = 86_400_000_000
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "odays": pc.floor(pc.divide(
+                t["o_orderdate"].cast(pa.int64()),
+                US_PER_DAY)).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sdays = pc.floor(pc.divide(t["l_shipdate"].cast(pa.int64()),
+                                   US_PER_DAY)).cast(pa.int64())
+        tt = pa.table({"o_orderkey": t["l_orderkey"],
+                       "sdays": sdays,
+                       "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+        return pa.TableGroupBy(tt, ["o_orderkey", "sdays"]).aggregate(
+            [("cnt", "sum")]).rename_columns(
+            ["o_orderkey", "sdays", "cnt"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    pschema = pa.schema([("o_orderkey", pa.int64()),
+                         ("sdays", pa.int64()), ("cnt", pa.int64())])
+    attached = _attach_order_cols(partials, orders, ["odays"],
+                                  broadcast_limit, pschema)
+
+    def delay(t: pa.Table) -> pa.Table:
+        d = pc.subtract(t["sdays"], t["odays"])
+        return pa.table({"delay": d, "cnt": t["cnt"]})
+
+    counts = hash_aggregate(
+        attached.map_batches(delay, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["delay"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        exchange="shuffle").to_pandas()
+    cols = ["p50", "p90", "p99", "min_delay", "max_delay", "n_lines"]
+    if len(counts) == 0:
+        return pd.DataFrame({c: pd.Series([None], dtype="float64")
+                             for c in cols})
+    counts = counts.sort_values("delay").reset_index(drop=True)
+    cum = counts["cnt"].cumsum().to_numpy()
+    delays = counts["delay"].to_numpy()
+    n = int(cum[-1])
+
+    def pctl(p: int) -> int:
+        return int(delays[np.searchsorted(cum * 100, p * n)])
+
+    return pd.DataFrame({
+        "p50": [pctl(50)], "p90": [pctl(90)], "p99": [pctl(99)],
+        "min_delay": [int(delays[0])], "max_delay": [int(delays[-1])],
+        "n_lines": [n]}).astype("int64")
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -13106,7 +13201,7 @@ _DRIVER_ORDER = [
     "promo_revenue_share", "top_supplier_revenue",
     "brand_multirange_revenue", "part_supplier_counts",
     "small_qty_revenue_loss", "idle_rich_customers",
-    "orders_reconciliation", "kg_msf",
+    "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -106,7 +106,7 @@ BENCH_QUERIES = [
     "promo_revenue_share", "top_supplier_revenue",
     "brand_multirange_revenue", "part_supplier_counts",
     "small_qty_revenue_loss", "idle_rich_customers",
-    "orders_reconciliation", "kg_msf",
+    "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
 ]
 
 
