@@ -13100,6 +13100,128 @@ def ship_delay_percentiles(sf_dir: str, broadcast_limit: int = 250_000):
         "n_lines": [n]}).astype("int64")
 
 
+_MEDIAN_BUCKET = 16_384  # cents per histogram bucket (pass-2 width)
+
+
+@query(
+    "orders_median_by_priority",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    c AS (SELECT priority, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY priority, cents),
+    t AS (SELECT priority, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM c GROUP BY priority),
+    cum AS (
+      SELECT c.priority, c.cents,
+             SUM(c.cnt) OVER (PARTITION BY c.priority
+                              ORDER BY c.cents) AS cum,
+             t.n
+      FROM c JOIN t ON c.priority = t.priority)
+    SELECT priority,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN cents END) AS BIGINT)
+               AS median_cents,
+           CAST(MAX(n) AS BIGINT) AS n_orders
+    FROM cum GROUP BY priority ORDER BY priority
+    """,
+)
+def orders_median_by_priority(sf_dir: str):
+    """EXACT grouped median over an UNBOUNDED value domain — the
+    iterative-range-narrowing pattern that complements
+    ``ship_delay_percentiles``'s bounded-domain counting: when the
+    domain (price cents, ~10^7 distinct) is too wide to count
+    exactly, pass 2 counts coarse histogram buckets per group (bounded
+    by range/width x groups), the driver locates each group's median
+    bucket and the rank remaining inside it, and pass 3 counts exact
+    values ONLY inside the located buckets (bounded by bucket width x
+    groups) — three scans, every exchange bounded, no global sort at
+    any scale.  Median rule = lower median (smallest value with
+    2*cum >= n), mirrored by the window-sum oracle."""
+    from .functions.agg import hash_aggregate
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderpriority", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "priority": t["o_orderpriority"],
+            "cents": pa.array(np.round(
+                t["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # pass 2 (the per-group n folds into the same reduce): coarse
+    # histogram per (priority, bucket)
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t["cents"],
+                               _MEDIAN_BUCKET)).cast(pa.int64())
+        tt = pa.table({"priority": t["priority"], "bucket": b,
+                       "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+        return pa.TableGroupBy(tt, ["priority", "bucket"]).aggregate(
+            [("cnt", "sum")]).rename_columns(
+            ["priority", "bucket", "cnt"])
+
+    hist = hash_aggregate(
+        orders.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True),
+        ["priority", "bucket"], [("cnt", "sum")],
+        rename={"cnt_sum": "cnt"}, exchange="shuffle").to_pandas()
+    if len(hist) == 0:
+        return pd.DataFrame({
+            "priority": pd.Series([], dtype=object),
+            "median_cents": pd.Series([], dtype="int64"),
+            "n_orders": pd.Series([], dtype="int64")})
+
+    # driver: locate each group's median bucket + residual rank
+    target: dict[str, tuple[int, int, int]] = {}
+    for prio, g in hist.groupby("priority"):
+        g = g.sort_values("bucket")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        # lower median rank: smallest r with 2r >= n
+        rank = (n + 1) // 2
+        i = int(np.searchsorted(cum, rank))
+        before = int(cum[i - 1]) if i else 0
+        target[str(prio)] = (int(g["bucket"].iloc[i]), rank - before,
+                             n)
+    tref = ray.put({p: b for p, (b, _, _) in target.items()})
+
+    # pass 3: exact value counts INSIDE each group's median bucket
+    def in_bucket(t: pa.Table) -> pa.Table:
+        tmap = ray.get(tref)
+        prio = t["priority"].to_pylist()
+        b = (t["cents"].to_numpy() // _MEDIAN_BUCKET)
+        keep = np.fromiter(
+            (p in tmap and tmap[p] == bb for p, bb in zip(prio, b)),
+            np.bool_, count=len(prio))
+        tt = pa.table({
+            "priority": t["priority"].filter(pa.array(keep)),
+            "cents": t["cents"].filter(pa.array(keep)),
+            "cnt": pa.array(np.ones(int(keep.sum()), np.int64))})
+        return pa.TableGroupBy(tt, ["priority", "cents"]).aggregate(
+            [("cnt", "sum")]).rename_columns(
+            ["priority", "cents", "cnt"])
+
+    fine = hash_aggregate(
+        orders.map_batches(in_bucket, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True),
+        ["priority", "cents"], [("cnt", "sum")],
+        rename={"cnt_sum": "cnt"}, exchange="shuffle").to_pandas()
+
+    rows = []
+    for prio, (_, resid, n) in sorted(target.items()):
+        g = fine[fine["priority"] == prio].sort_values("cents")
+        cum = g["cnt"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, resid))
+        rows.append({"priority": prio,
+                     "median_cents": int(g["cents"].iloc[i]),
+                     "n_orders": n})
+    out = pd.DataFrame(rows)
+    out["median_cents"] = out["median_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("priority").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -13202,6 +13324,7 @@ _DRIVER_ORDER = [
     "brand_multirange_revenue", "part_supplier_counts",
     "small_qty_revenue_loss", "idle_rich_customers",
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
+    "orders_median_by_priority",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
