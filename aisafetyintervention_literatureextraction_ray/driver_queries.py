@@ -13222,6 +13222,155 @@ def orders_median_by_priority(sf_dir: str):
     return out.sort_values("priority").reset_index(drop=True)
 
 
+@query(
+    "events_user_lifespan_percentiles",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(MAX(ts)) / 86400)
+                  - FLOOR(EPOCH(MIN(ts)) / 86400) AS BIGINT) AS span
+      FROM events GROUP BY user_id),
+    c AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM u GROUP BY span),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+    cum AS (SELECT span, SUM(cnt) OVER (ORDER BY span) AS cum, t.n
+            FROM c, t)
+    SELECT CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN span END)
+                AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN span END)
+                AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN span END)
+                AS BIGINT) AS p99,
+           CAST(MAX(span) AS BIGINT) AS max_span,
+           CAST(MAX(n) AS BIGINT) AS n_users
+    FROM cum
+    """,
+)
+def events_user_lifespan_percentiles(sf_dir: str):
+    """Exact percentiles of per-user engagement lifespan (days between
+    first and last event) — a TWO-LEVEL composition of the
+    counting-CDF pattern: level 1 is a keyed min/max reduce per user
+    (unbounded keys, shuffle exchange), level 2 collapses the derived
+    spans onto the bounded day domain where the exact CDF is one more
+    keyed count + driver cumsum.  Day arithmetic is integer floor-div
+    on epoch microseconds, exactly EPOCH/86400 in the oracle."""
+    from .functions.agg import hash_aggregate
+
+    US_PER_DAY = 86_400_000_000
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        tt = pa.table({"user_id": t["user_id"], "lo": us, "hi": us})
+        return pa.TableGroupBy(tt, ["user_id"]).aggregate(
+            [("lo", "min"), ("hi", "max")]).rename_columns(
+            ["user_id", "lo", "hi"])
+
+    per_user = hash_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        ["user_id"], [("lo", "min"), ("hi", "max")],
+        rename={"lo_min": "lo", "hi_max": "hi"}, exchange="shuffle")
+
+    def span_counts(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        span = hi // US_PER_DAY - lo // US_PER_DAY
+        tt = pa.table({"span": pa.array(span.astype(np.int64)),
+                       "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+        return pa.TableGroupBy(tt, ["span"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["span", "cnt"])
+
+    counts = hash_aggregate(
+        per_user.map_batches(span_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["span"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        exchange="shuffle").to_pandas()
+    cols = ["p50", "p90", "p99", "max_span", "n_users"]
+    if len(counts) == 0:
+        return pd.DataFrame({c: pd.Series([None], dtype="float64")
+                             for c in cols})
+    counts = counts.sort_values("span").reset_index(drop=True)
+    cum = counts["cnt"].cumsum().to_numpy()
+    spans = counts["span"].to_numpy()
+    n = int(cum[-1])
+
+    def pctl(p: int) -> int:
+        return int(spans[np.searchsorted(cum * 100, p * n)])
+
+    return pd.DataFrame({
+        "p50": [pctl(50)], "p90": [pctl(90)], "p99": [pctl(99)],
+        "max_span": [int(spans[-1])], "n_users": [n]}).astype("int64")
+
+
+@query(
+    "exact_dup_cluster_sizes",
+    """
+    WITH cl AS (
+      SELECT text, CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents GROUP BY text)
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(k * COUNT(*) AS BIGINT) AS n_docs
+    FROM cl GROUP BY k ORDER BY k
+    """,
+)
+def exact_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size distribution — the curation readout that
+    tells you whether dedup will remove 1% or 60% of the corpus and
+    whether one mega-cluster dominates (the boilerplate pathology).
+    Level 1 groups by a collision-safe content hash (the exact-dedup
+    shuffle key — the raw text never rides an exchange); level 2
+    counts clusters per size, a bounded key set.  The oracle groups by
+    the raw text, which partitions identically absent md5 collisions."""
+    import hashlib
+
+    from .functions.agg import hash_aggregate
+
+    docs = _pq(sf_dir, "documents", ["text"])
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        tt = pa.table({"h": pa.array(hs, pa.string()),
+                       "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+        return pa.TableGroupBy(tt, ["h"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["h", "cnt"])
+
+    clusters = hash_aggregate(
+        docs.map_batches(hash_partial, batch_format="pyarrow",
+                         batch_size=65536, zero_copy_batch=True),
+        ["h"], [("cnt", "sum")], rename={"cnt_sum": "k"},
+        exchange="shuffle")
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"cluster_size": t["k"],
+                       "n_clusters": pa.array(np.ones(t.num_rows,
+                                                      np.int64))})
+        return pa.TableGroupBy(tt, ["cluster_size"]).aggregate(
+            [("n_clusters", "sum")]).rename_columns(
+            ["cluster_size", "n_clusters"])
+
+    out = hash_aggregate(
+        clusters.map_batches(size_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["cluster_size"], [("n_clusters", "sum")],
+        rename={"n_clusters_sum": "n_clusters"},
+        exchange="shuffle").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "cluster_size": pd.Series([], dtype="int64"),
+            "n_clusters": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64")})
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    out["n_docs"] = (out["cluster_size"]
+                     * out["n_clusters"]).astype("int64")
+    return out.sort_values("cluster_size").reset_index(drop=True)[
+        ["cluster_size", "n_clusters", "n_docs"]]
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -13324,7 +13473,8 @@ _DRIVER_ORDER = [
     "brand_multirange_revenue", "part_supplier_counts",
     "small_qty_revenue_loss", "idle_rich_customers",
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
-    "orders_median_by_priority",
+    "orders_median_by_priority", "events_user_lifespan_percentiles",
+    "exact_dup_cluster_sizes",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -107,7 +107,8 @@ BENCH_QUERIES = [
     "brand_multirange_revenue", "part_supplier_counts",
     "small_qty_revenue_loss", "idle_rich_customers",
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
-    "orders_median_by_priority",
+    "orders_median_by_priority", "events_user_lifespan_percentiles",
+    "exact_dup_cluster_sizes",
 ]
 
 
