@@ -10326,15 +10326,18 @@ _Q3_DATE = "1998-06-01"
     LIMIT 10
     """,
 )
-def shipping_priority_topk(sf_dir: str):
+def shipping_priority_topk(sf_dir: str, broadcast_limit: int = 250_000):
     """TPC-H Q3 (shipping priority): unshipped revenue of BUILDING
     customers' pre-cutoff orders, top-10.  The Ray plan prunes every
     read (3 columns of lineitem survive the scan filter), pre-reduces
     lineitem to one (orderkey, revenue) partial per batch BEFORE any
-    exchange, resolves the customer segment with one partitioned
-    custkey join, and lands the orders-revenue match as a TAGGED-UNION
-    orderkey co-group (one exchange, no second join).  Revenue snaps
-    to ``floor(extprice * (1 - disc) * 1000)`` int64 per row — the
+    exchange, resolves the customer segment through a MEASURED gate —
+    the segment-filtered custkey set ships via ``ray.put`` and the
+    orders scan semi-filters map-side when it fits
+    ``broadcast_limit``, else one partitioned custkey join — and
+    lands the orders-revenue match as a TAGGED-UNION orderkey
+    co-group (one exchange, no second join).  Revenue snaps to
+    ``floor(extprice * (1 - disc) * 1000)`` int64 per row — the
     identical IEEE op tree in numpy and DuckDB — so the top-10 cut is
     exact with (revenue DESC, date, key) tie-breaks."""
     import datetime as _dt
@@ -10372,7 +10375,7 @@ def shipping_priority_topk(sf_dir: str):
             "m": pa.array(np.ones(int(pc.sum(pc.equal(
                 t["c_mktsegment"], "BUILDING").cast(pa.int64()))
                 .as_py() or 0), np.int8))}),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     orders = _pq(sf_dir, "orders",
                  ["o_orderkey", "o_custkey", "o_orderdate",
@@ -10387,11 +10390,80 @@ def shipping_priority_topk(sf_dir: str):
                           ("o_orderpriority", pa.string())])
     c_schema = pa.schema([("c_custkey", pa.int64()),
                           ("m", pa.int8())])
-    o_building = bucketed_join(orders, cust, left_key="o_custkey",
-                               right_key="c_custkey",
-                               right_value_cols=["m"],
-                               left_schema=o_schema,
-                               right_schema=c_schema)
+    if cust.count() <= broadcast_limit:
+        ct = pa.concat_tables(
+            cust.iter_batches(batch_format="pyarrow",
+                              batch_size=65536)
+        ) if cust.count() else pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "m": pa.array([], pa.int8())})
+        cref = ray.put(pd.Index(ct["c_custkey"].to_numpy()))
+
+        def semi(t: pa.Table) -> pa.Table:
+            idx = ray.get(cref)
+            ok = idx.get_indexer(t["o_custkey"].to_numpy()) >= 0
+            t = t.filter(pa.array(ok))
+            return t.append_column(
+                "m", pa.array(np.ones(t.num_rows, np.int8)))
+
+        o_building = orders.map_batches(semi, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        o_building = bucketed_join(orders, cust, left_key="o_custkey",
+                                   right_key="c_custkey",
+                                   right_value_cols=["m"],
+                                   left_schema=o_schema,
+                                   right_schema=c_schema)
+
+    # second measured gate, on the QUALIFYING-ORDER side: segment +
+    # cutoff filters leave a small fraction of orders, so when that
+    # set fits the broadcast budget the whole match is a map-side
+    # semi-filter of the revenue partials + ONE small keyed reduce —
+    # the 750k-row tagged union never forms
+    o_building = o_building.materialize()
+    n_ob = o_building.count()
+    if n_ob <= broadcast_limit:
+        ot = pa.concat_tables(
+            o_building.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .iter_batches(batch_format="pyarrow", batch_size=65536)
+        ) if n_ob else pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string())})
+        oref = ray.put(pd.Index(ot["o_orderkey"].to_numpy()))
+
+        def rev_member(t: pa.Table) -> pa.Table:
+            idx = ray.get(oref)
+            ok = idx.get_indexer(t["l_orderkey"].to_numpy()) >= 0
+            return t.filter(pa.array(ok))
+
+        per_order = hash_aggregate(
+            rev.map_batches(rev_member, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            ["l_orderkey"], [("revenue_milli", "sum")],
+            rename={"revenue_milli_sum": "revenue_milli"},
+            exchange="shuffle").to_pandas()
+        if len(per_order) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "revenue_milli": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object)})
+        meta = ot.to_pandas().set_index("o_orderkey")
+        per_order["o_orderdate"] = meta["o_orderdate"].reindex(
+            per_order["l_orderkey"]).to_numpy()
+        per_order["o_orderpriority"] = meta["o_orderpriority"] \
+            .reindex(per_order["l_orderkey"]).to_numpy()
+        out = per_order.rename(columns={"l_orderkey": "o_orderkey"}) \
+            .sort_values(["revenue_milli", "o_orderdate",
+                          "o_orderkey"],
+                         ascending=[False, True, True]).head(10)
+        for c in ("o_orderkey", "revenue_milli"):
+            out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)[
+            ["o_orderkey", "revenue_milli", "o_orderdate",
+             "o_orderpriority"]]
 
     # tagged-union orderkey MATCH on the fast two-stage hash_aggregate
     # path (a bucketed co-group measured ~4x slower here): each

@@ -124,7 +124,8 @@ def test_bench_list_subset_of_registry():
                                   "nation_market_share",
                                   "nation_profit",
                                   "small_qty_revenue_loss",
-                                  "nation_trade_matrix"])
+                                  "nation_trade_matrix",
+                                  "shipping_priority_topk"])
 def test_measured_gate_distributed_path_matches_broadcast(name):
     """The session-6/7 join queries pick broadcast vs bucketed exchange
     from a MEASURED row count; force the distributed branch
