@@ -13405,6 +13405,72 @@ def exact_dup_cluster_sizes(sf_dir: str):
         ["cluster_size", "n_clusters", "n_docs"]]
 
 
+@query(
+    "kg_diameter_2sweep",
+    f"""
+    WITH RECURSIVE {_KG_EDGE_SET_SQL},
+    sym AS (SELECT s AS x, d AS y FROM e WHERE s <> d
+            UNION SELECT d, s FROM e WHERE s <> d),
+    vx AS (SELECT DISTINCT x AS node_id FROM sym),
+    s1 AS (SELECT MIN(node_id) AS seed FROM vx),
+    w1(node_id, hops) AS (
+      SELECT seed, 0 FROM s1
+      UNION
+      SELECT sym.y, w1.hops + 1
+      FROM w1 JOIN sym ON sym.x = w1.node_id
+      WHERE w1.hops < {_BFS_MAX_HOPS}),
+    h1 AS (SELECT node_id, MIN(hops) AS hops FROM w1
+           GROUP BY node_id),
+    far AS (SELECT node_id FROM h1
+            ORDER BY hops DESC, node_id ASC LIMIT 1),
+    w2(node_id, hops) AS (
+      SELECT node_id, 0 FROM far
+      UNION
+      SELECT sym.y, w2.hops + 1
+      FROM w2 JOIN sym ON sym.x = w2.node_id
+      WHERE w2.hops < {_BFS_MAX_HOPS}),
+    h2 AS (SELECT node_id, MIN(hops) AS hops FROM w2
+           GROUP BY node_id)
+    SELECT (SELECT seed FROM s1) AS start_node,
+           (SELECT node_id FROM far) AS far_node,
+           CAST((SELECT MAX(hops) FROM h2) AS BIGINT) AS diameter_lb,
+           CAST((SELECT COUNT(*) FROM h2) AS BIGINT) AS n_reached
+    """,
+)
+def kg_diameter_2sweep(sf_dir: str):
+    """Double-sweep diameter lower bound over the resolved KG's
+    undirected simple graph — the standard 2-BFS estimate (exact on
+    trees, within a small factor in practice): sweep 1 runs
+    multi-source BFS from the lexicographically-smallest node and
+    picks the farthest node (ties -> smallest id); sweep 2's
+    eccentricity from that node is the bound.  Pure composition of
+    the existing :func:`bfs_hops` keyed-min relaxation (each sweep
+    O(diameter) bucketed exchanges); the oracle replays both sweeps
+    as recursive CTEs.  ``n_reached`` counts the far node's
+    component, making partial coverage explicit."""
+    from .functions.graph import bfs_hops
+
+    edges = _kg_simple_edges(sf_dir).materialize()
+    seeds = _smallest_node_ids(edges, 1)
+    if not seeds:
+        return pd.DataFrame({
+            "start_node": pd.Series([None], dtype=object),
+            "far_node": pd.Series([None], dtype=object),
+            "diameter_lb": pd.Series([None], dtype="float64"),
+            "n_reached": pd.Series([None], dtype="float64")})
+    h1 = bfs_hops(edges, src="src_id", dst="dst_id", seeds=seeds,
+                  max_iters=_BFS_MAX_HOPS).to_pandas()
+    far = h1.sort_values(["hops", "node_id"],
+                         ascending=[False, True])["node_id"].iloc[0]
+    h2 = bfs_hops(edges, src="src_id", dst="dst_id", seeds=[far],
+                  max_iters=_BFS_MAX_HOPS).to_pandas()
+    return pd.DataFrame({
+        "start_node": [seeds[0]], "far_node": [far],
+        "diameter_lb": [int(h2["hops"].max())],
+        "n_reached": [len(h2)]}).astype(
+        {"diameter_lb": "int64", "n_reached": "int64"})
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -13508,7 +13574,7 @@ _DRIVER_ORDER = [
     "small_qty_revenue_loss", "idle_rich_customers",
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
     "orders_median_by_priority", "events_user_lifespan_percentiles",
-    "exact_dup_cluster_sizes",
+    "exact_dup_cluster_sizes", "kg_diameter_2sweep",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -108,7 +108,7 @@ BENCH_QUERIES = [
     "small_qty_revenue_loss", "idle_rich_customers",
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
     "orders_median_by_priority", "events_user_lifespan_percentiles",
-    "exact_dup_cluster_sizes",
+    "exact_dup_cluster_sizes", "kg_diameter_2sweep",
 ]
 
 
