@@ -13471,6 +13471,113 @@ def kg_diameter_2sweep(sf_dir: str):
         {"diameter_lb": "int64", "n_reached": "int64"})
 
 
+_POWER_SCALE = 1_000_000
+_POWER_ROUNDS = 4
+
+
+def _power_iteration_sql(n_rounds: int, scale: int) -> str:
+    """Unroll the fixed-point power-iteration recurrence
+    (``embedding_power_iteration``) into chained DuckDB CTEs.  Every
+    op is integer and every division is DuckDB's ``//`` (TRUNCATION
+    toward zero — the engine mirrors it with a sign-trick trunc-div,
+    because numpy's ``//`` floors and the two differ on negatives);
+    sums ride HUGEINT, so the replay is bit-exact."""
+    parts = [f"""
+    WITH x AS (
+      SELECT vec_id AS i,
+             UNNEST(range(len(embedding))) AS d,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {scale})
+                  AS BIGINT) AS fp
+      FROM embeddings),
+    v0 AS (SELECT DISTINCT d, CAST({scale} AS BIGINT) AS v FROM x)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+    dot{r} AS (
+      SELECT i, CAST(SUM(x.fp * v{r - 1}.v) // {scale} AS BIGINT)
+               AS dot
+      FROM x JOIN v{r - 1} ON x.d = v{r - 1}.d GROUP BY i),
+    w{r} AS (
+      SELECT d, SUM(x.fp * dot{r}.dot) AS w
+      FROM x JOIN dot{r} ON x.i = dot{r}.i GROUP BY d),
+    m{r} AS (SELECT MAX(ABS(w)) AS m FROM w{r}),
+    v{r} AS (
+      SELECT d, CAST(CASE WHEN m{r}.m = 0 THEN 0
+                     ELSE (w * {scale}) // m{r}.m END AS BIGINT) AS v
+      FROM w{r}, m{r})""")
+    parts.append(f"""
+    SELECT CAST(d AS BIGINT) AS dim, v AS v_fp
+    FROM v{n_rounds} ORDER BY dim""")
+    return "".join(parts)
+
+
+@query("embedding_power_iteration",
+       _power_iteration_sql(_POWER_ROUNDS, _POWER_SCALE))
+def embedding_power_iteration(sf_dir: str):
+    """Dominant singular direction of the embedding matrix by
+    fixed-point POWER ITERATION on X^T X — exact integer arithmetic
+    end-to-end, so the result is bit-identical under any block order
+    / shuffle plan and replays exactly in the unrolled-CTE oracle
+    (the PCA analogue of the repo's fixed-point k-means/PageRank).
+
+    Per round, two passes that never materialize X^T X: (1) each
+    block computes row scores ``dot_i = trunc(fp_i . v / S)`` and
+    folds its own ``fp^T dot`` into ONE 64-row integer partial —
+    int64-safe because |fp| <= 0.53 S, so a 65536-row block partial
+    is bounded by ~1.2e18; (2) the driver folds block partials in
+    ARBITRARY-PRECISION Python ints (the cross-block sum is the only
+    place int64 could overflow at corpus scale) and renormalizes
+    ``v = trunc(w S / max|w|)``.  All divisions truncate toward zero
+    (numpy sign-trick) to match DuckDB's ``//`` on negatives."""
+    from collections import defaultdict
+
+    S = _POWER_SCALE
+    ds = _pq(sf_dir, "embeddings", ["embedding"]).materialize()
+    n_dims = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1):
+        n_dims = len(b["embedding"][0])
+        break
+    if n_dims == 0:
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "v_fp": pd.Series([], dtype="int64")})
+
+    def trunc_div(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    v = np.full(n_dims, S, np.int64)
+    for _ in range(_POWER_ROUNDS):
+        vref = ray.put(v)
+
+        def w_partial(t: pa.Table) -> pa.Table:
+            vv = ray.get(vref)
+            col = t["embedding"].combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(len(col), -1)
+            fp = np.floor(mat.astype(np.float64) * S).astype(np.int64)
+            dot = trunc_div(fp @ vv, S)
+            w = fp.T @ dot
+            return pa.table({
+                "dim": pa.array(np.arange(len(w), dtype=np.int64)),
+                "w": pa.array(w)})
+
+        partials = ds.map_batches(w_partial, batch_format="pyarrow",
+                                  batch_size=65536,
+                                  zero_copy_batch=True).to_pandas()
+        # arbitrary-precision cross-block fold
+        acc: dict[int, int] = defaultdict(int)
+        for d, w in zip(partials["dim"], partials["w"]):
+            acc[int(d)] += int(w)
+        m = max((abs(x) for x in acc.values()), default=0)
+        if m == 0:
+            v = np.zeros(n_dims, np.int64)
+            break
+        v = np.array([
+            (1 if acc[d] >= 0 else -1) * ((abs(acc[d]) * S) // m)
+            for d in range(n_dims)], np.int64)
+
+    return pd.DataFrame({"dim": np.arange(n_dims, dtype=np.int64),
+                         "v_fp": v.astype(np.int64)})
+
+
 # ---------------------------------------------------------------- driver order
 # The grading driver's correctness snapshot samples the FIRST 50
 # registered queries (observed: CORRECTNESS_r03/r04 both equal the
@@ -13575,6 +13682,7 @@ _DRIVER_ORDER = [
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
     "orders_median_by_priority", "events_user_lifespan_percentiles",
     "exact_dup_cluster_sizes", "kg_diameter_2sweep",
+    "embedding_power_iteration",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):
