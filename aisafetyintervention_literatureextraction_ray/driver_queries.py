@@ -13510,6 +13510,79 @@ def _power_iteration_sql(n_rounds: int, scale: int) -> str:
     return "".join(parts)
 
 
+def _power_energy_sql(n_rounds: int, scale: int) -> str:
+    """Explained-energy tail on the same unrolled chain: the fraction
+    of total squared mass lying along the round-``n`` direction,
+    ppm = (1e6 * sum(dot^2)) // ((sum(v^2) * sum(fp^2)) // S^2) — all
+    HUGEINT, truncating division, replayed identically engine-side in
+    arbitrary-precision Python ints."""
+    base = _power_iteration_sql(n_rounds, scale)
+    base = base[:base.index("\n    SELECT CAST(d AS BIGINT)")]
+    return base + f""",
+    dots AS (
+      SELECT i, CAST(SUM(x.fp * v{n_rounds}.v) // {scale} AS BIGINT)
+               AS dot
+      FROM x JOIN v{n_rounds} ON x.d = v{n_rounds}.d GROUP BY i),
+    num AS (SELECT SUM(CAST(dot AS HUGEINT) * dot) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM dots),
+    tot AS (SELECT SUM(CAST(fp AS HUGEINT) * fp) AS total FROM x),
+    vv AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vv
+           FROM v{n_rounds})
+    SELECT CAST((1000000 * num.num)
+                // ((vv.vv * tot.total)
+                    // ({scale}::HUGEINT * {scale})) AS BIGINT)
+               AS energy_ppm,
+           num.n AS n_vecs
+    FROM num, tot, vv"""
+
+
+@query("embedding_top_component_energy",
+       _power_energy_sql(_POWER_ROUNDS, _POWER_SCALE))
+def embedding_top_component_energy(sf_dir: str):
+    """Explained-variance fraction of the power-iteration direction —
+    the readout that says whether the corpus has one dominant
+    semantic axis (near 10^6 ppm) or spread mass: with fp = S*x and
+    the round-R vector v, ppm = (1e6 * sum((x . v)^2)) //
+    (|v|^2 * sum(fp^2) // S^2), exactly the normalized Rayleigh
+    energy in fixed point.  One extra pass over the materialized fp
+    dataset: per-block (sum dot^2, sum fp^2) int64 partials (batch
+    16384 keeps the dot^2 block sum ~1e18-safe), folded cross-block
+    in arbitrary-precision Python ints; every division truncates
+    toward zero to match the HUGEINT oracle."""
+    S = _POWER_SCALE
+    v, ds, n_dims = _power_vector(sf_dir)
+    if n_dims == 0:
+        return pd.DataFrame({
+            "energy_ppm": pd.Series([None], dtype="float64"),
+            "n_vecs": pd.Series([None], dtype="float64")})
+    vref = ray.put(v)
+
+    def part(t: pa.Table) -> pa.Table:
+        vv_ = ray.get(vref)
+        col = t["embedding"].combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(col), -1)
+        fp = np.floor(mat.astype(np.float64) * S).astype(np.int64)
+        prod = fp @ vv_
+        dot = np.sign(prod) * (np.abs(prod) // S)
+        return pa.table({
+            "num": pa.array([int((dot * dot).sum())]),
+            "total": pa.array([int((fp * fp).sum())]),
+            "n": pa.array([len(dot)])})
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=16384,
+                           zero_copy_batch=True).to_pandas()
+    num = sum(int(x) for x in parts["num"])
+    total = sum(int(x) for x in parts["total"])
+    n = sum(int(x) for x in parts["n"])
+    vv = sum(int(x) * int(x) for x in v)
+    den = (vv * total) // (S * S)
+    ppm = (1_000_000 * num) // den if den else 0
+    return pd.DataFrame({"energy_ppm": [ppm],
+                         "n_vecs": [n]}).astype("int64")
+
+
 @query("embedding_power_iteration",
        _power_iteration_sql(_POWER_ROUNDS, _POWER_SCALE))
 def embedding_power_iteration(sf_dir: str):
@@ -13528,6 +13601,18 @@ def embedding_power_iteration(sf_dir: str):
     place int64 could overflow at corpus scale) and renormalizes
     ``v = trunc(w S / max|w|)``.  All divisions truncate toward zero
     (numpy sign-trick) to match DuckDB's ``//`` on negatives."""
+    v, _, n_dims = _power_vector(sf_dir)
+    if n_dims == 0:
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "v_fp": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"dim": np.arange(n_dims, dtype=np.int64),
+                         "v_fp": v.astype(np.int64)})
+
+
+def _power_vector(sf_dir: str):
+    """``(v, ds, n_dims)`` — the round-``_POWER_ROUNDS`` fixed-point
+    power-iteration vector plus the materialized embeddings Dataset it
+    was computed over (shared by the vector and energy queries)."""
     from collections import defaultdict
 
     S = _POWER_SCALE
@@ -13537,8 +13622,7 @@ def embedding_power_iteration(sf_dir: str):
         n_dims = len(b["embedding"][0])
         break
     if n_dims == 0:
-        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
-                             "v_fp": pd.Series([], dtype="int64")})
+        return np.zeros(0, np.int64), ds, 0
 
     def trunc_div(a, b):
         return np.sign(a) * (np.abs(a) // b)
@@ -13568,14 +13652,11 @@ def embedding_power_iteration(sf_dir: str):
             acc[int(d)] += int(w)
         m = max((abs(x) for x in acc.values()), default=0)
         if m == 0:
-            v = np.zeros(n_dims, np.int64)
-            break
+            return np.zeros(n_dims, np.int64), ds, n_dims
         v = np.array([
             (1 if acc[d] >= 0 else -1) * ((abs(acc[d]) * S) // m)
             for d in range(n_dims)], np.int64)
-
-    return pd.DataFrame({"dim": np.arange(n_dims, dtype=np.int64),
-                         "v_fp": v.astype(np.int64)})
+    return v, ds, n_dims
 
 
 # ---------------------------------------------------------------- driver order
@@ -13682,7 +13763,7 @@ _DRIVER_ORDER = [
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
     "orders_median_by_priority", "events_user_lifespan_percentiles",
     "exact_dup_cluster_sizes", "kg_diameter_2sweep",
-    "embedding_power_iteration",
+    "embedding_power_iteration", "embedding_top_component_energy",
 ]
 
 if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(QUERIES):

@@ -109,7 +109,7 @@ BENCH_QUERIES = [
     "orders_reconciliation", "kg_msf", "ship_delay_percentiles",
     "orders_median_by_priority", "events_user_lifespan_percentiles",
     "exact_dup_cluster_sizes", "kg_diameter_2sweep",
-    "embedding_power_iteration",
+    "embedding_power_iteration", "embedding_top_component_energy",
 ]
 
 
