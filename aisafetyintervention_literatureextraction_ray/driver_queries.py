@@ -7906,33 +7906,56 @@ def kg_scc_levels(sf_dir: str):
                              "n_nodes": pd.Series([], dtype="int64"),
                              "level": pd.Series([], dtype="int64")})
 
-    edge_schema = pa.schema([("src_id", pa.string()),
-                             ("dst_id", pa.string())])
-    lab_schema = pa.schema([("node_id", pa.string()),
-                            ("scc_id", pa.string())])
-    ja = bucketed_join(
-        edges, labels.map_batches(
-            lambda t: t.rename_columns(["node_id", "cs"]),
-            batch_format="pyarrow"),
-        left_key="src_id", right_key="node_id", right_value_cols=["cs"],
-        left_schema=edge_schema,
-        right_schema=pa.schema([("node_id", pa.string()),
-                                ("cs", pa.string())]))
-    ja_schema = pa.schema([("src_id", pa.string()),
-                           ("dst_id", pa.string()),
-                           ("cs", pa.string())])
-    jb = bucketed_join(
-        ja, labels.map_batches(
-            lambda t: t.rename_columns(["node_id", "cd"]),
-            batch_format="pyarrow"),
-        left_key="dst_id", right_key="node_id", right_value_cols=["cd"],
-        left_schema=ja_schema,
-        right_schema=pa.schema([("node_id", pa.string()),
-                                ("cd", pa.string())]))
-    cond = jb.map_batches(
-        lambda t: t.filter(pc.not_equal(t["cs"], t["cd"]))
-        .select(["cs", "cd"]),
-        batch_format="pyarrow")
+    # label-projection exchange choice, MEASURED (the 2M policy): a
+    # label table under the gate ships once via ray.put and both
+    # endpoint projections happen inside ONE edge scan; above it, two
+    # partitioned label joins
+    if labels.count() <= 2_000_000:
+        lt = labels.to_pandas()
+        lref = ray.put((pd.Index(lt["node_id"].to_numpy()),
+                        lt["scc_id"].to_numpy()))
+
+        def project(t: pa.Table) -> pa.Table:
+            idx, lab = ray.get(lref)
+            ps = idx.get_indexer(t["src_id"].to_numpy())
+            pd_ = idx.get_indexer(t["dst_id"].to_numpy())
+            ok = (ps >= 0) & (pd_ >= 0)
+            cs = lab[np.clip(ps, 0, None)][ok]
+            cd = lab[np.clip(pd_, 0, None)][ok]
+            keep = cs != cd
+            return pa.table({"cs": pa.array(cs[keep], pa.string()),
+                             "cd": pa.array(cd[keep], pa.string())})
+
+        cond = edges.map_batches(project, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        edge_schema = pa.schema([("src_id", pa.string()),
+                                 ("dst_id", pa.string())])
+        ja = bucketed_join(
+            edges, labels.map_batches(
+                lambda t: t.rename_columns(["node_id", "cs"]),
+                batch_format="pyarrow"),
+            left_key="src_id", right_key="node_id",
+            right_value_cols=["cs"],
+            left_schema=edge_schema,
+            right_schema=pa.schema([("node_id", pa.string()),
+                                    ("cs", pa.string())]))
+        ja_schema = pa.schema([("src_id", pa.string()),
+                               ("dst_id", pa.string()),
+                               ("cs", pa.string())])
+        jb = bucketed_join(
+            ja, labels.map_batches(
+                lambda t: t.rename_columns(["node_id", "cd"]),
+                batch_format="pyarrow"),
+            left_key="dst_id", right_key="node_id",
+            right_value_cols=["cd"],
+            left_schema=ja_schema,
+            right_schema=pa.schema([("node_id", pa.string()),
+                                    ("cd", pa.string())]))
+        cond = jb.map_batches(
+            lambda t: t.filter(pc.not_equal(t["cs"], t["cd"]))
+            .select(["cs", "cd"]),
+            batch_format="pyarrow")
     lv = dag_levels(cond, src="cs", dst="cd").to_pandas()
     out = sizes.merge(lv.rename(columns={"node_id": "scc_id"}),
                       on="scc_id", how="left")
@@ -10573,7 +10596,33 @@ def kg_dominators(sf_dir: str):
     from .functions.agg import bucketed_group_map, bucketed_join, \
         hash_aggregate
 
-    raw = _kg_simple_edges(sf_dir)
+    raw = _kg_simple_edges(sf_dir).materialize()
+
+    # measured driver gate (the connected_components 2M skinny-row
+    # policy): below it the whole nominate is one vectorized pandas
+    # pass — the distributed form below is 5 exchanges over a graph
+    # that, at bench scale, is ~20k edges of pure scheduling overhead
+    if raw.count() <= 2_000_000:
+        df = raw.to_pandas()
+        df = df[df["src_id"] != df["dst_id"]]
+        a, b = df["src_id"].to_numpy(), df["dst_id"].to_numpy()
+        cl_df = pd.DataFrame({
+            "c": np.concatenate([a, b, a, b]),
+            "n": np.concatenate([b, a, a, b])}).drop_duplicates()
+        cdeg = cl_df["n"].value_counts()
+        cl_df["cdeg"] = cl_df["n"].map(cdeg).astype("int64")
+        g = cl_df.sort_values(["c", "cdeg", "n"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = g.groupby("c", sort=False).head(1)
+        out = top["n"].value_counts().rename_axis("node_id") \
+            .reset_index(name="n_nominations")
+        if len(out) == 0:
+            return pd.DataFrame({
+                "node_id": pd.Series([], dtype=object),
+                "n_nominations": pd.Series([], dtype="int64")})
+        out["n_nominations"] = out["n_nominations"].astype("int64")
+        return out.sort_values("node_id").reset_index(drop=True)
 
     def closed(t: pa.Table) -> pa.Table:
         a, b = t["src_id"], t["dst_id"]
