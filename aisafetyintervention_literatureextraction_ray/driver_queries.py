@@ -9772,7 +9772,7 @@ def events_runs_test(sf_dir: str):
     ORDER BY motif
     """,
 )
-def kg_motif_census(sf_dir: str):
+def kg_motif_census(sf_dir: str, driver_threshold: int = 2_000_000):
     """Directed 3-node motif census over the resolved KG: cyclic
     triangles (a->b->c->a — circular evidence, the pattern a causal
     claim graph should NOT accumulate) vs feed-forward triangles
@@ -9784,7 +9784,45 @@ def kg_motif_census(sf_dir: str):
     self-join replays both numbers exactly."""
     from .functions.agg import bucketed_join, hash_aggregate
 
-    raw = _kg_simple_edges(sf_dir)
+    raw = _kg_simple_edges(sf_dir).materialize()
+
+    # doubly-measured driver gate (the triangle_count policy): edge
+    # count under 2M AND exact wedge bound (sum of indeg*outdeg)
+    # under 2M -> the census is two vectorized numpy passes; either
+    # bound failing falls through to the partitioned wedge joins
+    if driver_threshold and raw.count() <= driver_threshold:
+        df = raw.to_pandas().query("src_id != dst_id") \
+            .drop_duplicates()
+        codes, nodes = pd.factorize(
+            pd.concat([df["src_id"], df["dst_id"]],
+                      ignore_index=True), sort=True)
+        n = len(df)
+        s = codes[:n].astype(np.int64)
+        d = codes[n:].astype(np.int64)
+        nn = len(nodes)
+        outdeg = np.bincount(s, minlength=nn)
+        indeg = np.bincount(d, minlength=nn)
+        if int((indeg * outdeg).sum()) <= driver_threshold:
+            eset = np.sort(s * nn + d)
+            ed = pd.DataFrame({"s": s, "d": d})
+            w = ed.merge(ed, left_on="d", right_on="s",
+                         suffixes=("_1", "_2"))
+            a = w["s_1"].to_numpy()
+            c = w["d_2"].to_numpy()
+            keep = a != c
+            a, c = a[keep], c[keep]
+
+            def has(x):
+                p = np.searchsorted(eset, x)
+                return (p < len(eset)) & (eset[np.clip(
+                    p, 0, len(eset) - 1)] == x)
+
+            cycles = int(has(c * nn + a).sum()) // 3
+            ff = int(has(a * nn + c).sum())
+            return pd.DataFrame({
+                "motif": ["cycle", "feedforward"],
+                "n": pd.Series([cycles, ff], dtype="int64")})
+
     de = hash_aggregate(
         raw.map_batches(
             lambda t: t.filter(pc.invert(pc.equal(t["src_id"],

@@ -138,3 +138,16 @@ def test_measured_gate_distributed_path_matches_broadcast(name):
     slow = getattr(dq, name)(SF_DIR, broadcast_limit=0) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_motif_census_driver_gate_matches_distributed():
+    """kg_motif_census's doubly-measured driver gate must agree with
+    the partitioned wedge-join path on the same KG."""
+    from aisafetyintervention_literatureextraction_ray import (
+        driver_queries as dq,
+    )
+
+    fast = dq.QUERIES["kg_motif_census"](SF_DIR).reset_index(drop=True)
+    slow = dq.kg_motif_census(SF_DIR, driver_threshold=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
