@@ -9003,7 +9003,7 @@ def doc_readability(sf_dir: str):
     GROUP BY actual ORDER BY actual
     """,
 )
-def doc_naive_bayes(sf_dir: str):
+def doc_naive_bayes(sf_dir: str, broadcast_limit: int = 250_000):
     """Multinomial Naive Bayes source classifier, trained and evaluated
     in one distributed pipeline — the standard sanity model for "is
     this corpus separable by provenance" before spending GPU time.
@@ -9142,6 +9142,47 @@ def doc_naive_bayes(sf_dir: str):
             "cand": t["cand"], "c": t["c"],
             "side": pa.array(np.ones(n, dtype=np.int8))})
 
+    # measured MODEL-broadcast gate: the trained (term, cand, c) table
+    # is vocabulary-bounded; when it fits the broadcast budget the
+    # whole score join runs map-side inside ONE test_tf scan (same
+    # per-batch partial shape the term co-group emits — the downstream
+    # doc_id co-group completes the sums either way) and the
+    # term-keyed union exchange never forms
+    if c_ds.count() <= broadcast_limit:
+        mdl = c_ds.to_pandas()
+        mdl["lnc"] = np.floor(np.log(
+            mdl["c"].to_numpy(np.float64) + 1.0) * 1e9).astype(
+            np.int64)
+        mref = ray.put(mdl[["term", "cand", "lnc"]])
+
+        def score_partial(t: pa.Table) -> pa.Table:
+            mdl_df = ray.get(mref)
+            df = t.to_pandas()  # doc_id, term, tf (globally unique)
+            m = df.merge(mdl_df, on="term")
+            if m.empty:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "cand": pa.array([], pa.string()),
+                    "s": pa.array([], pa.int64())})
+            m["s"] = (m["tf"].to_numpy(np.int64)
+                      * m["lnc"].to_numpy(np.int64))
+            contrib = m.groupby(["doc_id", "cand"], sort=False)["s"]                 .sum().reset_index()
+            iv = m.drop_duplicates(subset=["doc_id", "term"])
+            nd = iv.groupby("doc_id", sort=False)["tf"].sum()                 .reset_index()
+            nd["cand"] = _ND
+            nd = nd.rename(columns={"tf": "s"})
+            out = pd.concat([contrib, nd[["doc_id", "cand", "s"]]],
+                            ignore_index=True)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(
+                None)
+
+        combined = test_tf.map_batches(
+            score_partial, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    else:
+        combined = None
+
     both = test_tf.map_batches(as_union_left, batch_format="pyarrow",
                                zero_copy_batch=True).union(
         c_ds.map_batches(as_union_right, batch_format="pyarrow",
@@ -9175,8 +9216,9 @@ def doc_naive_bayes(sf_dir: str):
     # per-term-bucket PARTIALS; the (doc, cand) sums complete inside
     # the next doc_id-bucketed co-group (every doc lands in exactly one
     # bucket), so no standalone keyed exchange is needed in between
-    combined = bucketed_apply(both, ["term"], cogroup,
-                              exchange="shuffle").materialize()
+    if combined is None:
+        combined = bucketed_apply(both, ["term"], cogroup,
+                                  exchange="shuffle").materialize()
 
     # second (and last) co-group: the test-doc roster and the score
     # partials share ONE doc_id exchange; the per-bucket lattice

@@ -151,3 +151,16 @@ def test_motif_census_driver_gate_matches_distributed():
     slow = dq.kg_motif_census(SF_DIR, driver_threshold=0) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_naive_bayes_model_broadcast_matches_cogroup():
+    """doc_naive_bayes's measured model-broadcast gate must agree with
+    the term-co-group fallback path."""
+    from aisafetyintervention_literatureextraction_ray import (
+        driver_queries as dq,
+    )
+
+    fast = dq.QUERIES["doc_naive_bayes"](SF_DIR).reset_index(drop=True)
+    slow = dq.doc_naive_bayes(SF_DIR, broadcast_limit=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
