@@ -7878,7 +7878,7 @@ def events_independence(sf_dir: str):
     ORDER BY scc_id
     """,
 )
-def kg_scc_levels(sf_dir: str):
+def kg_scc_levels(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Condensation-DAG stratification of the directed KG: collapse
     each strongly connected component (the feedback loops) to one
     node, then assign every component its longest-path LEVEL in the
@@ -7910,7 +7910,7 @@ def kg_scc_levels(sf_dir: str):
     # label table under the gate ships once via ray.put and both
     # endpoint projections happen inside ONE edge scan; above it, two
     # partitioned label joins
-    if labels.count() <= 2_000_000:
+    if labels.count() <= broadcast_limit:
         lt = labels.to_pandas()
         lref = ray.put((pd.Index(lt["node_id"].to_numpy()),
                         lt["scc_id"].to_numpy()))
@@ -8110,6 +8110,9 @@ def nation_trade_matrix(sf_dir: str, broadcast_limit: int = 250_000):
             "sum_cents": pd.Series([], dtype="int64")})
     out["cust_nation"] = out["c_nationkey"].map(nname)
     out["supp_nation"] = out["s_nat"].map(nname)
+    # nation joins are INNER in the oracle: keys missing from the
+    # nation table drop instead of surfacing as NaN names
+    out = out.dropna(subset=["cust_nation", "supp_nation"])
     for c in ("n_items", "sum_cents"):
         out[c] = out[c].astype("int64")
     return (out[["cust_nation", "supp_nation", "n_items", "sum_cents"]]
@@ -10663,7 +10666,7 @@ def shipping_priority_topk(sf_dir: str, broadcast_limit: int = 250_000):
     GROUP BY n ORDER BY node_id
     """,
 )
-def kg_dominators(sf_dir: str):
+def kg_dominators(sf_dir: str, driver_threshold: int = 2_000_000):
     """Nomination dominating set over the resolved KG: every node
     nominates the highest-closed-degree member of its CLOSED
     neighborhood (ties to the smaller id), and the nominated nodes —
@@ -10682,7 +10685,7 @@ def kg_dominators(sf_dir: str):
     # policy): below it the whole nominate is one vectorized pandas
     # pass — the distributed form below is 5 exchanges over a graph
     # that, at bench scale, is ~20k edges of pure scheduling overhead
-    if raw.count() <= 2_000_000:
+    if driver_threshold and raw.count() <= driver_threshold:
         df = raw.to_pandas()
         df = df[df["src_id"] != df["dst_id"]]
         a, b = df["src_id"].to_numpy(), df["dst_id"].to_numpy()
@@ -12142,6 +12145,7 @@ def nation_volume_shipping(sf_dir: str, broadcast_limit: int = 250_000):
             "revenue_milli": pd.Series([], dtype="int64")})
     out["supp_nation"] = out["s_nat"].map(nname)
     out["cust_nation"] = out["c_nationkey"].map(nname)
+    out = out.dropna(subset=["supp_nation", "cust_nation"])
     out["year"] = out["year"].astype("int64")
     out["revenue_milli"] = out["revenue_milli"].astype("int64")
     return out.sort_values(["supp_nation", "cust_nation", "year"]) \
@@ -12246,13 +12250,19 @@ def nation_market_share(sf_dir: str, broadcast_limit: int = 250_000):
         skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)[ok]
         nat = s2n_a[np.clip(skv, 0, len(s2n_a) - 1)]
-        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        # oracle's supplier join is INNER: unmatched suppkeys drop
+        nat[skv >= len(s2n_a)] = -1
+        good = nat >= 0
+        ext = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[ok][good]
+        disc = t["l_discount"].to_numpy(
+            zero_copy_only=False)[ok][good]
         milli = np.floor(ext * (1.0 - disc) * 1000.0).astype(np.int64)
         tt = pa.table({
-            "o_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+            "o_orderkey": t["l_orderkey"].filter(pa.array(ok))
+            .filter(pa.array(good)),
             "nation_milli": pa.array(
-                np.where(nat == tnat, milli, 0)),
+                np.where(nat[good] == tnat, milli, 0)),
             "total_milli": pa.array(milli)})
         return pa.TableGroupBy(tt, ["o_orderkey"]).aggregate(
             [("nation_milli", "sum"), ("total_milli", "sum")]) \
@@ -12371,15 +12381,23 @@ def nation_profit(sf_dir: str, broadcast_limit: int = 250_000):
         skv = t["l_suppkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)[ok]
         nat = s2n_a[np.clip(skv, 0, len(s2n_a) - 1)]
-        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        # the oracle's supplier join is INNER: a suppkey with no
+        # supplier row (nat < 0, including skv out of gather range)
+        # must drop here too
+        nat[skv >= len(s2n_a)] = -1
+        good = nat >= 0
+        ext = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[ok][good]
+        disc = t["l_discount"].to_numpy(
+            zero_copy_only=False)[ok][good]
         qty = np.round(t["l_quantity"].to_numpy(
-            zero_copy_only=False)[ok]).astype(np.int64)
+            zero_copy_only=False)[ok][good]).astype(np.int64)
         profit = (np.floor(ext * (1.0 - disc) * 1000.0)
-                  .astype(np.int64) - cost[ok] * qty)
+                  .astype(np.int64) - cost[ok][good] * qty)
         tt = pa.table({
-            "o_orderkey": t["l_orderkey"].filter(pa.array(ok)),
-            "s_nat": pa.array(nat),
+            "o_orderkey": t["l_orderkey"].filter(pa.array(ok))
+            .filter(pa.array(good)),
+            "s_nat": pa.array(nat[good]),
             "profit_milli": pa.array(profit)})
         return pa.TableGroupBy(tt, ["o_orderkey", "s_nat"]).aggregate(
             [("profit_milli", "sum")]).rename_columns(
@@ -12406,6 +12424,7 @@ def nation_profit(sf_dir: str, broadcast_limit: int = 250_000):
             "year": pd.Series([], dtype="int64"),
             "profit_milli": pd.Series([], dtype="int64")})
     out["nation_name"] = out["s_nat"].map(nname)
+    out = out.dropna(subset=["nation_name"])
     out["year"] = out["year"].astype("int64")
     out["profit_milli"] = out["profit_milli"].astype("int64")
     return out.sort_values(["nation_name", "year"]) \
@@ -13471,8 +13490,8 @@ def events_user_lifespan_percentiles(sf_dir: str):
     "exact_dup_cluster_sizes",
     """
     WITH cl AS (
-      SELECT text, CAST(COUNT(*) AS BIGINT) AS k
-      FROM documents GROUP BY text)
+      SELECT COALESCE(text, '') AS t, CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents GROUP BY COALESCE(text, ''))
     SELECT k AS cluster_size,
            CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(k * COUNT(*) AS BIGINT) AS n_docs
@@ -13486,7 +13505,8 @@ def exact_dup_cluster_sizes(sf_dir: str):
     Level 1 groups by a collision-safe content hash (the exact-dedup
     shuffle key — the raw text never rides an exchange); level 2
     counts clusters per size, a bounded key set.  The oracle groups by
-    the raw text, which partitions identically absent md5 collisions."""
+    the NULL-coalesced text (matching the engine's (x or "") hash
+    input), which partitions identically absent md5 collisions."""
     import hashlib
 
     from .functions.agg import hash_aggregate
@@ -13579,7 +13599,13 @@ def kg_diameter_2sweep(sf_dir: str):
     component, making partial coverage explicit."""
     from .functions.graph import bfs_hops
 
-    edges = _kg_simple_edges(sf_dir).materialize()
+    # self-loops are invisible to the oracle's sym (s <> d): drop them
+    # BEFORE the seed pick so a node appearing only in a self-loop
+    # cannot seed the engine sweep while the oracle seeds elsewhere
+    edges = _kg_simple_edges(sf_dir).map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["src_id"],
+                                              t["dst_id"]))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     seeds = _smallest_node_ids(edges, 1)
     if not seeds:
         return pd.DataFrame({
@@ -13657,9 +13683,13 @@ def _power_energy_sql(n_rounds: int, scale: int) -> str:
     tot AS (SELECT SUM(CAST(fp AS HUGEINT) * fp) AS total FROM x),
     vv AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vv
            FROM v{n_rounds})
-    SELECT CAST((1000000 * num.num)
-                // ((vv.vv * tot.total)
-                    // ({scale}::HUGEINT * {scale})) AS BIGINT)
+    SELECT CAST(CASE
+             WHEN COALESCE(vv.vv, 0) * COALESCE(tot.total, 0) = 0
+                  OR (vv.vv * tot.total)
+                     // ({scale}::HUGEINT * {scale}) = 0 THEN 0
+             ELSE (1000000 * COALESCE(num.num, 0))
+                  // ((vv.vv * tot.total)
+                      // ({scale}::HUGEINT * {scale})) END AS BIGINT)
                AS energy_ppm,
            num.n AS n_vecs
     FROM num, tot, vv"""
@@ -13681,9 +13711,9 @@ def embedding_top_component_energy(sf_dir: str):
     S = _POWER_SCALE
     v, ds, n_dims = _power_vector(sf_dir)
     if n_dims == 0:
-        return pd.DataFrame({
-            "energy_ppm": pd.Series([None], dtype="float64"),
-            "n_vecs": pd.Series([None], dtype="float64")})
+        # matches the guarded oracle on an empty table: (0, 0)
+        return pd.DataFrame({"energy_ppm": [0],
+                             "n_vecs": [0]}).astype("int64")
     vref = ray.put(v)
 
     def part(t: pa.Table) -> pa.Table:

@@ -3813,9 +3813,11 @@ def minimum_spanning_forest(edges: rd.Dataset, *, src: str = "src",
                             ) -> rd.Dataset:
     """``(a, b, w)`` — the UNIQUE minimum spanning forest of the
     undirected distinct simple graph under the deterministic edge
-    weight ``w = md5(str(a) + '|' + str(b)) + '|a|b'`` (the repo's md5
-    priority idiom: the id suffix makes every weight distinct, so the
-    MSF is unique and ANY correct algorithm — the driver Kruskal, the
+    weight ``w = md5(enc(a,b)) + '|' + enc(a,b)`` with the
+    length-prefixed injective encoding ``enc(a,b) =
+    f"{len(a)}:{a}|{len(b)}:{b}"`` (the repo's md5 priority idiom
+    made collision-free for ids containing the separator: every
+    weight is distinct, so the MSF is unique and ANY correct algorithm — the driver Kruskal, the
     distributed Boruvka, a test-side reference — must return the
     identical edge set).  KG use: a skeleton connecting every entity
     cluster with the fewest, most-deterministic relations (dedup
@@ -3852,10 +3854,16 @@ def minimum_spanning_forest(edges: rd.Dataset, *, src: str = "src",
         return empty()
 
     def with_w(t: pa.Table) -> pa.Table:
+        # length-prefixed encoding: ids containing the separator
+        # cannot collide (("x|y","z") vs ("x","y|z") differ), so
+        # weights stay DISTINCT and the MSF unique — the property the
+        # Kruskal/Boruvka gate equality rests on
         pairs = zip(t.column("a").to_pylist(),
                     t.column("b").to_pylist())
-        ws = [hashlib.md5(f"{a}|{b}".encode()).hexdigest()
-              + f"|{a}|{b}" for a, b in pairs]
+        keys = [f"{len(str(a))}:{a}|{len(str(b))}:{b}"
+                for a, b in pairs]
+        ws = [hashlib.md5(k.encode()).hexdigest() + "|" + k
+              for k in keys]
         return pa.table({"a": t.column("a"), "b": t.column("b"),
                          "w": pa.array(ws, pa.string())})
 

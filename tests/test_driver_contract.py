@@ -164,3 +164,19 @@ def test_naive_bayes_model_broadcast_matches_cogroup():
     slow = dq.doc_naive_bayes(SF_DIR, broadcast_limit=0) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("kg_dominators", {"driver_threshold": 0}),
+    ("kg_scc_levels", {"broadcast_limit": 0}),
+])
+def test_graph_gate_fallthrough_matches_fast_path(name, kw):
+    """The kg_dominators driver gate and kg_scc_levels broadcast gate
+    must agree with their distributed fall-through forms."""
+    from aisafetyintervention_literatureextraction_ray import (
+        driver_queries as dq,
+    )
+
+    fast = dq.QUERIES[name](SF_DIR).reset_index(drop=True)
+    slow = getattr(dq, name)(SF_DIR, **kw).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
